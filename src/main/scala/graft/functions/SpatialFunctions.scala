@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geodesic distance as a pure Column expression (whole-stage-codegen
+  * friendly — no UDF).
+  *
+  * Mirrors the reference's `point.distance(point({latitude,longitude}), …)`
+  * (Neo4j WGS-84 geodesic; `new_dbSetup.py:98`, `main.py:66,132`) with the
+  * haversine great-circle formula on a spherical earth (R = 6 371 000 m).
+  * Divergence from Neo4j's ellipsoidal geodesic is ≤ ~0.3 %, which is
+  * irrelevant at the 200–300 m thresholds the reference uses (SURVEY §2.9 F1).
+  */
+object SpatialFunctions {
+  val EarthRadiusMeters = 6371000.0
+
+  /** Great-circle distance in meters between (lat1,lon1) and (lat2,lon2),
+    * all in decimal degrees. */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusMeters) * asin(sqrt(a))
+  }
+
+  /** Geohash-style integer cell id at a given cell size (degrees), for
+    * bucketing spatial self-joins instead of a crossJoin (SURVEY §2.3 J5):
+    * equi-join on neighboring cells, then exact haversine filter. */
+  def cellId(lat: Column, lon: Column, cellDeg: Double): Column =
+    (floor(lat / cellDeg).cast("long") * 100000L) + floor(lon / cellDeg).cast("long")
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.graph.{Components, ShortestPaths}
+
+/** Graph / iterative operators (SURVEY §2.8) demonstrated over deterministic
+  * graphs derived from the testdata tables, so the driver's DuckDB oracle
+  * can check them (recursive CTE / window forms).
+  *
+  * The GTFS time-expanded routing graph itself is exercised by the ScalaTest
+  * golden fixtures (graft.api.RoutingEngine); these queries prove the same
+  * Pregel machinery on oracle-checkable graphs.
+  */
+object GraphQueries {
+  import Catalog.t
+
+  def all: Seq[Q] = Seq(
+
+    // G2 — weighted SSSP via multi-source Pregel relaxation. Graph: binary
+    // tree over customer keys (parent = k/2), integer weights (k % 97 + 1) so
+    // distances are FP-exact in any summation order; diameter is log2(N) so
+    // Pregel converges in ~17 supersteps even at 100× data.
+    Q("g2_sssp_tree", "G2",
+      (s, dir) => {
+        val edges = t(s, dir, "customer")
+          .filter(col("c_custkey") > 1)
+          .select((col("c_custkey") / 2).cast("long").as("src"),
+            col("c_custkey").cast("long").as("dst"),
+            (col("c_custkey") % 97 + 1).cast("double").as("weight"))
+        ShortestPaths.fromDF(edges, Set(1L))
+          .select(col("vertex_id"), col("dist").cast("long").as("dist"))
+          .orderBy("vertex_id")
+      },
+      Some("""WITH RECURSIVE walk AS (
+             |  SELECT c_custkey AS vertex_id, c_custkey AS cur, 0 AS dist FROM customer
+             |  UNION ALL
+             |  SELECT vertex_id, cur // 2, dist + (cur % 97 + 1) FROM walk WHERE cur > 1
+             |)
+             |SELECT vertex_id, CAST(dist AS BIGINT) AS dist FROM walk WHERE cur = 1
+             |ORDER BY vertex_id""".stripMargin)),
+
+    // G5 — reachability / connected components: per-nation hub-and-spoke
+    // graph (each customer linked to its nation's min custkey). Component id
+    // = min vertex id, oracle-checkable as a window min. Diameter 2 ⇒
+    // convergence is scale-independent.
+    Q("g5_connected_components", "G5",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val hubs = c.groupBy("c_nationkey").agg(min("c_custkey").as("hub"))
+        val edges = c.join(hubs, Seq("c_nationkey"))
+          .select(col("hub").cast("long").as("src"), col("c_custkey").cast("long").as("dst"))
+        Components.connected(edges)
+          .select(col("vertex_id"), col("component"))
+          .orderBy("vertex_id")
+      },
+      Some("""SELECT c_custkey AS vertex_id,
+             |       min(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+             |FROM customer ORDER BY vertex_id""".stripMargin)),
+
+    // G6 — path decomposition: per-customer ordered order-key "path"
+    // collected as an array, consecutive pairs via slice+zip_with+posexplode
+    // (ref: main.py:101-107 UNWIND of node-pair lists). Oracle: the
+    // equivalent window-lead form.
+    Q("g6_path_pairs", "G6,F8",
+      (s, dir) => {
+        val path = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(transform(sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey")))),
+            x => x.getField("o_orderkey")).as("path"))
+        path.filter(size(col("path")) > 1)
+          .select(col("o_custkey"),
+            posexplode(zip_with(
+              slice(col("path"), lit(1), size(col("path")) - 1),
+              slice(col("path"), lit(2), size(col("path")) - 1),
+              (a, b) => struct(a.as("src"), b.as("dst")))).as(Seq("pos", "pair")))
+          .select(col("o_custkey"), (col("pos") + 1).as("hop"),
+            col("pair.src").as("src_order"), col("pair.dst").as("dst_order"))
+          .orderBy("o_custkey", "hop")
+      },
+      Some("""SELECT o_custkey, hop, src_order, dst_order FROM (
+             |  SELECT o_custkey,
+             |         row_number() OVER w AS hop,
+             |         o_orderkey AS src_order,
+             |         lead(o_orderkey) OVER w AS dst_order
+             |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |) WHERE dst_order IS NOT NULL ORDER BY o_custkey, hop""".stripMargin)),
+  )
+}

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis, and the
+  * multimodal binary-column plumbing.
+  *
+  * Queries whose semantics are SQL-expressible carry a DuckDB oracle; the
+  * hash-based ones (xxhash64 has no DuckDB twin) are declared rows-only and
+  * are instead covered by ScalaTest fixtures.
+  */
+object Pipeline {
+  import Catalog.t
+
+  def all: Seq[Q] = Seq(
+
+    // Exact dedup: hash-groupBy on content digest, keep the smallest doc_id.
+    // Scales as a single shuffle on the digest — no pairwise compare.
+    Q("dedup_exact", "dedup",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY content_hash ORDER BY keep_id""".stripMargin)),
+
+    // Exact dedup after normalization (lower + trim + whitespace collapse).
+    Q("dedup_exact_normalized", "dedup",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("norm", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .groupBy(md5(col("norm").cast("binary")).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+             |       min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY content_hash ORDER BY keep_id""".stripMargin)),
+
+    // MinHash + LSH near-dup: shingle → minhash signature → band keys →
+    // bucket self-join (equi-join on band key, NOT a crossJoin) → exact
+    // Jaccard verify on candidates. Rows-only oracle (xxhash64-based).
+    Q("dedup_minhash_lsh", "dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+          .withColumn("sig", minhashSignature(col("sh"), 16))
+        val banded = docs.select(col("doc_id"), col("sh"),
+          explode(lshBandKeys(col("sig"), 4, 4)).as("bk"))
+          .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+        val a = banded.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = banded.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        a.join(b, Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+              size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+          .distinct()
+          .filter(col("jaccard") >= 0.8)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
+    // SimHash near-dup: 64-bit simhash, candidate via any equal 16-bit chunk
+    // (pigeonhole: hamming ≤ 3 ⇒ one of 4 chunks equal), verify hamming.
+    Q("dedup_simhash", "dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), simhash64(col("text")).as("sh"))
+        val chunked = docs.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("chunk"),
+              shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL).as("ckey"))): _*)).as("c"))
+          .select(col("doc_id"), col("sh"), col("c.chunk"), col("c.ckey"))
+        val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        a.join(b, Seq("chunk", "ckey"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
+    // n-gram Jaccard near-dup with a cheap length-band blocking key (docs
+    // whose token counts differ by >2x can't reach 0.5 Jaccard).
+    Q("dedup_ngram_jaccard", "dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), array_distinct(shingles(col("text"), 2)).as("sh"))
+          .withColumn("block", floor(log2(size(col("sh")) + 1)))
+        val a = docs.select(col("block"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = docs.select(col("block"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        a.join(b, Seq("block"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+              size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
+    // Embedding near-dup via cosine ≥ threshold on LSH-bucketed candidates.
+    // (The synthetic embeddings have no true near-dups — max pairwise cosine
+    // ≈ 0.48 — so the threshold/plane count here is tuned low to exercise the
+    // candidate-generation + verify path; production settings would be
+    // ≥ 0.95 with more planes.)
+    Q("dedup_embedding_cosine", "dedup",
+      (s, dir) => {
+        val planes = hyperplanes(3, 64)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), planes).as("bucket"))
+        val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_v"))
+        val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_v"))
+        a.join(b, Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
+    // Brute-force cosine similarity of fixed query vectors against the whole
+    // table (selection-free — values only, so it can carry a DuckDB oracle;
+    // rounded to absorb summation-order ULPs).
+    Q("sim_cosine_pairs", "similarity",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        e.select(col("vec_id").as("v_id"), col("embedding").as("v_v"))
+          .crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("v_id"))
+          .select(col("q_id"), col("v_id"), round(cosine(col("q_v"), col("v_v")), 4).as("cos"))
+          .orderBy("q_id", "v_id")
+      },
+      Some("""SELECT q.vec_id AS q_id, v.vec_id AS v_id,
+             |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                               CAST(v.embedding AS DOUBLE[])), 4) AS cos
+             |FROM embeddings q, embeddings v
+             |WHERE q.vec_id < 3 AND q.vec_id <> v.vec_id
+             |ORDER BY q_id, v_id""".stripMargin)),
+
+    // Brute-force top-k ANN baseline: top-10 neighbors per query vector.
+    Q("sim_topk_bruteforce", "similarity",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))
+        e.select(col("vec_id").as("v_id"), col("embedding").as("v_v"))
+          .crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("v_id"))
+          .select(col("q_id"), col("v_id"), cosine(col("q_v"), col("v_v")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      None),
+
+    // LSH-bucketed ANN (the scale path: candidates only from matching sign-
+    // LSH buckets, then exact re-rank — no crossJoin against the full table).
+    Q("sim_ann_lsh", "similarity",
+      (s, dir) => {
+        val planes = hyperplanes(6, 64)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), planes).as("bucket"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_v"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))
+        e.select(col("bucket"), col("vec_id").as("v_id"), col("embedding").as("v_v"))
+          .join(broadcast(q), Seq("bucket"))
+          .filter(col("q_id") =!= col("v_id"))
+          .select(col("q_id"), col("v_id"), cosine(col("q_v"), col("v_v")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      None),
+
+    // Token counting (whitespace tokenizer) — SQL-expressible, oracled.
+    Q("text_token_count", "text",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+          size(array_distinct(tokens(col("text")))).as("n_distinct"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+             |  len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS n_distinct
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length / punctuation / stopword ratios.
+    Q("text_quality", "text",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("qs", qualityStats(col("text")))
+        .select(col("doc_id"), col("qs.n_chars").as("n_chars"),
+          col("qs.n_tokens").as("n_tokens"),
+          round(col("qs.mean_token_len"), 4).as("mean_token_len"),
+          round(col("qs.punct_ratio"), 4).as("punct_ratio"),
+          round(col("qs.stopword_ratio"), 4).as("stopword_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, length(text) AS n_chars,
+             |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk,
+             |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+             |  FROM documents)
+             |SELECT doc_id, n_chars, len(tk) AS n_tokens,
+             |  round(CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk), 4) AS mean_token_len,
+             |  round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+             |  round(CAST(len(list_filter(tk, x -> lower(x) IN
+             |    ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / len(tk), 4)
+             |    AS stopword_ratio
+             |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // Language ID heuristic vs the labeled lang column (rows-only; the
+    // heuristic itself is exercised in ScalaTest).
+    Q("text_langid", "text",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled"), langId(col("text")).as("predicted"))
+        .orderBy("doc_id"),
+      None),
+
+    // Rolling-hash document fingerprint (rows-only: xxhash64-based).
+    Q("text_fingerprint", "text",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+          simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      None),
+
+    // BPE-ish sub-word token count (rows-only; regex tokenizer).
+    Q("text_bpeish_tokens", "text",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), size(bpeishTokens(col("text"))).as("n_subword_tokens"))
+        .orderBy("doc_id"),
+      None),
+
+    // Multimodal plumbing: treat content as an opaque binary column with
+    // typed metadata. The "decode" is a clearly-marked deterministic stub
+    // (real image/audio libs aren't in this container) but the schema,
+    // batching, and byte-level plumbing are real. Oracle covers byte length.
+    Q("multimodal_binary_meta", "multimodal",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("blob", col("text").cast("binary"))
+        .select(col("doc_id"), octet_length(col("blob")).as("n_bytes"),
+          graft.multimodal.MultimodalStub.fakeWidth(col("blob")).as("width"),
+          graft.multimodal.MultimodalStub.fakeHeight(col("blob")).as("height"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |  16 + octet_length(encode(text)) % 241 AS width,
+             |  16 + (octet_length(encode(text)) // 241) % 241 AS height
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}
