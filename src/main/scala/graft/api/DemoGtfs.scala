@@ -1,0 +1,58 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.GtfsTables
+import graft.functions.TimeFunctions.secondsSinceMidnight
+
+/** A tiny inline GTFS network (same topology as the test fixture
+  * `src/test/resources/gtfs-mini`): 3 routes, 6 trips, 7 stops, one
+  * service-past-midnight trip, a 16.7 m walk transfer pair and a same-name
+  * stop pair. Used to demonstrate the full routing pipeline from the
+  * driver-visible query catalog without external files.
+  */
+object DemoGtfs {
+
+  def tables(spark: SparkSession): GtfsTables = {
+    import spark.implicits._
+    val agency = Seq(("aMo Modena", "http://example.org", "Europe/Rome"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    val routes = Seq(
+      ("R1", "1", "Alpha-Gamma", 3), ("R2", "2", "GammaDue-Epsilon", 3),
+      ("R3", "3", "Alpha-Epsilon", 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = Seq(
+      ("R1", "S1", "T1"), ("R1", "S1", "T2"), ("R2", "S1", "T3"),
+      ("R2", "S1", "T4"), ("R3", "S1", "T5"), ("R3", "S1", "T6"))
+      .map { case (r, s, t) => (r, s, t, "0", "SH", "headsign") }
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id", "trip_headsign")
+    val stops = Seq(
+      ("SA", "Alpha", 44.6000, 10.9000), ("SB", "Beta", 44.6100, 10.9000),
+      ("SC", "Gamma", 44.6200, 10.9000), ("SC2", "Gamma Due", 44.62015, 10.9000),
+      ("SD1", "Delta", 44.6300, 10.9100), ("SD2", "Delta", 44.63005, 10.91005),
+      ("SE", "Epsilon", 44.6400, 10.9200))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    val stopTimes = Seq(
+      ("T1", "14:01:00", "14:01:00", "SA", 1), ("T1", "14:05:00", "14:06:00", "SB", 2),
+      ("T1", "14:10:00", "14:11:00", "SC", 3),
+      ("T2", "15:00:00", "15:00:00", "SA", 1), ("T2", "15:05:00", "15:06:00", "SB", 2),
+      ("T2", "15:10:00", "15:11:00", "SC", 3),
+      ("T3", "14:15:00", "14:15:00", "SC2", 1), ("T3", "14:25:00", "14:26:00", "SD1", 2),
+      ("T3", "14:40:00", "14:40:00", "SE", 3),
+      ("T4", "14:05:00", "14:05:00", "SC2", 1), ("T4", "14:15:00", "14:16:00", "SD1", 2),
+      ("T4", "14:30:00", "14:30:00", "SE", 3),
+      ("T5", "14:02:00", "14:02:00", "SA", 1), ("T5", "15:30:00", "15:30:00", "SE", 2),
+      ("T6", "24:05:00", "24:05:00", "SA", 1), ("T6", "24:50:00", "24:50:00", "SE", 2))
+      .toDF("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")
+      .withColumn("arr_secs", secondsSinceMidnight(col("arrival_time")))
+      .withColumn("dep_secs", secondsSinceMidnight(col("departure_time")))
+    val calendar = Seq(("S1", java.sql.Date.valueOf("2024-01-18"), "1"))
+      .toDF("service_id", "day", "exception_type")
+    GtfsTables(agency, routes, trips, stops, stopTimes, calendar)
+  }
+
+  /** One engine per session (projection cache inside). */
+  private val engines = scala.collection.mutable.Map.empty[SparkSession, RoutingEngine]
+  def engine(spark: SparkSession): RoutingEngine =
+    synchronized(engines.getOrElseUpdate(spark, new RoutingEngine(tables(spark))))
+}

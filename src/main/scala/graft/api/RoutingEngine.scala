@@ -1,0 +1,250 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.GtfsTables
+import graft.etl.GraphBuilder
+import graft.projection.TimeExpandedGraph
+import graft.graph.ShortestPaths
+import graft.functions.SpatialFunctions.haversineMeters
+import graft.functions.TimeFunctions.{parseHms, hmsString}
+
+/** Degree-distribution summary of the projected graph — the analog of
+  * `gds.graph.list` (`main.py:29-44`). */
+final case class GraphMetrics(nodeCount: Long, relationshipCount: Long,
+    density: Double, minDegree: Long, meanDegree: Double, maxDegree: Long,
+    p50Degree: Double, p90Degree: Double, p99Degree: Double)
+
+/** The reference App's query surface (`main.py`), Spark-native.
+  *
+  * Correlated-Dijkstra decorrelation (SURVEY §7.3): the reference calls
+  * `gds.shortestPath.dijkstra` once per candidate (source, target) pair
+  * (`main.py:95,143`); here every routing call runs ONE multi-source Pregel
+  * over the cached time-expanded graph, then joins the distance table
+  * against the candidate targets and takes the top-1 — identical semantics
+  * (each pair's optimal cost is still exact), N× less traversal work.
+  */
+class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
+
+  private val spark: SparkSession = gtfs.stops.sparkSession
+
+  /** WALK_TO is day-independent — build once, reuse across projections. */
+  lazy val walkTo: DataFrame = GraphBuilder.walkTo(gtfs.stops, walkRadiusMeters).cache()
+
+  /** Projection cache keyed by (day, speed) — the reference re-projects
+    * `graph_walk` per (date, speed) and holds it in GDS memory
+    * (`main.py:13-22`). */
+  private val projections =
+    scala.collection.mutable.Map.empty[(java.sql.Date, Double), TimeExpandedGraph]
+
+  def projected(day: java.sql.Date, speed: Double): TimeExpandedGraph =
+    synchronized {
+      projections.getOrElseUpdate((day, speed),
+        TimeExpandedGraph.build(gtfs, day, speed, walkTo))
+    }
+
+  private def day(date: String): java.sql.Date = java.sql.Date.valueOf(date)
+
+  /** Stops with service on `date` within `radius` m of a point → distinct
+    * names (`main.py:62-71`). */
+  def findNearStops(date: String, lat: Double, lon: Double, radius: Double,
+      speed: Double = 1.0): DataFrame =
+    projected(day(date), speed).nodes
+      .filter(haversineMeters(col("lat"), col("lon"), lit(lat), lit(lon)) < radius)
+      .select("stop_name").distinct()
+
+  /** Best stop-name-to-stop-name itinerary (`main.py:73-117`): per-route
+    * earliest departures after `time` at `sourceName` stops; targets at
+    * `targetName` departing within `maxDurationHours`; best pair by
+    * (target arrival, cost); returns the labeled segment rows. */
+  def routing(date: String, speed: Double, time: String, sourceName: String,
+      targetName: String, maxDurationHours: Int = 4): DataFrame = {
+    val t0 = parseHms(time)
+    val g = projected(day(date), speed)
+    val sources = g.nodes
+      .filter(col("stop_name") === sourceName && col("dep_secs") > t0)
+    val targets = g.nodes
+      .filter(col("stop_name") === targetName &&
+        col("dep_secs") < t0 + maxDurationHours * 3600)
+      .select(col("id").as("t_id"), col("dep_secs").as("t_dep"),
+        col("arr_secs").as("t_arr"))
+    route(g, sources, targets,
+      // stop-to-stop: best by (arrival_time, cost) — `main.py:102`
+      orderCols = df => df.orderBy(col("t_arr"), col("cost"), col("s_id"), col("t_id")))
+  }
+
+  /** Best point-to-point itinerary with walking legs (`main.py:119-176`):
+    * departure/arrival adjusted by straight-line walking time to/from the
+    * candidate stops (name lists from findNearStops), best by
+    * (final_time = arrival + end walk, cost incl. both walks). */
+  def routingBetweenTwoPoints(date: String, startLat: Double, startLon: Double,
+      endLat: Double, endLon: Double, startNames: Seq[String], endNames: Seq[String],
+      speed: Double, time: String, maxDurationHours: Int = 4): DataFrame = {
+    val t0 = parseHms(time)
+    val g = projected(day(date), speed)
+    val startWalk = haversineMeters(col("lat"), col("lon"), lit(startLat), lit(startLon)) / speed
+    val endWalk = haversineMeters(col("lat"), col("lon"), lit(endLat), lit(endLon)) / speed
+    val sources = g.nodes
+      .filter(col("stop_name").isin(startNames: _*) && col("dep_secs") - startWalk > t0)
+      .withColumn("s_walk", startWalk)
+    val targets = g.nodes
+      .filter(col("stop_name").isin(endNames: _*) &&
+        col("dep_secs") + endWalk < t0 + maxDurationHours * 3600)
+      .select(col("id").as("t_id"), col("dep_secs").as("t_dep"),
+        col("arr_secs").as("t_arr"), endWalk.as("t_walk"))
+    route(g, sources, targets,
+      // point-to-point: best by (final_time, cost+walks) — `main.py:158-159`
+      orderCols = df => df
+        .withColumn("final_time", col("t_arr") + col("t_walk"))
+        .withColumn("full_cost", col("cost") + col("s_walk") + col("t_walk"))
+        .orderBy(col("final_time"), col("full_cost"), col("s_id"), col("t_id")))
+  }
+
+  /** Shared routing core: per-route earliest source selection, one
+    * multi-source SSSP, candidate-pair ranking, path expansion (G6+J8). */
+  private def route(g: TimeExpandedGraph, sourceCandidates: DataFrame,
+      targets: DataFrame, orderCols: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    // Per-route earliest departure; apoc.agg.minItems + `s[0]` keeps one
+    // item per route (`main.py:84-87`) — deterministic first here.
+    val perRoute = Window.partitionBy("route_id")
+      .orderBy("dep_secs", "trip_id", "stop_sequence")
+    val srcRows = sourceCandidates
+      .withColumn("rn", row_number().over(perRoute)).filter(col("rn") === 1)
+      .select(col("id").as("s_id"), col("dep_secs").as("s_dep"),
+        (if (sourceCandidates.columns.contains("s_walk")) col("s_walk") else lit(0.0)).as("s_walk"))
+    val srcLocal = srcRows.collect() // tiny: one row per route at one stop
+    if (srcLocal.isEmpty) return emptySegments
+    val srcIds = srcLocal.map(_.getLong(0)).toSet
+
+    // ONE multi-source Pregel replaces per-pair Dijkstras (SURVEY §7.3).
+    val dist = ShortestPaths.fromDF(g.weightedEdges, srcIds).cache()
+    val pairs = dist
+      .join(targets, col("vertex_id") === col("t_id"))
+      .join(broadcast(srcRows.withColumnRenamed("s_id", "source_id")), Seq("source_id"))
+      // target must depart after its source (`main.py:93,141`)
+      .filter(col("t_dep") > col("s_dep"))
+      .withColumn("cost", col("dist"))
+      .withColumnRenamed("source_id", "s_id")
+    val best = orderCols(pairs).limit(1).collect()
+    if (best.isEmpty) { dist.unpersist(); return emptySegments }
+    val row = best.head
+    val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
+
+    // Path reconstruction: collect only this source's predecessor chain
+    // entries (reachable-set rows, each 16 bytes — fine even at the full
+    // Modena graph's 249k nodes; a fully distributed backward walk is the
+    // 100 TB fallback).
+    val chain = dist.filter(col("source_id") === bestSrc)
+      .select("vertex_id", "pred").as[(Long, Long)].collect().toMap
+    dist.unpersist()
+    val path = Iterator.iterate(bestTgt)(v => chain.getOrElse(v, -1L))
+      .takeWhile(_ != -1L).toList.reverse
+    if (path.size < 2) return emptySegments
+    segments(g, path)
+  }
+
+  /** Path → labeled segment rows (G6 + the J8 label joins, `main.py:103-114`):
+    * one row per consecutive stoptime pair with trip/line/stop labels. */
+  private def segments(g: TimeExpandedGraph, path: List[Long]): DataFrame = {
+    import spark.implicits._
+    val hops = path.zip(path.tail).zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+    val hopsDF = spark.createDataset(hops).toDF("hop", "s1_id", "s2_id")
+    val n1 = g.nodes.select(col("id").as("s1_id"), col("trip_id").as("trip"),
+      hmsString(col("dep_secs")).as("departure"), col("route_id").as("line"),
+      col("stop_name").as("starting_stop_name"), col("stop_id").as("starting_stop_id"),
+      array(col("lat"), col("lon")).as("starting_stop_coordinates"))
+    val n2 = g.nodes.select(col("id").as("s2_id"), col("trip_id").as("next_trip"),
+      col("route_id").as("next_line"), col("stop_name").as("next_stop"),
+      col("stop_id").as("next_stop_id"),
+      array(col("lat"), col("lon")).as("next_stop_coordinates"),
+      hmsString(col("arr_secs")).as("arrival"))
+    hopsDF.join(broadcast(n1), Seq("s1_id")).join(broadcast(n2), Seq("s2_id"))
+      .select("hop", "trip", "departure", "line", "starting_stop_name",
+        "starting_stop_id", "starting_stop_coordinates", "next_trip", "next_stop",
+        "next_stop_id", "next_stop_coordinates", "next_line", "arrival")
+      .orderBy("hop")
+  }
+
+  private def emptySegments: DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Int, String, String, String, String, String,
+      Seq[Double], String, String, String, Seq[Double], String, String)]
+      .toDF("hop", "trip", "departure", "line", "starting_stop_name",
+        "starting_stop_id", "starting_stop_coordinates", "next_trip", "next_stop",
+        "next_stop_id", "next_stop_coordinates", "next_line", "arrival")
+  }
+
+  /** Count of distinct stops served on a date (`main.py:186-191`). */
+  def numberOfStops(date: String, speed: Double = 1.0): Long =
+    projected(day(date), speed).nodes.agg(countDistinct("stop_id")).head.getLong(0)
+
+  /** Mean service-span hours across lines (`main.py:193-205`): per line the
+    * earliest departure(s) × latest arrival(s) (ties kept, minItems/maxItems
+    * semantics), span in whole hours, averaged. */
+  def hoursOfService(date: String, speed: Double = 1.0): Double = {
+    val nodes = projected(day(date), speed).nodes
+    val wMin = Window.partitionBy("route_id").orderBy(col("dep_secs"))
+    val wMax = Window.partitionBy("route_id").orderBy(col("arr_secs").desc)
+    val starting = nodes.withColumn("rk", rank().over(wMin)).filter(col("rk") === 1)
+      .select(col("route_id"), col("dep_secs"))
+    val ending = nodes.withColumn("rk", rank().over(wMax)).filter(col("rk") === 1)
+      .select(col("route_id"), col("arr_secs"))
+    starting.join(ending, Seq("route_id"))
+      .select(((col("arr_secs") - col("dep_secs")) / 3600).cast("long").as("hours"))
+      .agg(avg("hours")).head.getDouble(0)
+  }
+
+  /** Geodesic meters from a stop to a point (`main.py:178-184`). */
+  def distanceFromStop(stopId: String, lat: Double, lon: Double): Double =
+    gtfs.stops.filter(col("stop_id") === stopId)
+      .select(haversineMeters(col("stop_lat"), col("stop_lon"), lit(lat), lit(lon)))
+      .head.getDouble(0)
+
+  /** gds.graph.list analog (`main.py:29-44`). */
+  def graphMetrics(date: String, speed: Double): GraphMetrics = {
+    val g = projected(day(date), speed)
+    val n = g.nodeCount
+    val m = g.edgeCount
+    val deg = g.edges.groupBy("source").agg(count(lit(1)).as("degree"))
+    val stats = deg.agg(min("degree"), avg("degree"), max("degree"),
+      expr("percentile_approx(degree, 0.5)"), expr("percentile_approx(degree, 0.9)"),
+      expr("percentile_approx(degree, 0.99)")).head
+    GraphMetrics(n, m, if (n > 1) m.toDouble / (n.toDouble * (n - 1)) else 0.0,
+      stats.getLong(0), stats.getDouble(1), stats.getLong(2),
+      stats.getLong(3).toDouble, stats.getLong(4).toDouble, stats.getLong(5).toDouble)
+  }
+
+  /** Number of line changes in a segment DataFrame — pandas post-processing
+    * analog (`main.py:285-293`). */
+  def changeCount(segments: DataFrame): Long =
+    segments.filter(col("trip") =!= col("next_trip")).count()
+
+  /** Formatted itinerary printer (F13, `main.py:216-237`): classifies each
+    * boundary row as same-stop change vs walk-transfer vs ride. */
+  def formatItinerary(segments: DataFrame): String = {
+    val rows = segments.orderBy("hop").collect()
+    if (rows.isEmpty) return "no itinerary found"
+    val sb = new StringBuilder
+    val first = rows.head
+    sb.append(s"start trip at ${first.getAs[String]("departure")} at station " +
+      s"${first.getAs[String]("starting_stop_name")} line: ${first.getAs[String]("line")}\n")
+    rows.foreach { r =>
+      val sameStop = r.getAs[String]("starting_stop_id") == r.getAs[String]("next_stop_id")
+      val changed = r.getAs[String]("trip") != r.getAs[String]("next_trip")
+      if (sameStop && changed)
+        sb.append(s"drop at ${r.getAs[String]("departure")} at station " +
+          s"${r.getAs[String]("starting_stop_name")} change to line: ${r.getAs[String]("next_line")}\n")
+      else if (changed)
+        sb.append(s"drop at ${r.getAs[String]("departure")} at station " +
+          s"${r.getAs[String]("starting_stop_name")} walk_to_station ${r.getAs[String]("next_stop")}" +
+          s" change to line: ${r.getAs[String]("next_line")}\n")
+    }
+    val last = rows.last
+    sb.append(s"end trip at ${last.getAs[String]("arrival")} at station " +
+      s"${last.getAs[String]("next_stop")} with line: ${last.getAs[String]("next_line")}")
+    sb.toString
+  }
+}

@@ -1,0 +1,119 @@
+package graft.projection
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.GtfsTables
+import graft.etl.GraphBuilder
+
+/** The day-specific **time-expanded routing graph** — our analog of the
+  * reference's GDS projection `graph_walk` (`main.py:13-22`).
+  *
+  * Nodes = stoptimes of trips whose service is valid on `day` (node query,
+  * `main.py:16`). Edges = PRECEDES (ride/dwell to the next stoptime of the
+  * same trip, weight = stored waiting_time) ∪ CHANGE (transfer to the
+  * earliest-departing stoptime of a different route reachable by walking,
+  * weight = wait + walk seconds with the walking `speed` baked in at
+  * projection time — edge query, `main.py:17`).
+  *
+  * Node identity: the reference uses Neo4j's internal `id(st)`; we use the
+  * deterministic `xxhash64(trip_id, stop_sequence)` (SURVEY §7.3) — stable
+  * across runs and cluster layouts, fits GraphX's Long VertexId.
+  *
+  * Both DataFrames are cached: the reference holds the CSR projection
+  * in memory and reuses it across routing calls; re-projection is needed
+  * only per (day, speed), which RoutingEngine keys its cache on.
+  */
+final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame) {
+  def nodeCount: Long = nodes.count()
+  def edgeCount: Long = edges.count()
+
+  /** Edge list in the shape ShortestPaths.fromDF expects. */
+  def weightedEdges: DataFrame =
+    edges.select(col("source").as("src"), col("target").as("dst"),
+      col("waiting_time").cast("double").as("weight"))
+
+  def unpersist(): Unit = { nodes.unpersist(); edges.unpersist() }
+}
+
+object TimeExpandedGraph {
+
+  /** Stable node id for a stoptime. */
+  def nodeId(tripId: org.apache.spark.sql.Column, seq: org.apache.spark.sql.Column) =
+    xxhash64(tripId, seq)
+
+  /** Build the projection for one service day at one walking speed.
+    * `walkToEdges` is the WALK_TO table (build once via
+    * GraphBuilder.walkTo — day-independent). */
+  def build(g: GtfsTables, day: java.sql.Date, speed: Double,
+      walkToEdges: DataFrame): TimeExpandedGraph = {
+
+    // J1 calendar chain: Day ← Service ← Trip ← Stoptime → Stop (+ Route).
+    // Dimensions (calendar slice, trips, routes, stops) broadcast — the
+    // Stoptime side is the only big relation, exactly the Cypher planner's
+    // start-from-Day ordering re-expressed for Spark.
+    val dayServices = g.calendar.filter(col("day") === lit(day))
+      .select("service_id").distinct()
+    val dayTrips = g.trips.join(broadcast(dayServices), Seq("service_id"))
+      .select("trip_id", "route_id", "service_id")
+    val nodes = g.stopTimes
+      .join(broadcast(dayTrips), Seq("trip_id"))
+      .join(broadcast(g.stops), Seq("stop_id"))
+      .select(
+        nodeId(col("trip_id"), col("stop_sequence")).as("id"),
+        col("trip_id"), col("route_id"), col("service_id"),
+        col("stop_id"), col("stop_name"),
+        col("stop_lat").as("lat"), col("stop_lon").as("lon"),
+        col("stop_sequence"), col("arr_secs"), col("dep_secs"))
+      .cache()
+
+    // PRECEDES edges restricted to day-valid trips; weight was computed at
+    // ETL (next.arrival − this.departure, `new_dbSetup.py:72-74`).
+    val precedesDay = GraphBuilder.precedes(g.stopTimes)
+      .join(broadcast(dayTrips.select("trip_id")), Seq("trip_id"))
+      .select(
+        nodeId(col("trip_id"), col("src_seq")).as("source"),
+        nodeId(col("trip_id"), col("dst_seq")).as("target"),
+        lit("PRECEDES").as("type"),
+        col("waiting_time"),
+        lit(0L).as("walking_time"))
+
+    // CHANGE edges (`main.py:17`): from stoptime `s`, walk to a neighboring
+    // stop (WALK_TO, self-loop included = same-stop change), catch the
+    // earliest-departing stoptime per (other route, walking distance) on the
+    // SAME service, different trip AND route, reachable in time:
+    //   s.arrival + floor(distance/speed) < t.departure   (strict)
+    // weight = (t.departure − s.arrival) + floor(distance/speed).
+    // apoc.agg.minItems keeps ALL tied earliest targets → rank()=1.
+    val s = nodes.select(col("id").as("s_id"), col("trip_id").as("s_trip"),
+      col("route_id").as("s_route"), col("service_id").as("s_service"),
+      col("stop_id").as("s_stop"), col("arr_secs").as("s_arr"))
+    val walk = walkToEdges.select(col("src_stop_id").as("n_stop"),
+      col("dst_stop_id").as("s_stop"), col("distance"))
+    val tgt = nodes.select(col("id").as("t_id"), col("trip_id").as("t_trip"),
+      col("route_id").as("t_route"), col("service_id").as("t_service"),
+      col("stop_id").as("n_stop"), col("dep_secs").as("t_dep"))
+
+    val walkSecs = floor(col("distance") / speed).cast("long")
+    val candidates = s
+      .join(walk, Seq("s_stop"))
+      .join(tgt, Seq("n_stop"))
+      .filter(col("t_service") === col("s_service") &&
+        col("t_trip") =!= col("s_trip") &&
+        col("t_route") =!= col("s_route") &&
+        col("s_arr") + walkSecs < col("t_dep"))
+      .withColumn("walking_time", walkSecs)
+    val earliest = Window.partitionBy("s_id", "t_route", "distance").orderBy("t_dep")
+    val changeEdges = candidates
+      .withColumn("rk", rank().over(earliest))
+      .filter(col("rk") === 1)
+      .select(col("s_id").as("source"), col("t_id").as("target"),
+        lit("CHANGE").as("type"),
+        (col("t_dep") - col("s_arr") + col("walking_time")).cast("long").as("waiting_time"),
+        col("walking_time"))
+
+    // U1: the projected edge list is CHANGE ∪ PRECEDES (`main.py:17`).
+    val edges = changeEdges.unionByName(precedesDay).cache()
+    TimeExpandedGraph(nodes, edges)
+  }
+}

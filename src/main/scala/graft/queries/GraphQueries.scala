@@ -86,5 +86,21 @@ object GraphQueries {
              |         lead(o_orderkey) OVER w AS dst_order
              |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |) WHERE dst_order IS NOT NULL ORDER BY o_custkey, hop""".stripMargin)),
+
+    // G1+G2+G6+J8 — the full reference routing flow on the inline demo GTFS
+    // network: build → project time-expanded graph → multi-source Pregel →
+    // top-1 by (arrival, cost) → labeled segments. Rows-only (no relational
+    // oracle); the same flow is golden-tested against hand-computed values
+    // in GtfsEngineSpec.
+    Q("gtfs_routing_golden", "G1,G2,G6,J8",
+      (s, _) => graft.api.DemoGtfs.engine(s)
+        .routing("2024-01-18", 1.0, "14:00:00", "Alpha", "Epsilon"),
+      None),
+
+    // S1-analog near-stop spatial search on the demo network (F1+P8).
+    Q("gtfs_near_stops", "F1,P8,A3",
+      (s, _) => graft.api.DemoGtfs.engine(s)
+        .findNearStops("2024-01-18", 44.6200, 10.9000, 300.0).orderBy("stop_name"),
+      None),
   )
 }

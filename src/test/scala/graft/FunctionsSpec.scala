@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SpatialFunctions._
+import graft.functions.TimeFunctions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("haversine matches known geodesic distances within tolerance") {
+    // Paris Notre-Dame → London Big Ben ≈ 343.07 km (great-circle, R=6371 km)
+    val df = Seq((48.8530, 2.3499, 51.5007, -0.1246)).toDF("lat1", "lon1", "lat2", "lon2")
+    val d = df.select(haversineMeters($"lat1", $"lon1", $"lat2", $"lon2")).head.getDouble(0)
+    assert(math.abs(d - 343069.15) < 10, s"got $d")
+    // zero distance
+    val z = Seq((44.6, 10.9, 44.6, 10.9)).toDF("lat1", "lon1", "lat2", "lon2")
+      .select(haversineMeters($"lat1", $"lon1", $"lat2", $"lon2")).head.getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("seconds-since-midnight codec handles GTFS times past 24:00:00") {
+    val df = Seq("00:00:00", "14:01:30", "24:05:00", "25:10:09").toDF("t")
+    val got = df.select(secondsSinceMidnight($"t")).as[Int].collect().toSeq
+    assert(got == Seq(0, 14 * 3600 + 90, 24 * 3600 + 300, 25 * 3600 + 609))
+    assert(parseHms("25:10:09") == 25 * 3600 + 609)
+    assert(formatHms(24 * 3600 + 300) == "24:05:00")
+  }
+
+  test("tokenizer, shingles, fingerprint are deterministic and order-sensitive") {
+    val df = Seq("the quick brown fox", "the quick  brown fox", "fox brown quick the")
+      .toDF("text")
+    val toks = df.select(size(tokens($"text"))).as[Int].collect().toSeq
+    assert(toks == Seq(4, 4, 4)) // double space collapsed by \s+ split
+    val fps = df.select(fingerprint($"text")).as[Long].collect().toSeq
+    assert(fps(0) == fps(1)) // same tokens → same fingerprint
+    assert(fps(0) != fps(2)) // reordered → different
+    val sh = df.select(shingles($"text", 2)).as[Seq[String]].head
+    assert(sh == Seq("the quick", "quick brown", "brown fox"))
+  }
+
+  test("minhash signatures of identical shingle sets are identical") {
+    val df = Seq("a b c d e", "a b c d e", "v w x y z").toDF("text")
+      .select(minhashSignature(array_distinct(shingles($"text", 2)), 8).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash: near-identical docs have small hamming distance, different docs large") {
+    val docs = Seq(
+      ("a", "spark window join filter group sort merge stream batch table row key value"),
+      ("b", "spark window join filter group sort merge stream batch table row key data"),
+      ("c", "entirely unrelated words concerning butterflies meadows rivers and mountains"))
+      .toDF("id", "text").select($"id", simhash64($"text").as("sh"))
+    val m = docs.as[(String, Long)].collect().toMap
+    val close = java.lang.Long.bitCount(m("a") ^ m("b"))
+    val far = java.lang.Long.bitCount(m("a") ^ m("c"))
+    assert(close < far, s"close=$close far=$far")
+    assert(close <= 16)
+  }
+
+  test("cosine similarity: orthogonal=0, identical=1") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(-1f, 0f, 0f)))
+      .toDF("a", "b")
+    val got = df.select(cosine($"a", $"b")).as[Double].collect().toSeq
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq("the cat and the dog of the house",
+      "el perro y el gato de la casa en la calle",
+      "qwerty zxcvb asdfgh").toDF("text")
+    val got = df.select(langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+}

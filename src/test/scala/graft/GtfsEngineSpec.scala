@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{GtfsLoader, GraphBuilder}
+import graft.projection.TimeExpandedGraph
+import graft.api.RoutingEngine
+import graft.graph.ShortestPaths
+
+/** Golden tests over the mini GTFS fixture (FIXTURES.md §5): every derived
+  * edge and the full routing flow asserted against hand-computed values
+  * (see the distance/cost derivations in the comments).
+  */
+class GtfsEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val gtfs = GtfsLoader.load(spark, fixtureDir)
+  lazy val engine = new RoutingEngine(gtfs)
+  val Day = "2024-01-18"
+
+  test("loader: times parsed as seconds incl. past-midnight; calendar reshaped") {
+    val st = gtfs.stopTimes.filter($"trip_id" === "T6").orderBy("stop_sequence")
+      .select("dep_secs").as[Int].collect().toSeq
+    assert(st == Seq(24 * 3600 + 300, 24 * 3600 + 3000)) // 24:05:00, 24:50:00
+    // reshape.py semantics: S9 (absent from trips) filtered out
+    val services = gtfs.calendar.select("service_id").distinct().as[String].collect().toSet
+    assert(services == Set("S1"))
+    assert(gtfs.calendar.count() == 2) // S1 on two days
+  }
+
+  test("precedes: per-trip lead edges with waiting = next.arr − this.dep") {
+    val p = GraphBuilder.precedes(gtfs.stopTimes)
+    assert(p.count() == 10) // 4 trips × 2 + 2 trips × 1
+    val t1 = p.filter($"trip_id" === "T1").orderBy("src_seq")
+      .select("waiting_time").as[Long].collect().toSeq
+    assert(t1 == Seq(240L, 240L)) // A→B 14:05−14:01, B→C 14:10−14:06
+    val t6 = p.filter($"trip_id" === "T6").select("waiting_time").as[Long].head()
+    assert(t6 == 2700L) // 24:50 − 24:05 (needs the >24 h codec)
+  }
+
+  test("walkTo: pairs <300 m incl. self-loops and both directions") {
+    val w = engine.walkTo
+    // 7 self-loops + (C,C2) and (D1,D2) in both directions = 11
+    assert(w.count() == 11)
+    val self = w.filter($"src_stop_id" === $"dst_stop_id")
+    assert(self.count() == 7)
+    assert(self.select(max("distance")).head.getDouble(0) == 0.0)
+    val cc2 = w.filter($"src_stop_id" === "SC" && $"dst_stop_id" === "SC2")
+      .select("distance").as[Double].head()
+    assert(math.abs(cc2 - 16.679) < 0.01)
+    // symmetry
+    val c2c = w.filter($"src_stop_id" === "SC2" && $"dst_stop_id" === "SC")
+      .select("distance").as[Double].head()
+    assert(cc2 == c2c)
+  }
+
+  test("projection: day-valid nodes and CHANGE ∪ PRECEDES edges") {
+    val g = engine.projected(java.sql.Date.valueOf(Day), 1.0)
+    assert(g.nodeCount == 16) // 4 trips × 3 stoptimes + 2 trips × 2
+    val byType = g.edges.groupBy("type").count().as[(String, Long)].collect().toMap
+    assert(byType("PRECEDES") == 10)
+    // hand-enumerated CHANGE edges (same service, diff trip+route, earliest
+    // per (source, other-route, distance), reachable in time):
+    // A(T1)→A(T5), A(T5)→A(T2), A(T2)→A(T6), C(T1)→C2(T3), C2(T3)→C(T2),
+    // C2(T4)→C(T1), E(T3)→E(T5), E(T4)→E(T5)
+    assert(byType("CHANGE") == 8)
+    // the transfer used by the golden itinerary: C(T1,seq3) → C2(T3,seq1)
+    val key = g.nodes.filter($"trip_id" === "T1" && $"stop_sequence" === 3)
+      .select("id").as[Long].head()
+    val tkey = g.nodes.filter($"trip_id" === "T3" && $"stop_sequence" === 1)
+      .select("id").as[Long].head()
+    val e = g.edges.filter($"source" === key && $"target" === tkey)
+      .select("waiting_time", "walking_time").as[(Long, Long)].head()
+    // walk 16.679 m at 1 m/s → floor 16 s; wait = (14:15−14:10) + 16 = 316
+    assert(e == ((316L, 16L)))
+  }
+
+  test("pregel SSSP: multi-source distances are exact") {
+    val g = engine.projected(java.sql.Date.valueOf(Day), 1.0)
+    val aT1 = g.nodes.filter($"trip_id" === "T1" && $"stop_sequence" === 1)
+      .select("id").as[Long].head()
+    val eT3 = g.nodes.filter($"trip_id" === "T3" && $"stop_sequence" === 3)
+      .select("id").as[Long].head()
+    val dist = ShortestPaths.fromDF(g.weightedEdges, Set(aT1))
+    val d = dist.filter($"vertex_id" === eT3).select("dist").as[Double].head()
+    // A→B 240 + B→C 240 + change 316 + C2→D1 600 + D1→E 840 = 2236
+    assert(d == 2236.0)
+  }
+
+  test("golden routing Alpha→Epsilon 14:00: the 5-segment transfer itinerary") {
+    val seg = engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon").collect()
+    assert(seg.length == 5)
+    val trips = seg.map(_.getAs[String]("trip")).toSeq
+    assert(trips == Seq("T1", "T1", "T1", "T3", "T3"))
+    val nextTrips = seg.map(_.getAs[String]("next_trip")).toSeq
+    assert(nextTrips == Seq("T1", "T1", "T3", "T3", "T3"))
+    assert(seg.head.getAs[String]("departure") == "14:01:00")
+    assert(seg.last.getAs[String]("arrival") == "14:40:00")
+    assert(seg.last.getAs[String]("next_stop") == "Epsilon")
+    // exactly 1 line change (A7 analog)
+    assert(engine.changeCount(engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon")) == 1)
+  }
+
+  test("point-to-point routing at exact stop coordinates equals stop routing") {
+    val seg = engine.routingBetweenTwoPoints(Day, 44.6000, 10.9000, 44.6400, 10.9200,
+      Seq("Alpha"), Seq("Epsilon"), 1.0, "14:00:00").collect()
+    assert(seg.length == 5)
+    assert(seg.last.getAs[String]("arrival") == "14:40:00")
+  }
+
+  test("findNearStops returns distinct day-valid stop names in radius") {
+    val names = engine.findNearStops(Day, 44.6200, 10.9000, 300)
+      .as[String].collect().toSet
+    assert(names == Set("Gamma", "Gamma Due"))
+    // SD2 has no stoptimes → "Delta" appears once via SD1 only
+    val atDelta = engine.findNearStops(Day, 44.6300, 10.9100, 300)
+      .as[String].collect().toSeq
+    assert(atDelta == Seq("Delta"))
+  }
+
+  test("numberOfStops counts distinct served stops") {
+    assert(engine.numberOfStops(Day) == 6) // SD2 unserved
+  }
+
+  test("hoursOfService: avg whole-hour service span per line") {
+    // R1: 14:01→15:10 = 1 h; R2: 14:05→14:40 = 0 h; R3: 14:02→24:50 = 10 h
+    assert(math.abs(engine.hoursOfService(Day) - (11.0 / 3)) < 1e-9)
+  }
+
+  test("graph metrics: counts and density") {
+    val m = engine.graphMetrics(Day, 1.0)
+    assert(m.nodeCount == 16)
+    assert(m.relationshipCount == 18)
+    assert(math.abs(m.density - 18.0 / (16.0 * 15)) < 1e-12)
+  }
+
+  test("itinerary formatter classifies the walk transfer") {
+    val txt = engine.formatItinerary(engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon"))
+    assert(txt.contains("start trip at 14:01:00 at station Alpha line: R1"))
+    assert(txt.contains("walk_to_station Gamma Due"))
+    assert(txt.contains("end trip at 14:40:00 at station Epsilon with line: R2"))
+  }
+
+  test("empty result when no source departs in the window") {
+    val seg = engine.routing(Day, 1.0, "23:00:00", "Gamma", "Epsilon")
+    assert(seg.count() == 0)
+  }
+}
