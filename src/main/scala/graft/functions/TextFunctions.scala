@@ -41,19 +41,10 @@ object TextFunctions {
 
   /** Language-ID heuristic: pick the language whose stopword list scores the
     * most hits; ties and zero hits fall back to "und" (undetermined).
-    * Deterministic tie-break: language codes in lexicographic order win. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
-      struct(stopwordHits(toks, words).as("hits"), lit(code).as("code"))
-    }
-    // array_max over (hits, negated-lexicographic code) would invert codes;
-    // instead reduce pairwise keeping the first max (lexicographic win on tie).
-    val best = scored.reduceLeft { (a, b) =>
-      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
-    }
-    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
-  }
+    * Deterministic tie-break: language codes in lexicographic order win.
+    * Single-pass native expression (see expressions.LangScoreExpr). */
+  def langId(text: Column): Column =
+    graft.functions.expressions.LangScoreExpr(tokens(text), stopwords)
 
   /** Quality-score components: character count, token count, mean token
     * length, punctuation ratio, stopword ratio (English list). Returns a
@@ -82,6 +73,17 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L), (acc, t) =>
       shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
 
+  /** Hashed shingle set: sorted distinct xxhash64 of each n-gram shingle —
+    * the set-similarity-friendly representation (exact Jaccard via the
+    * merge-based JaccardSortedExpr; 8-byte elements instead of strings in
+    * every shuffle). */
+  def hashedShingles(text: Column, n: Int): Column =
+    sort_array(array_distinct(transform(shingles(text, n), s => xxhash64(s))))
+
+  /** Exact Jaccard over two hashedShingles columns. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    graft.functions.expressions.JaccardSortedExpr(a, b)
+
   /** Word n-gram shingles of size n (space-joined), for MinHash/Jaccard. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
@@ -91,10 +93,10 @@ object TextFunctions {
   }
 
   /** MinHash signature: k minimums of seeded xxhash64 over the shingle set.
-    * Deterministic (seed = hash-function index). */
+    * Deterministic (seed = hash-function index). Single-pass native
+    * Catalyst expression (see expressions.MinHashSignatureExpr). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+    graft.functions.expressions.MinHashSignatureExpr(shingleCol, k)
 
   /** LSH band keys from a MinHash signature: `bands` hashes over consecutive
     * rows of the signature. Docs sharing any band key are near-dup candidates. */
@@ -104,18 +106,11 @@ object TextFunctions {
         slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))).as("key")))
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote of each token's
-    * xxhash64; bit set iff the weighted vote is positive. Pure expressions. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
-    val votes = aggregate(
-      hashes,
-      array((0 until 64).map(_ => lit(0)): _*),
-      (acc, h) => zip_with(acc, array((0 until 64).map(b => ((shiftright(h, b)
-        .bitwiseAND(1L)) * 2 - 1).cast("int")): _*), (a, v) => a + v))
-    (0 until 64).map(b =>
-      when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, c) => a.bitwiseOR(c))
-  }
+    * xxhash64; bit set iff the weighted vote is positive. Single-pass native
+    * Catalyst expression (see expressions.SimHash64Expr — the pure-Column
+    * formulation builds a 64-wide tree that dominated dedup at sf0.1). */
+  def simhash64(text: Column): Column =
+    graft.functions.expressions.SimHash64Expr(tokens(text))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =

