@@ -51,8 +51,30 @@ object DemoGtfs {
     GtfsTables(agency, routes, trips, stops, stopTimes, calendar)
   }
 
+  /** Inline footway network matching the test fixture (thesis extension). */
+  def footway(spark: SparkSession): FootwayEngine = {
+    import spark.implicits._
+    val nodes = Seq(
+      ("F1", 44.60005, 10.90005, "W1"), ("F2", 44.6040, 10.9000, "W1"),
+      ("F3", 44.6100, 10.9001, "W2"), ("F4", 44.6300, 10.9100, "W3"),
+      ("F5", 44.6400, 10.92005, "W4"), ("F6", 44.5000, 10.8000, "W9"))
+      .toDF("id", "latitude", "longitude", "footway_id")
+    val edges = Seq(
+      ("F1", "F2", "FOOT_ROUTE", 450.0),
+      ("F2", "F3", "CONTINUE_ON_FOOTWAY", 680.0),
+      ("F3", "F4", "CONTAINS", 3050.0),
+      ("F4", "F5", "CONTINUE_ON_FOOTWAY_BY_CROSSING_ROAD", 1720.0),
+      ("F5", "F1", "SHORTEST_ROUTE_TO", 4200.0))
+      .toDF("src", "dst", "type", "length")
+    new FootwayEngine(nodes, edges, tables(spark).stops)
+  }
+
   /** One engine per session (projection cache inside). */
   private val engines = scala.collection.mutable.Map.empty[SparkSession, RoutingEngine]
   def engine(spark: SparkSession): RoutingEngine =
     synchronized(engines.getOrElseUpdate(spark, new RoutingEngine(tables(spark))))
+
+  private val footways = scala.collection.mutable.Map.empty[SparkSession, FootwayEngine]
+  def footwayEngine(spark: SparkSession): FootwayEngine =
+    synchronized(footways.getOrElseUpdate(spark, footway(spark)))
 }

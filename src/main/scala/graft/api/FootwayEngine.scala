@@ -1,0 +1,142 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.graph.ShortestPaths
+import graft.functions.SpatialFunctions.haversineMeters
+
+/** The footway-graph extension (thesis + `prova.py`, `routing.ipynb:cell1`):
+  * an OSM pedestrian network (FootNode vertices, typed directed edges with a
+  * `length` weight) merged with the transit stops via NEAR edges, used to
+  * compute real walking distances instead of straight lines.
+  *
+  * Expected inputs (FIXTURES.md §3):
+  *   - footNodes(id, latitude, longitude, footway_id)
+  *   - footEdges(src, dst, type, length) with type ∈ {SHORTEST_ROUTE_TO,
+  *     FOOT_ROUTE, CONTAINS, CONTINUE_ON_FOOTWAY,
+  *     CONTINUE_ON_FOOTWAY_BY_CROSSING_ROAD}
+  *
+  * Divergence note: the reference's nearest-footnode query builds its point
+  * as `point({latitude: footnode.longitude, longitude: footnode.latitude})`
+  * — coordinates swapped (`prova.py:188`). We use the correct order and
+  * document it (FIXTURES.md §3 flags this as a reproduce-or-fix decision).
+  *
+  * Edge direction semantics follow the reference's Dijkstra type filter
+  * `'...|CONTAINS>|<CONTAINS|...'` (`prova.py:215`): CONTAINS is traversed
+  * in both directions, every other type only as stored.
+  */
+class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
+    val stops: DataFrame) {
+
+  private val spark: SparkSession = footNodes.sparkSession
+
+  /** Stable vertex ids; foot nodes and stops live in one id space. */
+  private def footVid(id: org.apache.spark.sql.Column) = xxhash64(lit("F:"), id)
+  private def stopVid(id: org.apache.spark.sql.Column) = xxhash64(lit("S:"), id)
+
+  /** NEAR: each footnode → its nearest stop (batch nearest-neighbor join,
+    * J7: window top-1 by distance; PDF p.6-7). Weight = geodesic meters.
+    * Small dimension (stops) broadcast; at OSM scale swap the crossJoin for
+    * the grid-bucket candidate join in GraphBuilder.walkTo. */
+  lazy val nearEdges: DataFrame = {
+    val w = Window.partitionBy("fn_id").orderBy("distance", "stop_id")
+    footNodes.select(col("id").as("fn_id"), col("latitude").as("fn_lat"),
+        col("longitude").as("fn_lon"))
+      .crossJoin(broadcast(stops.select(col("stop_id"), col("stop_lat"), col("stop_lon"))))
+      .withColumn("distance",
+        haversineMeters(col("fn_lat"), col("fn_lon"), col("stop_lat"), col("stop_lon")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("fn_id"), col("stop_id"), col("distance"))
+      .cache()
+  }
+
+  /** The weighted walking graph: typed foot edges (CONTAINS bidirectional,
+    * others directed) ∪ NEAR edges (both directions — entering and leaving
+    * the transit network). */
+  lazy val walkingGraphEdges: DataFrame = {
+    val typed = footEdges
+      .select(footVid(col("src")).as("src"), footVid(col("dst")).as("dst"),
+        col("length").cast("double").as("weight"), col("type"))
+    val reversedContains = footEdges.filter(col("type") === "CONTAINS")
+      .select(footVid(col("dst")).as("src"), footVid(col("src")).as("dst"),
+        col("length").cast("double").as("weight"), col("type"))
+    val near = nearEdges
+      .select(footVid(col("fn_id")).as("src"), stopVid(col("stop_id")).as("dst"),
+        col("distance").as("weight"), lit("NEAR").as("type"))
+    val nearRev = nearEdges
+      .select(stopVid(col("stop_id")).as("src"), footVid(col("fn_id")).as("dst"),
+        col("distance").as("weight"), lit("NEAR").as("type"))
+    typed.unionByName(reversedContains).unionByName(near).unionByName(nearRev)
+      .select("src", "dst", "weight").cache()
+  }
+
+  /** Nearest footnode to a point: (footnode_id, geodesic meters) —
+    * `prova.py:176-198` ORDER BY distance LIMIT 1. */
+  def nearestFootNode(lat: Double, lon: Double): Option[(String, Double)] = {
+    val rows = footNodes
+      .select(col("id"),
+        haversineMeters(col("latitude"), col("longitude"), lit(lat), lit(lon)).as("distance"))
+      .orderBy("distance", "id")
+      .limit(1)
+      .collect()
+    rows.headOption.map(r => (r.getString(0), r.getDouble(1)))
+  }
+
+  /** Walking distance in meters from a footnode to a stop across the
+    * pedestrian network (`prova.py:200-226` apoc.algo.dijkstra on `length`);
+    * Double.PositiveInfinity when unreachable (the reference's OPTIONAL
+    * MATCH + `end IS NOT NULL` guard, G5). */
+  def walkingDistance(footNodeId: String, stopId: String): Double = {
+    import spark.implicits._
+    val srcId = spark.range(1).select(footVid(lit(footNodeId))).as[Long].head()
+    val dstId = spark.range(1).select(stopVid(lit(stopId))).as[Long].head()
+    val dist = ShortestPaths.fromDF(walkingGraphEdges, Set(srcId))
+      .filter(col("vertex_id") === dstId)
+      .select("dist").as[Double].collect()
+    if (dist.isEmpty) Double.PositiveInfinity else dist.head
+  }
+
+  /** Walking distance footnode→footnode (calculate_distance analog,
+    * `prova.py:229-244`), meters. */
+  def walkingDistanceBetweenFootNodes(a: String, b: String): Double = {
+    import spark.implicits._
+    val srcId = spark.range(1).select(footVid(lit(a))).as[Long].head()
+    val dstId = spark.range(1).select(footVid(lit(b))).as[Long].head()
+    val dist = ShortestPaths.fromDF(walkingGraphEdges, Set(srcId))
+      .filter(col("vertex_id") === dstId)
+      .select("dist").as[Double].collect()
+    if (dist.isEmpty) Double.PositiveInfinity else dist.head
+  }
+
+  /** Full walking distance from a point to a stop: straight line to the
+    * nearest footnode + network distance to the stop, in KILOMETERS
+    * (`prova.py:252-270` distance_from_a_stop returns total/1000). */
+  def distanceFromStop(stopId: String, lat: Double, lon: Double): Double =
+    nearestFootNode(lat, lon) match {
+      case None => Double.PositiveInfinity
+      case Some((fnId, toFn)) =>
+        val network = walkingDistance(fnId, stopId)
+        if (network.isInfinite) Double.PositiveInfinity
+        else (toFn + network) / 1000.0
+    }
+}
+
+object FootwayEngine {
+  /** Load from CSV files (foot_nodes.txt, foot_edges.txt) — the shape the
+    * reference's whole-graph CSV export/import round-trips (S4/S5). */
+  def load(spark: SparkSession, dir: String, stops: DataFrame): FootwayEngine = {
+    import org.apache.spark.sql.types._
+    val nodeSchema = StructType(Seq(
+      StructField("id", StringType), StructField("latitude", DoubleType),
+      StructField("longitude", DoubleType), StructField("footway_id", StringType)))
+    val edgeSchema = StructType(Seq(
+      StructField("src", StringType), StructField("dst", StringType),
+      StructField("type", StringType), StructField("length", DoubleType)))
+    new FootwayEngine(
+      spark.read.option("header", "true").schema(nodeSchema).csv(s"$dir/foot_nodes.txt"),
+      spark.read.option("header", "true").schema(edgeSchema).csv(s"$dir/foot_edges.txt"),
+      stops)
+  }
+}

