@@ -17,7 +17,8 @@ final case class Q(
     oracle: Option[String])
 
 object Catalog {
-  def all: Seq[Q] = Relational.all ++ Pipeline.all ++ GraphQueries.all
+  def all: Seq[Q] =
+    Relational.all ++ Pipeline.all ++ GraphQueries.all ++ StreamingQueries.all
 
   /** Read one testdata table. `events.ts` is TIMESTAMP(NANOS), which Spark
     * has no native type for — read it as long nanoseconds-since-epoch

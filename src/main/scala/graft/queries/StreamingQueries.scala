@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.streaming.EventStreams
+
+/** Streaming-surface demonstrations. The transformations are the exact ones
+  * the Structured Streaming layer runs (graft.streaming.EventStreams —
+  * StreamingSpec proves stream output == batch output on the same rows);
+  * here they execute against the static `events` table so the DuckDB oracle
+  * can check them. */
+object StreamingQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // Tumbling 1-hour windowed counts + sums with watermark semantics —
+    // identical plan shape to the readStream version.
+    Q("stream_windowed_counts", "streaming",
+      (s, dir) => EventStreams.windowedTypeCounts(
+        EventStreams.eventsWithTimestamp(s, dir), "1 hour")
+        .withColumn("total_value", col("total_value").cast(DecimalType(18, 2)))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+             |FROM events GROUP BY window_start, event_type
+             |ORDER BY window_start, event_type""".stripMargin)),
+  )
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming layer.
+  *
+  * The reference is strictly batch (SURVEY §2.10) — time-dependence lives in
+  * the static time-expanded graph. This module is the engine's live seam:
+  * the same event schema as the batch `events` table, processed as a stream
+  * (the GTFS-RT vehicle-positions extension SURVEY sketches). Batch/stream
+  * parity: every transformation here also runs on the static table, so the
+  * ScalaTest specs assert stream output == batch output on the same rows.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts + value sums per event type with a watermark —
+    * the `groupBy(window($"ts", …))` shape. Works on a static DataFrame or a
+    * stream (same plan, Catalyst picks the stateful version). */
+  def windowedTypeCounts(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp, closed: Boolean)
+
+  /** Public (not nested-private): the state encoder's generated code must
+    * reach the accessors. */
+  final case class SessionState(n: Long, total: Double, firstMs: Long, lastMs: Long)
+
+  /** Custom sessionization with mapGroupsWithState: per-user sessions closed
+    * after `gapMs` of inactivity (processing-time timeout). The
+    * KeyValueGroupedDataset.mapGroupsWithState shape for arbitrary state. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    // gapMs <= 0 disables the inactivity timeout (sessions stay open) —
+    // also what deterministic tests use, since a processing-time timeout
+    // keeps the query triggering empty micro-batches forever.
+    val timeoutConf =
+      if (gapMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSession](timeoutConf) {
+        (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserSession(userId, s.n, s.total, new java.sql.Timestamp(s.firstMs),
+              new java.sql.Timestamp(s.lastMs), closed = true)
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, 0.0, Long.MaxValue, Long.MinValue))
+            val next = evs.foldLeft(prev) { (s, e) =>
+              SessionState(s.n + 1, s.total + e.value,
+                math.min(s.firstMs, e.ts.getTime), math.max(s.lastMs, e.ts.getTime))
+            }
+            state.update(next)
+            if (gapMs > 0) state.setTimeoutDuration(gapMs)
+            UserSession(userId, next.n, next.total, new java.sql.Timestamp(next.firstMs),
+              new java.sql.Timestamp(next.lastMs), closed = false)
+          }
+      }
+  }
+
+  /** Read the static events parquet back as a timestamped DataFrame (its
+    * `ts` column arrives as long nanos — see Catalog.t). */
+  def eventsWithTimestamp(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("windowed counts: streaming output equals the batch plan on same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+      (2L, ts("2024-01-01 10:45:00"), "click", 2.0),
+      (3L, ts("2024-01-01 11:10:00"), "buy", 10.0),
+      (4L, ts("2024-01-01 11:20:00"), "click", 3.0))
+    val batch = EventStreams.windowedTypeCounts(
+      rows.toDF("event_id", "ts", "event_type", "value"))
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = EventStreams.windowedTypeCounts(
+      mem.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.map(_.getAs[Long]("n")).sum == 4)
+    } finally q.stop()
+  }
+
+  test("sessionize: per-user state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 0)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        EventStreams.SessionEvent(7L, ts("2024-01-01 10:00:00"), 5.0),
+        EventStreams.SessionEvent(7L, ts("2024-01-01 10:00:30"), 2.0),
+        EventStreams.SessionEvent(9L, ts("2024-01-01 10:00:10"), 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.SessionEvent(7L, ts("2024-01-01 10:01:00"), 3.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[EventStreams.UserSession]
+        .collect().groupBy(_.user_id)
+      // user 7's latest state: 3 events, 10.0 total
+      val u7 = out(7L).maxBy(_.n_events)
+      assert(u7.n_events == 3 && u7.total_value == 10.0)
+      assert(out(9L).head.n_events == 1)
+    } finally q.stop()
+  }
+
+  test("batch events table flows through the same windowed plan") {
+    val df = EventStreams.eventsWithTimestamp(spark, "/root/testdata/sf0.001")
+    val out = EventStreams.windowedTypeCounts(df, "1 day")
+    assert(out.count() > 0)
+    val total = out.agg(sum("n")).head.getLong(0)
+    assert(total == 1000) // all events land in some window
+  }
+}
