@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.GtfsTables
+
+/** Day-partitioned parquet warehouse — the storage layout for the 100 TB
+  * posture (SURVEY §4.1/§7.3).
+  *
+  * The reference's Day-node uniqueness + index is what lets Neo4j anchor
+  * every query at one calendar day. Our analog is physical: the
+  * day-expanded stoptime table (stoptime × valid service day) written
+  * `partitionBy("day")`, so a projection for one day reads exactly one
+  * partition (partition pruning — no index structure needed). Dimensions
+  * (stops, routes, trips, calendar) stay unpartitioned small parquet.
+  *
+  * At 100 TB the day-expanded table is the only large relation, and every
+  * downstream join in TimeExpandedGraph.build shuffles day-local data only.
+  */
+object GtfsWarehouse {
+
+  /** Expand stoptimes by valid service day: one row per (stoptime, day). */
+  def dayExpandedStopTimes(g: GtfsTables): DataFrame = {
+    val dayTrips = g.trips
+      .join(g.calendar.select("service_id", "day"), Seq("service_id"))
+      .select("trip_id", "route_id", "service_id", "day")
+    g.stopTimes.join(dayTrips, Seq("trip_id"))
+  }
+
+  /** Write the warehouse: day-partitioned expanded stoptimes + dimensions. */
+  def write(g: GtfsTables, dir: String): Unit = {
+    dayExpandedStopTimes(g).write.mode("overwrite")
+      .partitionBy("day").parquet(s"$dir/day_stoptimes")
+    g.stops.write.mode("overwrite").parquet(s"$dir/stops")
+    g.routes.write.mode("overwrite").parquet(s"$dir/routes")
+    g.trips.write.mode("overwrite").parquet(s"$dir/trips")
+    g.calendar.write.mode("overwrite").parquet(s"$dir/calendar")
+  }
+
+  /** Read one service day — Catalyst prunes to the single day= partition
+    * (verify with `.inputFiles`: only day=<d> paths appear). */
+  def loadDay(spark: SparkSession, dir: String, day: java.sql.Date): DataFrame =
+    spark.read.parquet(s"$dir/day_stoptimes").filter(col("day") === lit(day))
+}

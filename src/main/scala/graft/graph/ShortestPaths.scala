@@ -91,13 +91,58 @@ object ShortestPaths {
     walk(target, Nil)
   }
 
+  /** Edge-count threshold below which SSSP runs as a driver-local Dijkstra
+    * over the collected edge list instead of Pregel. This is the honest
+    * analog of the reference's GDS execution — its "distributed" graph is a
+    * single-node in-memory CSR — and it saves ~10 Pregel supersteps of
+    * scheduler overhead (seconds) on subgraph-scale inputs. Above the
+    * threshold (e.g. the full Modena projection, 738k edges ≈ still local;
+    * a 100 TB-scale projection is not) Pregel takes over. */
+  val LocalDijkstraMaxEdges: Long = 200000L
+
   /** SSSP over an edge DataFrame (src: long, dst: long, weight: double),
-    * returning (vertex_id, source_id, dist, pred). */
-  def fromDF(edges: DataFrame, sources: Set[Long]): DataFrame = {
+    * returning (vertex_id, source_id, dist, pred). Adaptively picks local
+    * Dijkstra vs distributed Pregel by edge count; results are identical
+    * (both exact). `localThreshold = 0` forces Pregel. */
+  def fromDF(edges: DataFrame, sources: Set[Long],
+      localThreshold: Long = LocalDijkstraMaxEdges): DataFrame = {
     val spark = edges.sparkSession
-    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("weight").cast("double")).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    distancesDF(spark, multiSource(edgeRdd, sources))
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("weight").cast("double"))
+    val n = e.count()
+    if (n <= localThreshold) localDijkstraDF(spark, e, sources)
+    else {
+      val edgeRdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      distancesDF(spark, multiSource(edgeRdd, sources))
+    }
+  }
+
+  /** Driver-local multi-source Dijkstra (binary-heap) over a collected edge
+    * list — same output contract as the Pregel path. */
+  private def localDijkstraDF(spark: SparkSession, edges: DataFrame,
+      sources: Set[Long]): DataFrame = {
+    import spark.implicits._
+    val adj = edges.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(e => (e._2, e._3)) }
+    val out = Seq.newBuilder[(Long, Long, Double, Long)]
+    sources.toSeq.sorted.foreach { src =>
+      val dist = scala.collection.mutable.Map(src -> 0.0)
+      val pred = scala.collection.mutable.Map(src -> -1L)
+      val pq = scala.collection.mutable.PriorityQueue((0.0, src))(Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (d, v) = pq.dequeue()
+        if (d <= dist.getOrElse(v, Double.PositiveInfinity)) {
+          adj.getOrElse(v, Array.empty).foreach { case (u, w) =>
+            if (d + w < dist.getOrElse(u, Double.PositiveInfinity)) {
+              dist(u) = d + w
+              pred(u) = v
+              pq.enqueue((d + w, u))
+            }
+          }
+        }
+      }
+      dist.foreach { case (v, d) => out += ((v, src, d, pred(v))) }
+    }
+    out.result().toDF("vertex_id", "source_id", "dist", "pred")
   }
 }

@@ -29,7 +29,10 @@ object GraphQueries {
           .select((col("c_custkey") / 2).cast("long").as("src"),
             col("c_custkey").cast("long").as("dst"),
             (col("c_custkey") % 97 + 1).cast("double").as("weight"))
-        ShortestPaths.fromDF(edges, Set(1L))
+        // localThreshold = 0: always exercise the distributed Pregel path
+        // here (the catalog's proof of scale-out SSSP; RoutingEngine uses
+        // the adaptive default).
+        ShortestPaths.fromDF(edges, Set(1L), localThreshold = 0)
           .select(col("vertex_id"), col("dist").cast("long").as("dist"))
           .orderBy("vertex_id")
       },

@@ -80,10 +80,15 @@ class GtfsEngineSpec extends SparkSpec {
       .select("id").as[Long].head()
     val eT3 = g.nodes.filter($"trip_id" === "T3" && $"stop_sequence" === 3)
       .select("id").as[Long].head()
-    val dist = ShortestPaths.fromDF(g.weightedEdges, Set(aT1))
+    // force the distributed Pregel path (localThreshold = 0) …
+    val dist = ShortestPaths.fromDF(g.weightedEdges, Set(aT1), localThreshold = 0)
     val d = dist.filter($"vertex_id" === eT3).select("dist").as[Double].head()
     // A→B 240 + B→C 240 + change 316 + C2→D1 600 + D1→E 840 = 2236
     assert(d == 2236.0)
+    // … and assert the local-Dijkstra fast path returns the identical table
+    val local = ShortestPaths.fromDF(g.weightedEdges, Set(aT1))
+    assert(local.orderBy("vertex_id").collect().toSeq ==
+      dist.orderBy("vertex_id").collect().toSeq)
   }
 
   test("golden routing Alpha→Epsilon 14:00: the 5-segment transfer itinerary") {

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.apache.spark.sql.functions._
+import graft.graph.ShortestPaths
+import graft.etl.{GtfsLoader, GraphBuilder}
+import graft.functions.SpatialFunctions._
+import graft.functions.TextFunctions._
+
+/** Property-based checks (SURVEY §5.2): randomized graphs against the local
+  * Dijkstra oracle, haversine metric laws, derived-edge invariants. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, minTests: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("Pregel SSSP equals local Dijkstra on random weighted digraphs") {
+    val genGraph = for {
+      n <- Gen.choose(2, 12)
+      m <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(m, for {
+        s <- Gen.choose(0L, n - 1L)
+        d <- Gen.choose(0L, n - 1L)
+        w <- Gen.choose(1, 100)
+      } yield (s, d, w.toDouble))
+    } yield edges.distinct
+    val prop = Prop.forAll(genGraph) { edges =>
+      edges.nonEmpty ==> {
+        val df = edges.toDF("src", "dst", "weight")
+        val src = edges.head._1
+        val pregel = ShortestPaths.fromDF(df, Set(src), localThreshold = 0)
+          .select("vertex_id", "dist").as[(Long, Double)].collect().toMap
+        val local = ShortestPaths.fromDF(df, Set(src))
+          .select("vertex_id", "dist").as[(Long, Double)].collect().toMap
+        pregel == local
+      }
+    }
+    check("sssp-oracle", prop, minTests = 15)
+  }
+
+  test("haversine: symmetry, identity, triangle inequality") {
+    val genPt = for {
+      lat <- Gen.choose(-85.0, 85.0)
+      lon <- Gen.choose(-180.0, 180.0)
+    } yield (lat, lon)
+    val prop = Prop.forAll(genPt, genPt, genPt) { (a, b, c) =>
+      val df = Seq((a._1, a._2, b._1, b._2, c._1, c._2))
+        .toDF("la", "qa", "lb", "qb", "lc", "qc")
+      val r = df.select(
+        haversineMeters($"la", $"qa", $"lb", $"qb"),
+        haversineMeters($"lb", $"qb", $"la", $"qa"),
+        haversineMeters($"la", $"qa", $"la", $"qa"),
+        haversineMeters($"la", $"qa", $"lc", $"qc"),
+        haversineMeters($"lc", $"qc", $"lb", $"qb")).head
+      val (ab, ba, aa, ac, cb) = (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+      ab == ba && aa == 0.0 && ab >= 0.0 && ab <= ac + cb + 1e-6
+    }
+    check("haversine-metric", prop)
+  }
+
+  test("jaccardSorted equals set-computed Jaccard") {
+    val genSets = for {
+      a <- Gen.listOf(Gen.choose(0L, 30L))
+      b <- Gen.listOf(Gen.choose(0L, 30L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val prop = Prop.forAll(genSets) { case (a, b) =>
+      (a.nonEmpty || b.nonEmpty) ==> {
+        val got = Seq((a, b)).toDF("a", "b")
+          .select(jaccardSorted($"a", $"b")).as[Double].head()
+        val inter = a.toSet.intersect(b.toSet).size.toDouble
+        val union = a.toSet.union(b.toSet).size.toDouble
+        got == (if (union == 0) 1.0 else inter / union)
+      }
+    }
+    check("jaccard", prop)
+  }
+
+  test("derived-edge invariants on the fixture") {
+    val gtfs = GtfsLoader.load(spark, fixtureDir)
+    // PRECEDES count per trip = stoptime rows − 1
+    val perTrip = gtfs.stopTimes.groupBy("trip_id").count()
+      .withColumnRenamed("count", "rows")
+    val precedes = GraphBuilder.precedes(gtfs.stopTimes)
+      .groupBy("trip_id").count()
+    val joined = perTrip.join(precedes, Seq("trip_id"))
+      .filter(col("count") =!= col("rows") - 1)
+    assert(joined.count() == 0)
+    // WALK_TO is symmetric and reflexive on every stop
+    val w = GraphBuilder.walkTo(gtfs.stops)
+    val asym = w.select(col("src_stop_id").as("a"), col("dst_stop_id").as("b"))
+      .except(w.select(col("dst_stop_id").as("a"), col("src_stop_id").as("b")))
+    assert(asym.count() == 0)
+    assert(w.filter(col("src_stop_id") === col("dst_stop_id")).count() ==
+      gtfs.stops.count())
+  }
+
+  test("minhash similarity estimates correlate with true Jaccard") {
+    // identical sets → identical signatures; disjoint sets → (near) disjoint
+    val a = (1L to 40L).toArray
+    val b = (1L to 40L).toArray
+    val c = (100L to 140L).toArray
+    val df = Seq(("a", a), ("b", b), ("c", c)).toDF("id", "sh")
+      .select($"id", minhashSignature($"sh", 32).as("sig"))
+    val sigs = df.as[(String, Seq[Long])].collect().toMap
+    assert(sigs("a") == sigs("b"))
+    val agree = sigs("a").zip(sigs("c")).count { case (x, y) => x == y }
+    assert(agree <= 3) // true J = 0 → expected agreement ~0
+  }
+}
