@@ -5,9 +5,16 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full ColumnNode → catalyst conversion. ExpressionUtils.expression only
+    * WRAPS the node (ColumnNodeExpression, Unevaluable) — fine when the
+    * expression lands in a plan the analyzer converts, but a
+    * FunctionRegistry builder must return real catalyst nodes, or SQL calls
+    * die at codegen with "Cannot generate code for columnnodeexpression". */
+  def expression(c: Column): Expression =
+    ColumnNodeToExpressionConverter.apply(c.node)
 }
