@@ -177,9 +177,15 @@ object Pipeline {
 
     // LSH-bucketed ANN (the scale path: candidates only from matching sign-
     // LSH buckets, then exact re-rank — no crossJoin against the full table).
+    // Plane count trades candidate volume for recall: sign-LSH keeps
+    // neighbors at angle θ in one bucket with P = (1−θ/π)^planes, and this
+    // synthetic corpus's true neighbors sit near cosine 0.4 (θ≈66°) — with
+    // 6 planes recall@10 measured 0.0, with 2 planes ≈ brute-force/4 of the
+    // comparisons at usable recall. Real embedding corpora (neighbors at
+    // cosine ≥ 0.9) support many more planes.
     Q("sim_ann_lsh", "similarity",
       (s, dir) => {
-        val planes = hyperplanes(6, 64)
+        val planes = hyperplanes(2, 64)
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), unitVector(col("embedding")).as("u"),
             lshBucket(col("embedding"), planes).as("bucket"))
@@ -190,6 +196,36 @@ object Pipeline {
           .join(broadcast(q), Seq("bucket"))
           .filter(col("q_id") =!= col("v_id"))
           .select(col("q_id"), col("v_id"), dot(col("q_u"), col("v_u")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      None),
+
+    // IVF ANN (the clustered scale path): k-means cells, probe the 2 nearest
+    // cells per query, exact cosine re-rank inside them. Complements
+    // sim_ann_lsh; at 100 TB the assignment is bucketed by cluster so a
+    // probe touches nprobe/k of the corpus.
+    Q("sim_ann_ivf", "similarity",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val index = graft.ml.IvfAnn.build(e, "embedding", k = 16)
+        val assigned = index.assigned
+          .select(col("vec_id"), col("cluster"), unitVector(col("embedding")).as("u"))
+          .cache()
+        val queries = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("u")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))
+        val perQuery = queries.map { case (qid, qvec) =>
+          val cells = graft.ml.IvfAnn.probeClusters(index, qvec, nprobe = 2)
+          assigned
+            .filter(col("cluster").isin(cells: _*) && col("vec_id") =!= qid)
+            .select(lit(qid).as("q_id"), col("vec_id").as("v_id"),
+              dot(col("u"), typedlit(qvec)).as("cos"))
+        }.reduce(_ unionByName _)
+        perQuery
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
