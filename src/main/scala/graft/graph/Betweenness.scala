@@ -18,12 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Betweenness {
 
+  /** Below this edge count, run classic Brandes on the collected edge list
+    * (the same adaptive trick as ShortestPaths: the reference's "distributed"
+    * engine is single-node in-memory anyway, and the level-synchronous
+    * DataFrame loop costs ~25 scheduler round-trips that a 16-node demo
+    * graph doesn't deserve). */
+  val LocalBrandesMaxEdges: Long = 200000L
+
   /** edges: (src: long, dst: long) directed. Returns (vertex_id, score). */
-  def run(edges: DataFrame, sources: Seq[Long]): DataFrame = {
+  def run(edges: DataFrame, sources: Seq[Long],
+      localThreshold: Long = LocalBrandesMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().cache()
+    if (e.count() <= localThreshold) {
+      val scores = runLocal(e.as[(Long, Long)].collect(), sources)
+      e.unpersist()
+      return scores.toSeq.toDF("vertex_id", "score")
+    }
 
     // Forward BFS: visited(s, v, dist, sigma = #shortest s→v paths).
     // Iterative DataFrame loops grow the logical plan exponentially if the
@@ -79,6 +92,34 @@ object Betweenness {
         .localCheckpoint(true)
     }
     scores.groupBy("vertex_id").agg(sum("score").as("score"))
+  }
+
+  /** Classic single-machine Brandes (unweighted BFS variant) — identical
+    * semantics to the distributed path; also serves as its test oracle. */
+  def runLocal(edges: Array[(Long, Long)], sources: Seq[Long]): Map[Long, Double] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val score = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    sources.distinct.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1.0).withDefaultValue(0.0)
+      val preds = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+      val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val queue = scala.collection.mutable.Queue(s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        order += v
+        adj.getOrElse(v, Array.empty).foreach { u =>
+          if (!dist.contains(u)) { dist(u) = dist(v) + 1; queue.enqueue(u) }
+          if (dist(u) == dist(v) + 1) { sigma(u) += sigma(v); preds(u) = v :: preds(u) }
+        }
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      order.reverseIterator.foreach { w =>
+        preds(w).foreach { v => delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w)) }
+        if (w != s) score(w) += delta(w)
+      }
+    }
+    score.toMap
   }
 
   /** Betweenness of the projected routing graph joined back to stop names,

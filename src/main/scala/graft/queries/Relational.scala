@@ -377,6 +377,21 @@ object Relational {
              |  count(*) AS n
              |FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin)),
 
+    // JSON extraction over the events props column (beyond the reference's
+    // surface — SURVEY notes it has no JSON functions; the events table
+    // carries one, so the engine covers it).
+    Q("fx_json_extract", "F-json",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull && col("k") % 7 === 0)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events
+             |WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |  AND CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
+             |ORDER BY event_id""".stripMargin)),
+
     // F12 — date arithmetic / truncation rollup (ref: main.py:80-81,207-213)
     Q("f12_month_rollup", "F12,A2",
       (s, dir) => t(s, dir, "orders")

@@ -6,27 +6,45 @@ import graft.api.DemoGtfs
 class BetweennessSpec extends SparkSpec {
   import spark.implicits._
 
-  test("path graph: interior vertices score the pair counts through them") {
+  test("path graph: interior vertices score the pair counts through them (both paths)") {
     // a(1)→b(2)→c(3)→d(4): b lies on (a,c),(a,d) → 2; c on (a,d),(b,d) → 2
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
-    val scores = Betweenness.run(edges, Seq(1L, 2L, 3L, 4L))
-      .as[(Long, Double)].collect().toMap
-    assert(scores.getOrElse(1L, 0.0) == 0.0)
-    assert(scores(2L) == 2.0)
-    assert(scores(3L) == 2.0)
-    assert(scores.getOrElse(4L, 0.0) == 0.0)
+    for (threshold <- Seq(0L, Betweenness.LocalBrandesMaxEdges)) {
+      val scores = Betweenness.run(edges, Seq(1L, 2L, 3L, 4L), threshold)
+        .as[(Long, Double)].collect().toMap
+      assert(scores.getOrElse(1L, 0.0) == 0.0)
+      assert(scores(2L) == 2.0)
+      assert(scores(3L) == 2.0)
+      assert(scores.getOrElse(4L, 0.0) == 0.0)
+    }
   }
 
-  test("diamond: path counts split dependency correctly (sigma division)") {
+  test("diamond: path counts split dependency correctly (both paths)") {
     // a(1)→b1(2), a→b2(3), b1→c(4), b2→c, c→d(5):
     // sigma(a→c)=2 → each b gets 0.5+0.5; c gets (a,d)+(b1,d)+(b2,d)=3
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
-    val scores = Betweenness.run(edges, Seq(1L, 2L, 3L, 4L, 5L))
+    for (threshold <- Seq(0L, Betweenness.LocalBrandesMaxEdges)) {
+      val scores = Betweenness.run(edges, Seq(1L, 2L, 3L, 4L, 5L), threshold)
+        .as[(Long, Double)].collect().toMap
+      assert(scores(2L) == 1.0)
+      assert(scores(3L) == 1.0)
+      assert(scores(4L) == 3.0)
+      assert(scores.getOrElse(5L, 0.0) == 0.0)
+    }
+  }
+
+  test("distributed Brandes equals local Brandes on a random graph") {
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(40)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = (0L to 11L).toSeq
+    val dist = Betweenness.run(edges.toDF("src", "dst"), sources, localThreshold = 0)
       .as[(Long, Double)].collect().toMap
-    assert(scores(2L) == 1.0)
-    assert(scores(3L) == 1.0)
-    assert(scores(4L) == 3.0)
-    assert(scores.getOrElse(5L, 0.0) == 0.0)
+    val local = Betweenness.runLocal(edges.toArray, sources)
+      .filter(_._2 != 0.0)
+    val distNz = dist.filter(_._2 != 0.0)
+    assert(distNz.keySet == local.keySet)
+    distNz.foreach { case (k, v) => assert(math.abs(v - local(k)) < 1e-9, s"vertex $k") }
   }
 
   test("betweenness of the projected routing graph ranks transfer stoptimes") {
