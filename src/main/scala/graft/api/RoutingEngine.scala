@@ -16,6 +16,13 @@ final case class GraphMetrics(nodeCount: Long, relationshipCount: Long,
     density: Double, minDegree: Long, meanDegree: Double, maxDegree: Long,
     p50Degree: Double, p90Degree: Double, p99Degree: Double)
 
+/** A complete door-to-door journey: transit segments, line changes, walking
+  * legs in meters, and total seconds (transit span + walks at the requested
+  * speed) — the notebook golden run's summary shape (total 1936.07 s with
+  * 556.07 m of walking). */
+final case class JourneySummary(segments: DataFrame, changes: Long,
+    startWalkMeters: Double, endWalkMeters: Double, totalSeconds: Double)
+
 /** The reference App's query surface (`main.py`), Spark-native.
   *
   * Correlated-Dijkstra decorrelation (SURVEY §7.3): the reference calls
@@ -221,6 +228,41 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
     * analog (`main.py:285-293`). */
   def changeCount(segments: DataFrame): Long =
     segments.filter(col("trip") =!= col("next_trip")).count()
+
+  /** Full journey summary — the notebook's composed flow
+    * (`routing.ipynb` cells 7-18): nearby-stop search at both endpoints,
+    * point-to-point transit routing, walking legs through the footway graph
+    * (straight-line fallback without one), and the golden run's total time
+    * = transit span + both walks at `speed`. */
+  def journey(date: String, startLat: Double, startLon: Double,
+      endLat: Double, endLon: Double, speed: Double, time: String,
+      radius: Double = 300.0, footway: Option[FootwayEngine] = None,
+      maxDurationHours: Int = 4): Option[JourneySummary] = {
+    val startNames = findNearStops(date, startLat, startLon, radius, speed)
+      .collect().map(_.getString(0)).toSeq
+    val endNames = findNearStops(date, endLat, endLon, radius, speed)
+      .collect().map(_.getString(0)).toSeq
+    if (startNames.isEmpty || endNames.isEmpty) return None
+    val segs = routingBetweenTwoPoints(date, startLat, startLon, endLat, endLon,
+      startNames, endNames, speed, time, maxDurationHours)
+    val rows = segs.orderBy("hop").collect()
+    if (rows.isEmpty) return None
+    val firstStop = rows.head.getAs[String]("starting_stop_id")
+    val lastStop = rows.last.getAs[String]("next_stop_id")
+    def walkMeters(stopId: String, lat: Double, lon: Double): Double =
+      footway match {
+        case Some(fw) =>
+          val km = fw.distanceFromStop(stopId, lat, lon)
+          if (km.isInfinite) distanceFromStop(stopId, lat, lon) else km * 1000.0
+        case None => distanceFromStop(stopId, lat, lon)
+      }
+    val startWalk = walkMeters(firstStop, startLat, startLon)
+    val endWalk = walkMeters(lastStop, endLat, endLon)
+    val dep = graft.functions.TimeFunctions.parseHms(rows.head.getAs[String]("departure"))
+    val arr = graft.functions.TimeFunctions.parseHms(rows.last.getAs[String]("arrival"))
+    Some(JourneySummary(segs, changeCount(segs), startWalk, endWalk,
+      (arr - dep) + (startWalk + endWalk) / speed))
+  }
 
   /** Formatted itinerary printer (F13, `main.py:216-237`): classifies each
     * boundary row as same-stop change vs walk-transfer vs ride. */

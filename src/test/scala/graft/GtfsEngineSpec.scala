@@ -145,6 +145,24 @@ class GtfsEngineSpec extends SparkSpec {
     assert(txt.contains("end trip at 14:40:00 at station Epsilon with line: R2"))
   }
 
+  test("journey summary composes transit + footway walking legs + total time") {
+    val fw = graft.api.FootwayEngine.load(spark, fixtureDir, gtfs.stops)
+    // start ~22 m south of Alpha (close enough that the 14:01 departure is
+    // still walk-reachable: dep − walk/speed > 14:00), end exactly at Epsilon
+    val Some(j) = engine.journey(Day, 44.5998, 10.9000, 44.6400, 10.9200,
+      speed = 1.0, time = "14:00:00", footway = Some(fw))
+    assert(j.changes == 1)
+    assert(j.segments.count() == 5)
+    // start leg: Alpha -> nearest footnode F1 + network distance back to SA
+    val expectedStart = fw.distanceFromStop("SA", 44.5998, 10.9000) * 1000.0
+    assert(math.abs(j.startWalkMeters - expectedStart) < 1e-6)
+    // end leg: point is exactly at Epsilon; footway route ≈ F5→NEAR→SE (few m)
+    assert(j.endWalkMeters < 20.0)
+    // total = transit span (14:01→14:40 = 2340 s) + walks at 1 m/s
+    val expectedTotal = 2340.0 + j.startWalkMeters + j.endWalkMeters
+    assert(math.abs(j.totalSeconds - expectedTotal) < 1e-6)
+  }
+
   test("empty result when no source departs in the window") {
     val seg = engine.routing(Day, 1.0, "23:00:00", "Gamma", "Epsilon")
     assert(seg.count() == 0)
