@@ -135,6 +135,34 @@ object Pipeline {
       },
       None),
 
+    // The composed dedup pipeline: near-dup candidate pairs (MinHash-LSH ∪
+    // SimHash) → connected components over the pair graph → canonical
+    // document = min doc_id per cluster. This is the shape a production
+    // corpus dedup actually ships: pairs alone don't dedup anything until
+    // transitive closure picks survivors.
+    Q("dedup_canonical_assignment", "dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), hashedShingles(col("text"), 2).as("sh"))
+          .cache()
+        val banded = docs
+          .select(col("doc_id"), explode(lshBandKeys(minhashSignature(col("sh"), 16), 8, 2)).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+          .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val nearDupPairs = candidates
+          .join(broadcast(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), Seq("a_id"))
+          .join(broadcast(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), Seq("b_id"))
+          .filter(jaccardSorted(col("a_sh"), col("b_sh")) >= 0.5)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        graft.graph.Components.connected(nearDupPairs)
+          .select(col("vertex_id").as("doc_id"), col("component").as("canonical_id"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Brute-force cosine similarity of fixed query vectors against the whole
     // table (selection-free — values only, so it can carry a DuckDB oracle;
     // rounded to absorb summation-order ULPs).

@@ -377,6 +377,20 @@ object Relational {
              |  count(*) AS n
              |FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin)),
 
+    // ROLLUP grouping sets (beyond the reference — SURVEY §2.4 notes it has
+    // none; Spark/DuckDB both provide them natively). NULLS FIRST pinned
+    // explicitly: Spark defaults nulls-first ASC, DuckDB nulls-last.
+    Q("ax_rollup", "A-rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // JSON extraction over the events props column (beyond the reference's
     // surface — SURVEY notes it has no JSON functions; the events table
     // carries one, so the engine covers it).
