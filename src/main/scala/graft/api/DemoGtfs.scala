@@ -69,12 +69,13 @@ object DemoGtfs {
     new FootwayEngine(nodes, edges, tables(spark).stops)
   }
 
-  /** One engine per session (projection cache inside). */
-  private val engines = scala.collection.mutable.Map.empty[SparkSession, RoutingEngine]
-  def engine(spark: SparkSession): RoutingEngine =
-    synchronized(engines.getOrElseUpdate(spark, new RoutingEngine(tables(spark))))
+  /** A FRESH engine per call — deliberately not memoized per session: the
+    * bench clears the Spark cache between queries, and a memoized engine
+    * would keep handing out projection DataFrames whose .cache() was
+    * unpersisted underneath it, silently recomputing the projection on
+    * every downstream action (measured 2.7 s → 17 s on the routing query).
+    * Callers wanting projection reuse hold on to one engine instance. */
+  def engine(spark: SparkSession): RoutingEngine = new RoutingEngine(tables(spark))
 
-  private val footways = scala.collection.mutable.Map.empty[SparkSession, FootwayEngine]
-  def footwayEngine(spark: SparkSession): FootwayEngine =
-    synchronized(footways.getOrElseUpdate(spark, footway(spark)))
+  def footwayEngine(spark: SparkSession): FootwayEngine = footway(spark)
 }
