@@ -153,7 +153,10 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
   }
 
   /** Path → labeled segment rows (G6 + the J8 label joins, `main.py:103-114`):
-    * one row per consecutive stoptime pair with trip/line/stop labels. */
+    * one row per consecutive stoptime pair with trip/line/stop labels.
+    * Coordinates are scalar lat/lon columns (the reference's `[s.lat,s.lon]`
+    * list at `main.py:112` flattened) — driver-facing outputs carry no array
+    * columns. */
   private def segments(g: TimeExpandedGraph, path: List[Long]): DataFrame = {
     import spark.implicits._
     val hops = path.zip(path.tail).zipWithIndex
@@ -162,26 +165,26 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
     val n1 = g.nodes.select(col("id").as("s1_id"), col("trip_id").as("trip"),
       hmsString(col("dep_secs")).as("departure"), col("route_id").as("line"),
       col("stop_name").as("starting_stop_name"), col("stop_id").as("starting_stop_id"),
-      array(col("lat"), col("lon")).as("starting_stop_coordinates"))
+      col("lat").as("start_lat"), col("lon").as("start_lon"))
     val n2 = g.nodes.select(col("id").as("s2_id"), col("trip_id").as("next_trip"),
       col("route_id").as("next_line"), col("stop_name").as("next_stop"),
       col("stop_id").as("next_stop_id"),
-      array(col("lat"), col("lon")).as("next_stop_coordinates"),
+      col("lat").as("next_lat"), col("lon").as("next_lon"),
       hmsString(col("arr_secs")).as("arrival"))
     hopsDF.join(broadcast(n1), Seq("s1_id")).join(broadcast(n2), Seq("s2_id"))
       .select("hop", "trip", "departure", "line", "starting_stop_name",
-        "starting_stop_id", "starting_stop_coordinates", "next_trip", "next_stop",
-        "next_stop_id", "next_stop_coordinates", "next_line", "arrival")
+        "starting_stop_id", "start_lat", "start_lon", "next_trip", "next_stop",
+        "next_stop_id", "next_lat", "next_lon", "next_line", "arrival")
       .orderBy("hop")
   }
 
   private def emptySegments: DataFrame = {
     import spark.implicits._
     spark.emptyDataset[(Int, String, String, String, String, String,
-      Seq[Double], String, String, String, Seq[Double], String, String)]
+      Double, Double, String, String, String, Double, Double, String, String)]
       .toDF("hop", "trip", "departure", "line", "starting_stop_name",
-        "starting_stop_id", "starting_stop_coordinates", "next_trip", "next_stop",
-        "next_stop_id", "next_stop_coordinates", "next_line", "arrival")
+        "starting_stop_id", "start_lat", "start_lon", "next_trip", "next_stop",
+        "next_stop_id", "next_lat", "next_lon", "next_line", "arrival")
   }
 
   /** Count of distinct stops served on a date (`main.py:186-191`). */

@@ -58,9 +58,11 @@ object Pipeline {
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
+        // Verify via shuffle equi-joins on doc id — broadcast is for
+        // dimensions, not the corpus (AQE still broadcasts if tiny).
         candidates
-          .join(broadcast(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), Seq("a_id"))
-          .join(broadcast(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), Seq("b_id"))
+          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
           .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .orderBy("a_id", "b_id")
@@ -106,8 +108,8 @@ object Pipeline {
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
         candidates
-          .join(broadcast(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), Seq("a_id"))
-          .join(broadcast(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), Seq("b_id"))
+          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
           .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("a_id", "b_id")
@@ -125,9 +127,11 @@ object Pipeline {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), unitVector(col("embedding")).as("u"),
             lshBucket(col("embedding"), planes).as("bucket"))
+        // Bucketed self-join as a shuffle on the bucket key — never
+        // broadcast the full embeddings table.
         val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("u").as("a_u"))
         val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("u").as("b_u"))
-        a.join(broadcast(b), Seq("bucket"))
+        a.join(b, Seq("bucket"))
           .filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"), dot(col("a_u"), col("b_u")).as("cos"))
           .filter(col("cos") >= 0.35)
@@ -153,8 +157,8 @@ object Pipeline {
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
         val nearDupPairs = candidates
-          .join(broadcast(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))), Seq("a_id"))
-          .join(broadcast(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), Seq("b_id"))
+          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
           .filter(jaccardSorted(col("a_sh"), col("b_sh")) >= 0.5)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         graft.graph.Components.connected(nearDupPairs)
@@ -242,18 +246,18 @@ object Pipeline {
         val assigned = index.assigned
           .select(col("vec_id"), col("cluster"), unitVector(col("embedding")).as("u"))
           .cache()
+        // Probing as a join: queries → (query, probe_cell) rows → equi-join
+        // `assigned` on cluster. One plan regardless of query-set size (the
+        // earlier per-query driver loop built one subplan per query). The
+        // probe side is the small one, so broadcasting IT is correct.
         val queries = assigned.filter(col("vec_id") < 5)
-          .select(col("vec_id"), col("u")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .select(col("vec_id").as("q_id"), col("u").as("q_u"))
+        val probes = graft.ml.IvfAnn.probe(index, queries, "q_id", "q_u", nprobe = 2)
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))
-        val perQuery = queries.map { case (qid, qvec) =>
-          val cells = graft.ml.IvfAnn.probeClusters(index, qvec, nprobe = 2)
-          assigned
-            .filter(col("cluster").isin(cells: _*) && col("vec_id") =!= qid)
-            .select(lit(qid).as("q_id"), col("vec_id").as("v_id"),
-              dot(col("u"), typedlit(qvec)).as("cos"))
-        }.reduce(_ unionByName _)
-        perQuery
+        assigned.select(col("cluster"), col("vec_id").as("v_id"), col("u").as("v_u"))
+          .join(broadcast(probes), Seq("cluster"))
+          .filter(col("q_id") =!= col("v_id"))
+          .select(col("q_id"), col("v_id"), dot(col("q_u"), col("v_u")).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 import graft.functions.SpatialFunctions.haversineMeters
 
 /** SURVEY §2 relational operator inventory, each expressed as an idiomatic
@@ -11,7 +10,10 @@ import graft.functions.SpatialFunctions.haversineMeters
   *
   * Conventions for hash-stable oracle comparison:
   *   - deterministic total ORDER BY on every output;
-  *   - money sums in DECIMAL(18,2) (exact, order-independent);
+  *   - money sums as BIGINT cents (per-row round, then long sum — exact,
+  *     order-independent, and serialized identically by every engine; the
+  *     driver's hash normalizes DECIMAL differently than DuckDB, so no
+  *     DecimalType in driver-facing outputs);
   *   - identical column aliases on both sides.
   */
 object Relational {
@@ -60,10 +62,10 @@ object Relational {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("revenue"))
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
         .orderBy("r_name", "n_name"),
       Some("""SELECT r_name, n_name, count(*) AS n_items,
-             |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+             |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -176,18 +178,18 @@ object Relational {
       (s, dir) => {
         val oagg = t(s, dir, "orders").groupBy("o_custkey")
           .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+            sum(round(col("o_totalprice") * 100).cast("long")).as("spend"))
         t(s, dir, "customer")
           .join(oagg, col("c_custkey") === col("o_custkey"), "left")
           .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"),
-            coalesce(col("spend"), lit(0).cast(DecimalType(28, 2))).as("total_spend"))
+            coalesce(col("spend"), lit(0L)).as("total_spend_cents"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, COALESCE(cnt, 0) AS n_orders,
-             |       CAST(COALESCE(spend, 0) AS DECIMAL(28,2)) AS total_spend
+             |       COALESCE(spend, 0) AS total_spend_cents
              |FROM customer LEFT JOIN (
              |  SELECT o_custkey, count(*) AS cnt,
-             |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+             |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
              |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
              |ORDER BY c_custkey""".stripMargin)),
 
@@ -384,10 +386,10 @@ object Relational {
       (s, dir) => t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+             |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
@@ -412,10 +414,10 @@ object Relational {
         .withColumn("month", to_date(date_trunc("month", col("o_orderdate"))))
         .groupBy("month")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
         .orderBy("month"),
       Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n_orders,
-             |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+             |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
              |FROM orders GROUP BY month ORDER BY month""".stripMargin)),
   )
 }

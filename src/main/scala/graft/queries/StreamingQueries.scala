@@ -1,7 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.streaming.EventStreams
 
 /** Streaming-surface demonstrations. The transformations are the exact ones
@@ -18,10 +16,10 @@ object StreamingQueries {
     Q("stream_windowed_counts", "streaming",
       (s, dir) => EventStreams.windowedTypeCounts(
         EventStreams.eventsWithTimestamp(s, dir), "1 hour")
-        .withColumn("total_value", col("total_value").cast(DecimalType(18, 2)))
         .orderBy("window_start", "event_type"),
       Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
-             |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+             |       count(*) AS n,
+             |       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
              |FROM events GROUP BY window_start, event_type
              |ORDER BY window_start, event_type""".stripMargin)),
   )

@@ -23,9 +23,13 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      // Money as exact integer cents: per-row round then long sum is
+      // order-independent, so stream == batch == DuckDB bit-for-bit (a raw
+      // double sum is summation-order-dependent across engines).
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
       .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("total_value"))
+        col("n"), col("total_value_cents"))
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double,
