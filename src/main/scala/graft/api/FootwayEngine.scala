@@ -35,21 +35,59 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
   private def footVid(id: org.apache.spark.sql.Column) = xxhash64(lit("F:"), id)
   private def stopVid(id: org.apache.spark.sql.Column) = xxhash64(lit("S:"), id)
 
+  /** Driver-side twins of the vid columns — the single-row lookups below
+    * need literal vertex ids, and evaluating the catalyst XxHash64 locally
+    * beats scheduling a one-row Spark job per lookup. (Literal inputs →
+    * same bytes/seed chain as the column form.) */
+  private def evalVid(prefix: String, id: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal(prefix), Literal(id))).eval(null).asInstanceOf[Long]
+  }
+  private def footVidLocal(id: String): Long = evalVid("F:", id)
+  private def stopVidLocal(id: String): Long = evalVid("S:", id)
+
+  /** Cell size for the NEAR candidate grid; any footnode whose in-
+    * neighborhood nearest stop is farther than this falls back to an exact
+    * scan, so the result is the true nearest regardless of cell size. */
+  private val NearCellMeters = 1000.0
+
   /** NEAR: each footnode → its nearest stop (batch nearest-neighbor join,
     * J7: window top-1 by distance; PDF p.6-7). Weight = geodesic meters.
-    * Small dimension (stops) broadcast; at OSM scale swap the crossJoin for
-    * the grid-bucket candidate join in GraphBuilder.walkTo. */
+    *
+    * Scale path (same cell trick as GraphBuilder.walkTo): bucket both sides
+    * into ~1 km grid cells and join each footnode against the stops in its
+    * 3×3 neighborhood — n·k candidates instead of the n×m crossJoin. A
+    * neighborhood win at ≤ cell width is provably the global nearest; the
+    * rare footnode with an empty or too-far neighborhood re-scans the full
+    * stop dimension (broadcast — stops are a dimension, footnodes are not). */
   lazy val nearEdges: DataFrame = {
+    val latCell = NearCellMeters / 111320.0
+    val lonCell = NearCellMeters / (111320.0 * 0.4)
+    val fn = footNodes.select(col("id").as("fn_id"), col("latitude").as("fn_lat"),
+      col("longitude").as("fn_lon"))
+    val st = stops.select(col("stop_id"), col("stop_lat"), col("stop_lon"))
     val w = Window.partitionBy("fn_id").orderBy("distance", "stop_id")
-    footNodes.select(col("id").as("fn_id"), col("latitude").as("fn_lat"),
-        col("longitude").as("fn_lon"))
-      .crossJoin(broadcast(stops.select(col("stop_id"), col("stop_lat"), col("stop_lon"))))
+    def top1(cands: DataFrame): DataFrame = cands
       .withColumn("distance",
         haversineMeters(col("fn_lat"), col("fn_lon"), col("stop_lat"), col("stop_lon")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("fn_id"), col("stop_id"), col("distance"))
-      .cache()
+    val fnCells = fn
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("fn_id"), col("fn_lat"), col("fn_lon"),
+        (floor(col("fn_lat") / latCell).cast("long") + col("dx")).as("cell_x"),
+        (floor(col("fn_lon") / lonCell).cast("long") + col("dy")).as("cell_y"))
+    val stCells = st.select(col("stop_id"), col("stop_lat"), col("stop_lon"),
+      floor(col("stop_lat") / latCell).cast("long").as("cell_x"),
+      floor(col("stop_lon") / lonCell).cast("long").as("cell_y"))
+    val resolved = top1(fnCells.join(stCells, Seq("cell_x", "cell_y")))
+      .filter(col("distance") <= NearCellMeters)
+    val fallback = top1(
+      fn.join(resolved.select("fn_id"), Seq("fn_id"), "left_anti")
+        .crossJoin(broadcast(st)))
+    resolved.unionByName(fallback).cache()
   }
 
   /** The weighted walking graph: typed foot edges (CONTAINS bidirectional,
@@ -88,39 +126,53 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     * pedestrian network (`prova.py:200-226` apoc.algo.dijkstra on `length`);
     * Double.PositiveInfinity when unreachable (the reference's OPTIONAL
     * MATCH + `end IS NOT NULL` guard, G5). */
-  def walkingDistance(footNodeId: String, stopId: String): Double = {
+  private def networkDistance(srcId: Long, dstId: Long): Double = {
     import spark.implicits._
-    val srcId = spark.range(1).select(footVid(lit(footNodeId))).as[Long].head()
-    val dstId = spark.range(1).select(stopVid(lit(stopId))).as[Long].head()
     val dist = ShortestPaths.fromDF(walkingGraphEdges, Set(srcId))
       .filter(col("vertex_id") === dstId)
       .select("dist").as[Double].collect()
     if (dist.isEmpty) Double.PositiveInfinity else dist.head
   }
 
+  def walkingDistance(footNodeId: String, stopId: String): Double =
+    networkDistance(footVidLocal(footNodeId), stopVidLocal(stopId))
+
   /** Walking distance footnode→footnode (calculate_distance analog,
     * `prova.py:229-244`), meters. */
-  def walkingDistanceBetweenFootNodes(a: String, b: String): Double = {
-    import spark.implicits._
-    val srcId = spark.range(1).select(footVid(lit(a))).as[Long].head()
-    val dstId = spark.range(1).select(footVid(lit(b))).as[Long].head()
-    val dist = ShortestPaths.fromDF(walkingGraphEdges, Set(srcId))
-      .filter(col("vertex_id") === dstId)
-      .select("dist").as[Double].collect()
-    if (dist.isEmpty) Double.PositiveInfinity else dist.head
-  }
+  def walkingDistanceBetweenFootNodes(a: String, b: String): Double =
+    networkDistance(footVidLocal(a), footVidLocal(b))
 
   /** Full walking distance from a point to a stop: straight line to the
     * nearest footnode + network distance to the stop, in KILOMETERS
     * (`prova.py:252-270` distance_from_a_stop returns total/1000). */
   def distanceFromStop(stopId: String, lat: Double, lon: Double): Double =
-    nearestFootNode(lat, lon) match {
-      case None => Double.PositiveInfinity
-      case Some((fnId, toFn)) =>
-        val network = walkingDistance(fnId, stopId)
-        if (network.isInfinite) Double.PositiveInfinity
-        else (toFn + network) / 1000.0
+    distancesFromStops(Seq((stopId, lat, lon))).head
+
+  /** Batched `distance_from_a_stop`: ONE multi-source SSSP (per-source
+    * distances) serves every (stop, point) leg at once — the journey API's
+    * two walking legs were two separate Dijkstra runs. Returns km per input
+    * leg, Infinity when unreachable. */
+  def distancesFromStops(legs: Seq[(String, Double, Double)]): Seq[Double] = {
+    import spark.implicits._
+    val resolved = legs.map { case (stopId, lat, lon) =>
+      (nearestFootNode(lat, lon), stopVidLocal(stopId))
     }
+    val srcIds = resolved.flatMap(_._1.map { case (fnId, _) => footVidLocal(fnId) }).toSet
+    if (srcIds.isEmpty) return legs.map(_ => Double.PositiveInfinity)
+    val targetVids = resolved.map(_._2).distinct
+    val distMap = ShortestPaths.fromDF(walkingGraphEdges, srcIds)
+      .filter(col("vertex_id").isin(targetVids: _*))
+      .select("source_id", "vertex_id", "dist").as[(Long, Long, Double)].collect()
+      .map { case (s, v, d) => (s, v) -> d }.toMap
+    resolved.map {
+      case (None, _) => Double.PositiveInfinity
+      case (Some((fnId, toFn)), stopVidId) =>
+        distMap.get((footVidLocal(fnId), stopVidId)) match {
+          case Some(network) => (toFn + network) / 1000.0
+          case None => Double.PositiveInfinity
+        }
+    }
+  }
 }
 
 object FootwayEngine {

@@ -252,15 +252,19 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
     if (rows.isEmpty) return None
     val firstStop = rows.head.getAs[String]("starting_stop_id")
     val lastStop = rows.last.getAs[String]("next_stop_id")
-    def walkMeters(stopId: String, lat: Double, lon: Double): Double =
-      footway match {
-        case Some(fw) =>
-          val km = fw.distanceFromStop(stopId, lat, lon)
-          if (km.isInfinite) distanceFromStop(stopId, lat, lon) else km * 1000.0
-        case None => distanceFromStop(stopId, lat, lon)
-      }
-    val startWalk = walkMeters(firstStop, startLat, startLon)
-    val endWalk = walkMeters(lastStop, endLat, endLon)
+    // Both walking legs out of ONE multi-source SSSP over the footway graph
+    // (straight-line fallback when the network doesn't reach the stop).
+    val Seq(startWalk, endWalk) = footway match {
+      case Some(fw) =>
+        val kms = fw.distancesFromStops(Seq(
+          (firstStop, startLat, startLon), (lastStop, endLat, endLon)))
+        Seq((firstStop, startLat, startLon, kms(0)), (lastStop, endLat, endLon, kms(1)))
+          .map { case (stopId, lat, lon, km) =>
+            if (km.isInfinite) distanceFromStop(stopId, lat, lon) else km * 1000.0 }
+      case None =>
+        Seq(distanceFromStop(firstStop, startLat, startLon),
+          distanceFromStop(lastStop, endLat, endLon))
+    }
     val dep = graft.functions.TimeFunctions.parseHms(rows.head.getAs[String]("departure"))
     val arr = graft.functions.TimeFunctions.parseHms(rows.last.getAs[String]("arrival"))
     Some(JourneySummary(segs, changeCount(segs), startWalk, endWalk,

@@ -47,6 +47,36 @@ class BetweennessSpec extends SparkSpec {
     distNz.foreach { case (k, v) => assert(math.abs(v - local(k)) < 1e-9, s"vertex $k") }
   }
 
+  test("sampled Brandes approximates exact within tolerance on a chain+shortcut graph") {
+    // 0→1→…→79 chain with shortcuts i→i+7: interior vertices carry large
+    // scores. Sample half the sources by the same hash order ofProjection
+    // uses and scale by |V|/|sample| — the standard estimator.
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val n = 80
+    val edges = ((0 until n - 1).map(i => (i.toLong, i.toLong + 1)) ++
+      (0 until n - 7).map(i => (i.toLong, i.toLong + 7))).toArray
+    val all = (0L until n.toLong).toSeq
+    val exact = Betweenness.runLocal(edges, all)
+    val sample = all.toDF("id")
+      .orderBy(xxhash64(col("id"), lit(42L)))
+      .limit(n / 2).as[Long].collect().toSeq
+    val scale = n.toDouble / sample.size
+    val approx = Betweenness.runLocal(edges, sample).map { case (k, v) => k -> v * scale }
+    // every heavy vertex (top quartile by exact score) is estimated within 50%
+    val heavy = exact.toSeq.sortBy(-_._2).take(n / 4)
+    heavy.foreach { case (v, ex) =>
+      val ap = approx.getOrElse(v, 0.0)
+      assert(math.abs(ap - ex) <= 0.5 * ex, s"vertex $v: exact $ex approx $ap")
+    }
+    // and every approximate top-5 vertex is genuinely heavy (exact score in
+    // the top half) — scores on a chain are smooth, so exact ranks within
+    // the peak are not preserved by sampling, but heaviness is
+    val exactTop = exact.toSeq.sortBy(-_._2).take(n / 2).map(_._1).toSet
+    approx.toSeq.sortBy(-_._2).take(5).foreach { case (v, _) =>
+      assert(exactTop.contains(v), s"approx top-5 vertex $v not in exact top half")
+    }
+  }
+
   test("betweenness of the projected routing graph ranks transfer stoptimes") {
     val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
     val top = Betweenness.ofProjection(g).collect()
