@@ -126,9 +126,13 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     * pedestrian network (`prova.py:200-226` apoc.algo.dijkstra on `length`);
     * Double.PositiveInfinity when unreachable (the reference's OPTIONAL
     * MATCH + `end IS NOT NULL` guard, G5). */
+  /** One SSSP handle for the walking graph — repeated distance lookups
+    * reuse the resolved adjacency. */
+  private lazy val walkingSssp = new ShortestPaths.Sssp(walkingGraphEdges)
+
   private def networkDistance(srcId: Long, dstId: Long): Double = {
     import spark.implicits._
-    val dist = ShortestPaths.fromDF(walkingGraphEdges, Set(srcId))
+    val dist = walkingSssp.run(Set(srcId))
       .filter(col("vertex_id") === dstId)
       .select("dist").as[Double].collect()
     if (dist.isEmpty) Double.PositiveInfinity else dist.head
@@ -160,7 +164,7 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     val srcIds = resolved.flatMap(_._1.map { case (fnId, _) => footVidLocal(fnId) }).toSet
     if (srcIds.isEmpty) return legs.map(_ => Double.PositiveInfinity)
     val targetVids = resolved.map(_._2).distinct
-    val distMap = ShortestPaths.fromDF(walkingGraphEdges, srcIds)
+    val distMap = walkingSssp.run(srcIds)
       .filter(col("vertex_id").isin(targetVids: _*))
       .select("source_id", "vertex_id", "dist").as[(Long, Long, Double)].collect()
       .map { case (s, v, d) => (s, v) -> d }.toMap

@@ -125,31 +125,44 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
     if (srcLocal.isEmpty) return emptySegments
     val srcIds = srcLocal.map(_.getLong(0)).toSet
 
-    // ONE multi-source Pregel replaces per-pair Dijkstras (SURVEY §7.3).
-    val dist = ShortestPaths.fromDF(g.weightedEdges, srcIds).cache()
-    val pairs = dist
-      .join(targets, col("vertex_id") === col("t_id"))
-      .join(broadcast(srcRows.withColumnRenamed("s_id", "source_id")), Seq("source_id"))
-      // target must depart after its source (`main.py:93,141`)
-      .filter(col("t_dep") > col("s_dep"))
-      .withColumn("cost", col("dist"))
-      .withColumnRenamed("source_id", "s_id")
-    val best = orderCols(pairs).limit(1).collect()
-    if (best.isEmpty) { dist.unpersist(); return emptySegments }
-    val row = best.head
-    val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
+    // ONE multi-source SSSP replaces per-pair Dijkstras (SURVEY §7.3);
+    // the per-projection handle reuses the resolved graph across calls.
+    def bestPair(dist: DataFrame): Option[org.apache.spark.sql.Row] = {
+      val pairs = dist
+        .join(targets, col("vertex_id") === col("t_id"))
+        .join(broadcast(srcRows.withColumnRenamed("s_id", "source_id")), Seq("source_id"))
+        // target must depart after its source (`main.py:93,141`)
+        .filter(col("t_dep") > col("s_dep"))
+        .withColumn("cost", col("dist"))
+        .withColumnRenamed("source_id", "s_id")
+      orderCols(pairs).limit(1).collect().headOption
+    }
 
-    // Path reconstruction: collect only this source's predecessor chain
-    // entries (reachable-set rows, each 16 bytes — fine even at the full
-    // Modena graph's 249k nodes; a fully distributed backward walk is the
-    // 100 TB fallback).
-    val chain = dist.filter(col("source_id") === bestSrc)
-      .select("vertex_id", "pred").as[(Long, Long)].collect().toMap
-    dist.unpersist()
-    val path = Iterator.iterate(bestTgt)(v => chain.getOrElse(v, -1L))
-      .takeWhile(_ != -1L).toList.reverse
-    if (path.size < 2) return emptySegments
-    segments(g, path)
+    if (g.sssp.isLocal) {
+      // In-memory graph (the reference's own regime): distances only at the
+      // candidate targets, path reconstructed from the retained arrays — no
+      // full (vertex × source) table ever crosses into Spark.
+      val tgtIds = targets.select("t_id").as[Long].collect().toSet
+      if (tgtIds.isEmpty) return emptySegments
+      val row = bestPair(g.sssp.runForTargets(srcIds, tgtIds))
+        .getOrElse(return emptySegments)
+      val path = g.sssp.lastPath(row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
+      if (path.size < 2) return emptySegments
+      segments(g, path)
+    } else {
+      // Distributed regime: full distance table, chain collected for the
+      // winning source only (reachable-set rows, each 16 bytes).
+      val dist = g.sssp.run(srcIds).cache()
+      val row = bestPair(dist).getOrElse { dist.unpersist(); return emptySegments }
+      val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
+      val chain = dist.filter(col("source_id") === bestSrc)
+        .select("vertex_id", "pred").as[(Long, Long)].collect().toMap
+      dist.unpersist()
+      val path = Iterator.iterate(bestTgt)(v => chain.getOrElse(v, -1L))
+        .takeWhile(_ != -1L).toList.reverse
+      if (path.size < 2) return emptySegments
+      segments(g, path)
+    }
   }
 
   /** Path → labeled segment rows (G6 + the J8 label joins, `main.py:103-114`):
@@ -162,11 +175,15 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
     val hops = path.zip(path.tail).zipWithIndex
       .map { case ((a, b), i) => (i + 1, a, b) }
     val hopsDF = spark.createDataset(hops).toDF("hop", "s1_id", "s2_id")
-    val n1 = g.nodes.select(col("id").as("s1_id"), col("trip_id").as("trip"),
+    // label joins touch only the path's own nodes — the isin filter prunes
+    // the cached node scan before the broadcast, so a 250k-node projection
+    // doesn't get broadcast to label a 100-hop path
+    val pathNodes = g.nodes.filter(col("id").isin(path: _*))
+    val n1 = pathNodes.select(col("id").as("s1_id"), col("trip_id").as("trip"),
       hmsString(col("dep_secs")).as("departure"), col("route_id").as("line"),
       col("stop_name").as("starting_stop_name"), col("stop_id").as("starting_stop_id"),
       col("lat").as("start_lat"), col("lon").as("start_lon"))
-    val n2 = g.nodes.select(col("id").as("s2_id"), col("trip_id").as("next_trip"),
+    val n2 = pathNodes.select(col("id").as("s2_id"), col("trip_id").as("next_trip"),
       col("route_id").as("next_line"), col("stop_name").as("next_stop"),
       col("stop_id").as("next_stop_id"),
       col("lat").as("next_lat"), col("lon").as("next_lon"),

@@ -1,0 +1,91 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.GtfsTables
+import graft.functions.TimeFunctions.hmsString
+
+/** Deterministic synthetic GTFS networks at parametric scale, for measuring
+  * the routing path at the reference's cardinality (Modena: 249,052 nodes /
+  * 738,424 edges, `Tesina_Reggianini.pdf` p.4) without shipping the feed.
+  *
+  * Topology: a rows×cols stop grid (~256 m N-S spacing so adjacent rows are
+  * WALK_TO transfer pairs at the default 300 m radius, ~790 m E-W), one
+  * west→east route per row, one north→south route per column,
+  * `tripsPerRoute` departures per route. Stoptimes are generated
+  * DISTRIBUTEDLY from `spark.range` — the generator itself scales (a
+  * driver-side Seq would cap at driver heap).
+  */
+object SyntheticGtfs {
+
+  def grid(spark: SparkSession, rows: Int, cols: Int, tripsPerRoute: Int,
+      day: String = "2024-01-18", baseSecs: Int = 6 * 3600,
+      headwaySecs: Int = 1800, hopSecs: Int = 120, directions: Int = 1,
+      rowStepDeg: Double = 0.0023): GtfsTables = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+
+    val stops = (for (r <- 0 until rows; c <- 0 until cols) yield
+      (s"S-$r-$c", s"Stop $r/$c", 44.5 + r * rowStepDeg, 10.8 + c * 0.01))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    val routeIds = (0 until rows).map(r => s"RH-$r") ++ (0 until cols).map(c => s"RV-$c") ++
+      (if (directions == 2)
+        (0 until rows).map(r => s"RHW-$r") ++ (0 until cols).map(c => s"RVN-$c")
+      else Nil)
+    val routes = routeIds.map(r => (r, r, r, 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = (for (r <- routeIds; t <- 0 until tripsPerRoute) yield
+      (r, "SVC", s"T-$r-$t", "0", "sh", "hs"))
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id", "trip_headsign")
+
+    // Stoptimes: one row per (route, trip, stop-along-route), derived from a
+    // flat range by integer division (`div` — ANSI `/` is double division).
+    // Per-route-family staggers interleave departures instead of
+    // synchronizing them. `stopId(k, i)` maps (route index, position along
+    // the trip) to the grid stop — reversed directions flip the position.
+    def block(routePrefix: String, nRoutes: Int, len: Int, staggerSecs: Int)(
+        stopId: (Column, Column) => Column): DataFrame =
+      spark.range(nRoutes.toLong * tripsPerRoute * len).select(
+          expr(s"id div ${tripsPerRoute.toLong * len}").cast("int").as("k"),
+          expr(s"(id div $len) % $tripsPerRoute").cast("int").as("t"),
+          expr(s"id % $len").cast("int").as("i"))
+        .select(
+          concat(lit(s"T-$routePrefix-"), col("k"), lit("-"), col("t")).as("trip_id"),
+          stopId(col("k"), col("i")).as("stop_id"),
+          (col("i") + 1).as("stop_sequence"),
+          (lit(baseSecs) + col("t") * headwaySecs + col("k") * staggerSecs +
+            col("i") * hopSecs).as("arr_secs"))
+    def sid(r: Column, c: Column): Column = concat(lit("S-"), r, lit("-"), c)
+    val horiz = block("RH", rows, cols, 60)((k, i) => sid(k, i))
+    val vert = block("RV", cols, rows, 90)((k, i) => sid(i, k))
+    val fwd = horiz.unionByName(vert)
+    val both =
+      if (directions == 2)
+        fwd.unionByName(block("RHW", rows, cols, 75)((k, i) => sid(k, lit(cols - 1) - i)))
+          .unionByName(block("RVN", cols, rows, 105)((k, i) => sid(lit(rows - 1) - i, k)))
+      else fwd
+    val stopTimes = both
+      .withColumn("dep_secs", col("arr_secs") + 30)
+      .withColumn("arrival_time", hmsString(col("arr_secs")))
+      .withColumn("departure_time", hmsString(col("dep_secs")))
+      .select("trip_id", "arrival_time", "departure_time", "stop_id",
+        "stop_sequence", "arr_secs", "dep_secs")
+
+    val calendar = Seq(("SVC", java.sql.Date.valueOf(day), "1"))
+      .toDF("service_id", "day", "exception_type")
+    val agency = Seq(("synthetic", "http://example.org", "UTC"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    GtfsTables(agency, routes, trips, stops, stopTimes, calendar)
+  }
+
+  /** Modena-cardinality preset: 50×50 stops, 200 directed routes (both
+    * orientations × both directions), 25 trips/route → 250,000 stoptime
+    * nodes (reference graph: 249,052 nodes / 738,424 edges). Stop spacing
+    * ~356 m N-S (above the 300 m walk radius) keeps WALK_TO to self-loops,
+    * so CHANGE density lands near the reference's ~3 edges/node instead of
+    * the walk-pair grid's ~8. Departures spread over ~16 h from 05:00. */
+  def modena(spark: SparkSession): GtfsTables =
+    grid(spark, rows = 50, cols = 50, tripsPerRoute = 25,
+      baseSecs = 5 * 3600, headwaySecs = 2300, hopSecs = 90, directions = 2,
+      rowStepDeg = 0.0032)
+}

@@ -134,6 +134,36 @@ object GraphQueries {
       },
       None),
 
+    // §6 perf harness at the reference's graph cardinality: the 9-OD-pair
+    // measurement shape (`main.py:340-369`) over a Modena-scale synthetic
+    // network — 250k stoptime nodes vs the reference's 249,052
+    // (Tesina_Reggianini.pdf p.4). The returned table carries the per-pair
+    // routing wall-times the BASELINE.md comparison needs (median 2.9 s,
+    // range 1.0–23.6 s per routing call on the reference).
+    Q("gtfs_modena_harness", "perf,G1,G2",
+      (s, _) => {
+        val eng = new graft.api.RoutingEngine(graft.etl.SyntheticGtfs.modena(s))
+        // must track SyntheticGtfs.modena's grid spacing (rowStepDeg 0.0032)
+        def pt(r: Int, c: Int): (Double, Double) = (44.5 + r * 0.0032, 10.8 + c * 0.01)
+        val specs = Seq(
+          ("p1-samecol-short", (2, 2), (6, 2)),
+          ("p2-near-diag", (0, 0), (10, 5)),
+          ("p3-samecol-mid", (5, 10), (20, 10)),
+          ("p4-samerow-long", (10, 0), (10, 20)),
+          ("p5-diag-mid", (0, 0), (25, 25)),
+          ("p6-cross-far", (45, 5), (5, 45)),
+          ("p7-offdiag", (40, 10), (45, 40)),
+          ("p8-backwards", (30, 30), (5, 15)),
+          ("p9-corner-corner", (49, 49), (0, 0)))
+        val pairs = specs.map { case (n, a, b) =>
+          val (aLat, aLon) = pt(a._1, a._2); val (bLat, bLon) = pt(b._1, b._2)
+          graft.api.PerfHarness.OdPair(n, aLat, aLon, bLat, bLon)
+        }
+        val ms = graft.api.PerfHarness.run(eng, "2024-01-18", "08:00:00", 1.0, 300.0, pairs)
+        graft.api.PerfHarness.toDF(s, ms).orderBy("name")
+      },
+      None),
+
     // §6 perf-harness analog: the reference's 9-OD-pair measurement table
     // re-expressed over the demo network (2 pairs) — returns the measured
     // table itself so the driver sees timing columns.

@@ -205,7 +205,18 @@ object Pipeline {
           .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
           .orderBy("q_id", "rn")
       },
-      None),
+      Some("""WITH cands AS (
+             |  SELECT q.vec_id AS q_id, v.vec_id AS v_id,
+             |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                CAST(v.embedding AS DOUBLE[])) AS c
+             |  FROM embeddings q, embeddings v
+             |  WHERE q.vec_id < 5 AND q.vec_id <> v.vec_id),
+             |ranked AS (
+             |  SELECT q_id, v_id, c,
+             |         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, v_id) AS rn
+             |  FROM cands)
+             |SELECT q_id, v_id, round(c, 4) AS cos, rn FROM ranked
+             |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)),
 
     // LSH-bucketed ANN (the scale path: candidates only from matching sign-
     // LSH buckets, then exact re-rank — no crossJoin against the full table).
@@ -315,23 +326,29 @@ object Pipeline {
         .orderBy("doc_id"),
       None),
 
-    // BPE-ish sub-word token count (rows-only; regex tokenizer).
+    // BPE-ish sub-word token count. DuckDB's RE2 has no lookarounds, so the
+    // oracle counts the equivalent decomposition directly: maximal letter
+    // runs + maximal digit runs + non-alnum non-space characters.
     Q("text_bpeish_tokens", "text",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), size(bpeishTokens(col("text"))).as("n_subword_tokens"))
         .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(lower(text), '[a-z]+'))
+             |  + len(regexp_extract_all(text, '[0-9]+'))
+             |  + len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r]')) AS n_subword_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Multimodal plumbing: treat content as an opaque binary column with
-    // typed metadata. The "decode" is a clearly-marked deterministic stub
-    // (real image/audio libs aren't in this container) but the schema,
-    // batching, and byte-level plumbing are real. Oracle covers byte length.
+    // typed metadata. Image payloads decode for real via javax.imageio
+    // (MediaSpec proves it on a PNG fixture); these text blobs take the
+    // deterministic non-image fallback, which the oracle mirrors.
     Q("multimodal_binary_meta", "multimodal",
       (s, dir) => t(s, dir, "documents")
         .withColumn("blob", col("text").cast("binary"))
         .select(col("doc_id"), octet_length(col("blob")).as("n_bytes"),
-          graft.multimodal.MultimodalStub.fakeWidth(col("blob")).as("width"),
-          graft.multimodal.MultimodalStub.fakeHeight(col("blob")).as("height"))
+          graft.multimodal.Media.fakeWidth(col("blob")).as("width"),
+          graft.multimodal.Media.fakeHeight(col("blob")).as("height"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |  16 + octet_length(encode(text)) % 241 AS width,

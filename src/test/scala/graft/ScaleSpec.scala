@@ -14,44 +14,11 @@ import graft.functions.TimeFunctions.formatHms
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
-  /** 40×25 grid of stops (~255 m spacing N-S so adjacent rows are WALK_TO
-    * pairs), 50 horizontal + 25 vertical routes, 12 trips each → 27k
-    * stoptimes on one service day. */
-  def syntheticGtfs(): GtfsTables = {
-    val rows = 40
-    val cols = 25
-    val stops = (for (r <- 0 until rows; c <- 0 until cols) yield
-      (s"S-$r-$c", s"Stop $r/$c", 44.5 + r * 0.0023, 10.8 + c * 0.01))
-      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
-    // horizontal routes: one per row, west→east; vertical: one per even row-pair
-    case class TripDef(routeId: String, tripId: String, stopIds: Seq[String], startSecs: Int)
-    val horiz = for {
-      r <- 0 until rows
-      t <- 0 until 12
-    } yield TripDef(s"RH-$r", s"TH-$r-$t", (0 until cols).map(c => s"S-$r-$c"),
-      6 * 3600 + t * 1800 + r * 60)
-    val vert = for {
-      c <- 0 until cols
-      t <- 0 until 12
-    } yield TripDef(s"RV-$c", s"TV-$c-$t", (0 until rows).map(r => s"S-$r-$c"),
-      6 * 3600 + t * 1800 + c * 90)
-    val defs = horiz ++ vert
-    val routes = defs.map(_.routeId).distinct.map(r => (r, r, r, 3))
-      .toDF("route_id", "short_name", "route_long_name", "route_type")
-    val trips = defs.map(d => (d.routeId, "SVC", d.tripId, "0", "sh", "hs"))
-      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id", "trip_headsign")
-    val stopTimes = defs.flatMap { d =>
-      d.stopIds.zipWithIndex.map { case (sid, i) =>
-        val arr = d.startSecs + i * 120
-        (d.tripId, formatHms(arr), formatHms(arr + 30), sid, i + 1, arr, arr + 30)
-      }
-    }.toDF("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence",
-      "arr_secs", "dep_secs")
-    val calendar = Seq(("SVC", java.sql.Date.valueOf("2024-01-18"), "1"))
-      .toDF("service_id", "day", "exception_type")
-    val agency = Seq(("a", "u", "tz")).toDF("agency_name", "agency_url", "agency_timezone")
-    GtfsTables(agency, routes, trips, stops, stopTimes, calendar)
-  }
+  /** 40×25 grid, 12 trips per route → 24k stoptimes on one service day
+    * (generator shared with the Modena-cardinality bench query —
+    * graft.etl.SyntheticGtfs). */
+  def syntheticGtfs(): GtfsTables =
+    graft.etl.SyntheticGtfs.grid(spark, rows = 40, cols = 25, tripsPerRoute = 12)
 
   test("Modena-order synthetic network: build, project, route end-to-end") {
     val t0 = System.nanoTime()
