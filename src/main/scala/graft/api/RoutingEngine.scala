@@ -150,16 +150,14 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
       if (path.size < 2) return emptySegments
       segments(g, path)
     } else {
-      // Distributed regime: full distance table, chain collected for the
-      // winning source only (reachable-set rows, each 16 bytes).
+      // Distributed regime: full distance table stays distributed; the path
+      // comes back via pointer doubling (log L self-joins), never the
+      // reachable set.
       val dist = g.sssp.run(srcIds).cache()
       val row = bestPair(dist).getOrElse { dist.unpersist(); return emptySegments }
       val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
-      val chain = dist.filter(col("source_id") === bestSrc)
-        .select("vertex_id", "pred").as[(Long, Long)].collect().toMap
+      val path = ShortestPaths.pathDistributed(dist, bestSrc, bestTgt)
       dist.unpersist()
-      val path = Iterator.iterate(bestTgt)(v => chain.getOrElse(v, -1L))
-        .takeWhile(_ != -1L).toList.reverse
       if (path.size < 2) return emptySegments
       segments(g, path)
     }

@@ -91,6 +91,38 @@ object ShortestPaths {
     walk(target, Nil)
   }
 
+  /** Distributed path reconstruction by pointer doubling over the
+    * predecessor chain — the 100 TB regime, where collecting even one
+    * source's reachable set (the local shortcut) would flood the driver.
+    * Builds jump tables J_k(v) = pred^(2^k)(v) with log(pathLen) self-joins,
+    * then accumulates the positions 0..L walking high power to low (each
+    * partial sum stays on the true path, so every jump is defined). Only the
+    * final path (L rows) reaches the driver. `dist` is run()/fromDF output;
+    * returns source-first vertex ids, Nil when unreachable. */
+  def pathDistributed(dist: DataFrame, source: Long, target: Long): List[Long] = {
+    val spark = dist.sparkSession
+    import spark.implicits._
+    val chain0 = dist.filter(col("source_id") === source && col("pred") =!= -1L)
+      .select(col("vertex_id").as("v"), col("pred").as("p"))
+      .localCheckpoint(true)
+    if (dist.filter(col("source_id") === source && col("vertex_id") === target).isEmpty)
+      return Nil
+    val jumps = scala.collection.mutable.ArrayBuffer(chain0)
+    while (!jumps.last.isEmpty) {
+      val jk = jumps.last
+      jumps += jk.as("a").join(jk.as("b"), col("a.p") === col("b.v"))
+        .select(col("a.v").as("v"), col("b.p").as("p"))
+        .localCheckpoint(true)
+    }
+    var pos = Seq((target, 0L)).toDF("v", "idx").localCheckpoint(true)
+    for (k <- (jumps.size - 1) to 0 by -1) {
+      val added = pos.join(jumps(k), Seq("v"))
+        .select(col("p").as("v"), (col("idx") + (1L << k)).as("idx"))
+      pos = pos.unionByName(added).localCheckpoint(true)
+    }
+    pos.orderBy(col("idx").desc).select("v").as[Long].collect().toList
+  }
+
   /** Edge-count threshold below which SSSP runs as a driver-local Dijkstra
     * over the collected edge list instead of Pregel. This is the honest
     * analog of the reference's GDS execution — its "distributed" graph is a

@@ -33,12 +33,16 @@ final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame) {
     edges.select(col("source").as("src"), col("target").as("dst"),
       col("waiting_time").cast("double").as("weight"))
 
+  /** Local-vs-Pregel threshold for `sssp` — assign before first use to
+    * override (tests force the distributed branch with 0). */
+  var ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges
+
   /** Per-projection SSSP handle: the local-vs-Pregel decision and (when
     * local) the adjacency index happen once, shared by every routing call
     * against this projection — the reference holds one in-memory CSR per
     * projection the same way. */
   lazy val sssp: graft.graph.ShortestPaths.Sssp =
-    new graft.graph.ShortestPaths.Sssp(weightedEdges)
+    new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold)
 
   def unpersist(): Unit = { nodes.unpersist(); edges.unpersist() }
 }

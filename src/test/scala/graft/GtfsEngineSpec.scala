@@ -105,6 +105,18 @@ class GtfsEngineSpec extends SparkSpec {
     assert(engine.changeCount(engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon")) == 1)
   }
 
+  test("routing through the forced-Pregel branch equals the local branch") {
+    // same golden query, but the projection's SSSP handle is forced onto the
+    // distributed Pregel + pointer-doubling-path branch before first use
+    val engD = graft.api.DemoGtfs.engine(spark)
+    val g = engD.projected(java.sql.Date.valueOf(Day), 1.0)
+    g.ssspLocalThreshold = 0L
+    val segD = engD.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon").collect()
+    val segL = engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon").collect()
+    assert(segD.toSeq == segL.toSeq)
+    assert(segD.length == 5)
+  }
+
   test("point-to-point routing at exact stop coordinates equals stop routing") {
     val seg = engine.routingBetweenTwoPoints(Day, 44.6000, 10.9000, 44.6400, 10.9200,
       Seq("Alpha"), Seq("Epsilon"), 1.0, "14:00:00").collect()
