@@ -91,20 +91,36 @@ object GraphQueries {
              |) WHERE dst_order IS NOT NULL ORDER BY o_custkey, hop""".stripMargin)),
 
     // G1+G2+G6+J8 — the full reference routing flow on the inline demo GTFS
-    // network: build → project time-expanded graph → multi-source Pregel →
-    // top-1 by (arrival, cost) → labeled segments. Rows-only (no relational
-    // oracle); the same flow is golden-tested against hand-computed values
-    // in GtfsEngineSpec.
+    // network: build → project time-expanded graph → multi-source SSSP →
+    // top-1 by (arrival, cost) → labeled segments. The oracle is the
+    // hand-computed golden itinerary as literal VALUES (same fixture truth
+    // GtfsEngineSpec pins) — the demo network isn't in the sf parquet
+    // tables, so the expected rows ARE the SQL.
     Q("gtfs_routing_golden", "G1,G2,G6,J8",
       (s, _) => graft.api.DemoGtfs.engine(s)
         .routing("2024-01-18", 1.0, "14:00:00", "Alpha", "Epsilon"),
-      None),
+      Some("""SELECT hop, trip, departure, line, starting_stop_name, starting_stop_id,
+             | CAST(start_lat AS DOUBLE) AS start_lat, CAST(start_lon AS DOUBLE) AS start_lon,
+             | next_trip, next_stop, next_stop_id,
+             | CAST(next_lat AS DOUBLE) AS next_lat, CAST(next_lon AS DOUBLE) AS next_lon,
+             | next_line, arrival
+             |FROM (VALUES
+             | (1,'T1','14:01:00','R1','Alpha','SA',44.6,10.9,'T1','Beta','SB',44.61,10.9,'R1','14:05:00'),
+             | (2,'T1','14:06:00','R1','Beta','SB',44.61,10.9,'T1','Gamma','SC',44.62,10.9,'R1','14:10:00'),
+             | (3,'T1','14:11:00','R1','Gamma','SC',44.62,10.9,'T3','Gamma Due','SC2',44.62015,10.9,'R2','14:15:00'),
+             | (4,'T3','14:15:00','R2','Gamma Due','SC2',44.62015,10.9,'T3','Delta','SD1',44.63,10.91,'R2','14:25:00'),
+             | (5,'T3','14:26:00','R2','Delta','SD1',44.63,10.91,'T3','Epsilon','SE',44.64,10.92,'R2','14:40:00'))
+             | AS t(hop, trip, departure, line, starting_stop_name, starting_stop_id, start_lat, start_lon,
+             |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
+             |ORDER BY hop""".stripMargin)),
 
     // S1-analog near-stop spatial search on the demo network (F1+P8).
+    // Literal-VALUES golden oracle (see gtfs_routing_golden).
     Q("gtfs_near_stops", "F1,P8,A3",
       (s, _) => graft.api.DemoGtfs.engine(s)
         .findNearStops("2024-01-18", 44.6200, 10.9000, 300.0).orderBy("stop_name"),
-      None),
+      Some("""SELECT * FROM (VALUES ('Gamma'), ('Gamma Due')) AS t(stop_name)
+             |ORDER BY stop_name""".stripMargin)),
 
     // G4+G5+J7 — footway-graph walking distances (thesis extension): nearest
     // footnode, typed-edge Dijkstra across the pedestrian network, NEAR
@@ -122,7 +138,12 @@ object GraphQueries {
             (a, b, if (d.isInfinite) None else Some(math.round(d * 100) / 100.0)) }
         rows.toDF("from_footnode", "to_stop", "meters").orderBy("from_footnode", "to_stop")
       },
-      None),
+      // literal-VALUES golden oracle: FootwaySpec derives the same numbers
+      // from a reference Dijkstra over the fixture
+      Some("""SELECT from_footnode, to_stop, CAST(meters AS DOUBLE) AS meters FROM (VALUES
+             | ('F1','SB',1137.92), ('F1','SD2', NULL), ('F1','SE',5903.96), ('F4','SB',3057.92))
+             | AS t(from_footnode, to_stop, meters)
+             |ORDER BY from_footnode, to_stop""".stripMargin)),
 
     // G3 — Brandes betweenness centrality of the projected routing graph,
     // joined back to stop names and ranked (gds.betweenness.stream analog).
@@ -132,7 +153,19 @@ object GraphQueries {
           .projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
         graft.graph.Betweenness.ofProjection(g)
       },
-      None),
+      // literal-VALUES golden oracle (exact Brandes on the 16-node demo
+      // projection — scores are exact halves, safe as double literals)
+      Some("""SELECT stop_name, dep_secs, CAST(lat AS DOUBLE) AS lat,
+             | CAST(lon AS DOUBLE) AS lon, CAST(score AS DOUBLE) AS score FROM (VALUES
+             | ('Gamma Due',51300,44.62015,10.9,13.5), ('Gamma',51060,44.62,10.9,12.5),
+             | ('Delta',51960,44.63,10.91,8.0), ('Alpha',54000,44.6,10.9,7.5),
+             | ('Alpha',50520,44.6,10.9,5.5), ('Beta',50760,44.61,10.9,4.5),
+             | ('Epsilon',52800,44.64,10.92,4.0), ('Alpha',86700,44.6,10.9,3.0),
+             | ('Beta',54360,44.61,10.9,2.5), ('Delta',51360,44.63,10.91,2.0),
+             | ('Epsilon',52200,44.64,10.92,2.0), ('Epsilon',55800,44.64,10.92,0.0),
+             | ('Epsilon',89400,44.64,10.92,0.0), ('Gamma',54660,44.62,10.9,0.0))
+             | AS t(stop_name, dep_secs, lat, lon, score)
+             |ORDER BY score DESC, stop_name, dep_secs""".stripMargin)),
 
     // §6 perf harness at the reference's graph cardinality: the 9-OD-pair
     // measurement shape (`main.py:340-369`) over a Modena-scale synthetic

@@ -310,13 +310,32 @@ object Pipeline {
              |    AS stopword_ratio
              |FROM toks ORDER BY doc_id""".stripMargin)),
 
-    // Language ID heuristic vs the labeled lang column (rows-only; the
-    // heuristic itself is exercised in ScalaTest).
+    // Language ID heuristic vs the labeled lang column. Oracle mirrors
+    // LangScoreExpr exactly: per-language stopword hit counts, argmax with
+    // lexicographic-first tie-break, 'und' when nothing hits.
     Q("text_langid", "text",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("labeled"), langId(col("text")).as("predicted"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang AS labeled,
+             |         list_transform(list_filter(string_split_regex(text, '\s+'),
+             |                                    x -> len(x) > 0), x -> lower(x)) AS tk
+             |  FROM documents),
+             |scores AS (
+             |  SELECT doc_id, labeled,
+             |    len(list_filter(tk, x -> x IN ('der','die','und','das','in','von','zu','den','mit','ist'))) AS s_de,
+             |    len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+             |    len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+             |    len(list_filter(tk, x -> x IN ('le','la','de','et','les','des','en','un','du','que'))) AS s_fr
+             |  FROM toks)
+             |SELECT doc_id, labeled,
+             |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |       ELSE 'fr' END AS predicted
+             |FROM scores ORDER BY doc_id""".stripMargin)),
 
     // Rolling-hash document fingerprint (rows-only: xxhash64-based).
     Q("text_fingerprint", "text",
@@ -354,5 +373,18 @@ object Pipeline {
              |  16 + octet_length(encode(text)) % 241 AS width,
              |  16 + (octet_length(encode(text)) // 241) % 241 AS height
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling over the decoded metadata: every 4th frame index per
+    // document — the explode fan-out through the real mapPartitions decode
+    // path (text blobs take the deterministic non-image branch, which the
+    // oracle mirrors).
+    Q("multimodal_frame_sample", "multimodal",
+      (s, dir) => graft.multimodal.Media.sampleFrames(
+        t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
+        "doc_id", "blob", everyK = 4)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id,
+             |  unnest(range(0, 1 + octet_length(encode(text)) % 32, 4)) AS frame_idx
+             |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)),
   )
 }
