@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.streaming.EventStreams
 
 /** Streaming-surface demonstrations. The transformations are the exact ones
@@ -22,5 +24,25 @@ object StreamingQueries {
              |       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
              |FROM events GROUP BY window_start, event_type
              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // Streaming exact dedup (EventStreams.dedupByKey): bounded-state
+    // dropDuplicates under a watermark. The deterministic batch twin keeps
+    // the FIRST event per (user, type) — what the stream emits under
+    // in-order arrival; StreamingSpec asserts exactly that equivalence.
+    Q("stream_dedup_by_key", "streaming,dedup",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        EventStreams.eventsWithTimestamp(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id FROM (
+             |  SELECT user_id, event_type, event_id,
+             |         row_number() OVER (PARTITION BY user_id, event_type
+             |                            ORDER BY ts, event_id) AS rn
+             |  FROM events) WHERE rn = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
   )
 }

@@ -74,6 +74,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop repeated keys with bounded state — the
+    * watermark lets Spark expire per-key state, so the operator runs forever
+    * on an unbounded stream (an unwatermarked dropDuplicates would grow
+    * state without bound). On a static frame the same call is a plain
+    * distinct-by-key keeping an arbitrary row; batch parity in the catalog
+    * therefore keys the FIRST row per key (min ts tie-broken by event_id),
+    * which is what the stream emits under in-order arrival. */
+  def dedupByKey(events: DataFrame, keyCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(keyCol)
+
   /** Read the static events parquet back as a timestamped DataFrame (its
     * `ts` column arrives as long nanos — see Catalog.t). */
   def eventsWithTimestamp(spark: SparkSession, sfDir: String): DataFrame = {

@@ -36,6 +36,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps the first row per key under in-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = EventStreams.dedupByKey(
+      mem.toDF().toDF("user_id", "ts", "event_type", "value"), "user_id")
+      .writeStream.format("memory").queryName("dedup_keys")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (1L, ts("2024-01-01 10:05:00"), "click", 2.0), // dup key, later ts
+        (2L, ts("2024-01-01 10:01:00"), "buy", 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:10:00"), "click", 3.0)) // still dup
+      mem.addData((3L, ts("2024-01-01 10:11:00"), "click", 4.0)) // new key
+      q.processAllAvailable()
+      val out = spark.table("dedup_keys")
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      // exactly one row per key, and it is the FIRST-arrived one
+      assert(out == Map(1L -> 1.0, 2L -> 5.0, 3L -> 4.0))
+    } finally q.stop()
+  }
+
   test("sessionize: per-user state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.SessionEvent]
