@@ -41,4 +41,18 @@ object GtfsWarehouse {
     * (verify with `.inputFiles`: only day=<d> paths appear). */
   def loadDay(spark: SparkSession, dir: String, day: java.sql.Date): DataFrame =
     spark.read.parquet(s"$dir/day_stoptimes").filter(col("day") === lit(day))
+
+  /** Bucketed twin of the day-expanded table, keyed by stop_id: the
+    * CHANGE-candidate joins (stoptime ↔ WALK_TO ↔ stoptime) are all
+    * stop-keyed equi-joins, so two bucketed sides co-locate and the
+    * projection's dominant Exchange disappears — the 100 TB shuffle
+    * killer. Bucketing needs a catalog entry (saveAsTable); `path` makes
+    * it an external table so the data lands where the caller says. */
+  def writeBucketedByStop(g: GtfsTables, tableName: String, path: String,
+      buckets: Int = 32): Unit =
+    dayExpandedStopTimes(g).write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, "stop_id")
+      .sortBy("stop_id")
+      .saveAsTable(tableName)
 }

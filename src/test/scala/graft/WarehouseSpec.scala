@@ -30,4 +30,25 @@ class WarehouseSpec extends SparkSpec {
     val all = spark.read.parquet(s"$dir/day_stoptimes")
     assert(all.count() == 32)
   }
+
+  test("stop-bucketed warehouse joins co-locate without a shuffle") {
+    val gtfs = GtfsLoader.load(spark, fixtureDir)
+    val dir = java.nio.file.Files.createTempDirectory("warehouse-bucketed").toString
+    GtfsWarehouse.writeBucketedByStop(gtfs, "day_stoptimes_by_stop", s"$dir/t", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join strategy must choose sort-merge —
+      // the bucketed layout then satisfies the join's distribution with
+      // ZERO Exchange operators on either side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = spark.table("day_stoptimes_by_stop")
+      val joined = t.alias("a").join(t.alias("b"), "stop_id")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS day_stoptimes_by_stop")
+    }
+  }
 }
