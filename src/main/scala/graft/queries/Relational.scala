@@ -173,6 +173,26 @@ object Relational {
              |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Skew-mitigated equi-join (beyond the reference): deterministic
+    // hash-salting spreads hot keys across reducers; the oracle is the
+    // PLAIN join — salting must be invisible in the result.
+    Q("jx_salted_join", "J-skew",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        graft.operators.SkewJoin.saltedJoin(li, sup, "l_suppkey", "l_orderkey")
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, count(*) AS n,
+             |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name ORDER BY s_name""".stripMargin)),
+
     // left outer join — the OPTIONAL MATCH analog (ref: prova.py:211)
     Q("jx_left_outer", "J-opt",
       (s, dir) => {
