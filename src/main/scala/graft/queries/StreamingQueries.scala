@@ -10,6 +10,7 @@ import graft.streaming.EventStreams
   * here they execute against the static `events` table so the DuckDB oracle
   * can check them. */
 object StreamingQueries {
+  import Catalog.t
 
   def all: Seq[Q] = Seq(
 
@@ -44,5 +45,26 @@ object StreamingQueries {
              |                            ORDER BY ts, event_id) AS rn
              |  FROM events) WHERE rn = 1
              |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Upsert/changelog shape (DelayFeed.latestDelays' batch twin): the
+    // LATEST row per key. Ordering uses the raw nanosecond ts long so
+    // Spark and DuckDB rank identically (micros-truncated timestamps could
+    // tie where nanos differ).
+    Q("stream_latest_per_key", "streaming",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events") // ts arrives as long nanos (Catalog.t)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "event_type")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type FROM (
+             |  SELECT user_id, event_id, event_type,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1
+             |ORDER BY user_id""".stripMargin)),
   )
 }
