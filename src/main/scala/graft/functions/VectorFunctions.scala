@@ -51,4 +51,13 @@ object VectorFunctions {
     * buckets for recall. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     graft.functions.expressions.SignLshBucketExpr(v, planes)
+
+  /** Int8 quantization: struct(scale, q binary) at 1/4 the float (1/8 the
+    * double) footprint — the storage/IO lever for re-rank at 100 TB. */
+  def quantizeInt8(v: Column): Column =
+    graft.functions.expressions.QuantizeInt8Expr(v)
+
+  /** Dot product of two quantizeInt8 structs (integer MAC, scaled back). */
+  def quantizedDot(a: Column, b: Column): Column =
+    graft.functions.expressions.QuantizedDotExpr(a, b)
 }

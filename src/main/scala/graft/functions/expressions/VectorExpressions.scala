@@ -194,3 +194,92 @@ object LangScoreExpr {
     ColumnBridge.column(LangScoreExpr(ColumnBridge.expression(toks),
       langs.toSeq.sortBy(_._1)))
 }
+
+/** Int8 quantization of a numeric vector: struct(scale: double, q: binary)
+  * with q_i = round(v_i / scale), scale = max|v| / 127. At 100 TB this is
+  * the similarity-search storage lever — a 4× (vs float) / 8× (vs double)
+  * IO cut for the re-rank stage, with ~1% cosine error on unit vectors. */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = QuantizeInt8Expr.schema
+  override def prettyName: String = "quantize_int8"
+
+  private lazy val floatInput = DotProductExpr.isFloatArray(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeInt8Expr.quantize(input.asInstanceOf[ArrayData], floatInput)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.QuantizeInt8Expr.quantize($c, $floatInput);")
+
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+}
+
+object QuantizeInt8Expr {
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", BinaryType, nullable = false)))
+
+  def quantize(v: ArrayData, floatInput: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (floatInput) v.getFloat(i).toDouble else v.getDouble(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 0.0 else maxAbs / 127.0
+    val q = new Array[Byte](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        val x = if (floatInput) v.getFloat(i).toDouble else v.getDouble(i)
+        q(i) = math.round(x / scale).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, q))
+  }
+
+  def apply(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(v)))
+}
+
+/** Dot product of two int8-quantized vectors (QuantizeInt8Expr structs):
+  * integer multiply-accumulate, scaled back — the cheap re-rank kernel. */
+case class QuantizedDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantized_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QuantizedDotExpr.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.QuantizedDotExpr.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object QuantizedDotExpr {
+  def dot(a: org.apache.spark.sql.catalyst.InternalRow,
+      b: org.apache.spark.sql.catalyst.InternalRow): Double = {
+    val sa = a.getDouble(0)
+    val sb = b.getDouble(0)
+    if (sa == 0.0 || sb == 0.0) return 0.0
+    val qa = a.getBinary(1)
+    val qb = b.getBinary(1)
+    val n = math.min(qa.length, qb.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += qa(i).toLong * qb(i).toLong; i += 1 }
+    sa * sb * acc.toDouble
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -246,6 +246,32 @@ object Pipeline {
       },
       None),
 
+    // LSH ANN with int8-quantized re-rank: same candidate generation, but
+    // the scoring pass reads 1/8th the bytes (struct(scale, int8[]) vs
+    // array<double>) — at 100 TB the re-rank is IO-bound and this is the
+    // storage lever. Rows-only (quantization error shifts 4th decimals);
+    // AnnRecallSpec holds its recall floor and FunctionsSpec bounds the
+    // dot-product error.
+    Q("sim_ann_lsh_int8", "similarity",
+      (s, dir) => {
+        val planes = hyperplanes(2, 64)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), quantizeInt8(unitVector(col("embedding"))).as("qu"),
+            lshBucket(col("embedding"), planes).as("bucket"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("bucket"), col("vec_id").as("q_id"), col("qu").as("q_qu"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))
+        e.select(col("bucket"), col("vec_id").as("v_id"), col("qu").as("v_qu"))
+          .join(broadcast(q), Seq("bucket"))
+          .filter(col("q_id") =!= col("v_id"))
+          .select(col("q_id"), col("v_id"), quantizedDot(col("q_qu"), col("v_qu")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      None),
+
     // IVF ANN (the clustered scale path): k-means cells, probe the 2 nearest
     // cells per query, exact cosine re-rank inside them. Complements
     // sim_ann_lsh; at 100 TB the assignment is bucketed by cluster so a

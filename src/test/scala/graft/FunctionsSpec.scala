@@ -80,4 +80,28 @@ class FunctionsSpec extends SparkSpec {
     val got = df.select(langId($"text")).as[String].collect().toSeq
     assert(got == Seq("en", "es", "und"))
   }
+
+  test("int8 quantization: dot within 2% of exact on unit vectors, zero-safe") {
+    val rng = new scala.util.Random(11)
+    val vecs = Seq.fill(6)(Array.fill(64)(rng.nextGaussian()))
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val df = rows.toDF("id", "v")
+      .withColumn("u", unitVector(col("v")))
+      .withColumn("qu", quantizeInt8(col("u")))
+    val a = df.select(col("id").as("ia"), col("u").as("ua"), col("qu").as("qa"))
+    val b = df.select(col("id").as("ib"), col("u").as("ub"), col("qu").as("qb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(dot(col("ua"), col("ub")).as("exact"),
+        quantizedDot(col("qa"), col("qb")).as("approx"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (ex, ap) =>
+      assert(math.abs(ex - ap) <= 0.02, s"exact $ex approx $ap")
+    }
+    // all-zero vector quantizes to scale 0 and dots to 0 without dividing
+    val z = Seq((0L, Seq.fill(8)(0.0))).toDF("id", "v")
+      .select(quantizeInt8(col("v")).as("q"))
+    val zz = z.crossJoin(z.select(col("q").as("q2")))
+      .select(quantizedDot(col("q"), col("q2"))).head.getDouble(0)
+    assert(zz == 0.0)
+  }
 }
