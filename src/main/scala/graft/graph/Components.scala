@@ -26,7 +26,10 @@ object Components {
       localThreshold: Long = LocalUnionFindMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // cache around the count-then-consume pair: without it the (often
+    // expensive) upstream pipeline — an LSH verify join in the dedup
+    // callers — runs twice
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
     if (e.count() <= localThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(v: Long): Long = {
@@ -36,7 +39,9 @@ object Components {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      e.as[(Long, Long)].collect().foreach { case (a, b) =>
+      val pairs = e.as[(Long, Long)].collect()
+      e.unpersist()
+      pairs.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a)
         parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
