@@ -47,8 +47,9 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
   private def stopVidLocal(id: String): Long = evalVid("S:", id)
 
   /** Cell size for the NEAR candidate grid; any footnode whose in-
-    * neighborhood nearest stop is farther than this falls back to an exact
-    * scan, so the result is the true nearest regardless of cell size. */
+    * neighborhood nearest stop is farther than the latitude-adjusted
+    * acceptance radius falls back to an exact scan, so the result is the
+    * true nearest regardless of cell size or latitude. */
   private val NearCellMeters = 1000.0
 
   /** NEAR: each footnode → its nearest stop (batch nearest-neighbor join,
@@ -57,15 +58,27 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     * Scale path (same cell trick as GraphBuilder.walkTo): bucket both sides
     * into ~1 km grid cells and join each footnode against the stops in its
     * 3×3 neighborhood — n·k candidates instead of the n×m crossJoin. A
-    * neighborhood win at ≤ cell width is provably the global nearest; the
-    * rare footnode with an empty or too-far neighborhood re-scans the full
-    * stop dimension (broadcast — stops are a dimension, footnodes are not). */
+    * neighborhood win is provably the global nearest only when it is ≤ the
+    * SMALLEST cell dimension in meters: the E-W width shrinks by cos(lat)
+    * beyond the sizing's cos ≥ 0.4 assumption, so the acceptance radius is
+    * derived from the data's max |latitude| (degrading gracefully to
+    * all-fallback near the poles). The rare footnode with an empty or
+    * too-far neighborhood re-scans the full stop dimension (broadcast —
+    * stops are a dimension, footnodes are not). */
   lazy val nearEdges: DataFrame = {
     val latCell = NearCellMeters / 111320.0
     val lonCell = NearCellMeters / (111320.0 * 0.4)
     val fn = footNodes.select(col("id").as("fn_id"), col("latitude").as("fn_lat"),
       col("longitude").as("fn_lon"))
     val st = stops.select(col("stop_id"), col("stop_lat"), col("stop_lon"))
+    val maxAbsLat = {
+      val a = footNodes.agg(max(abs(col("latitude")))).head
+      val b = stops.agg(max(abs(col("stop_lat")))).head
+      math.max(if (a.isNullAt(0)) 0.0 else a.getDouble(0),
+        if (b.isNullAt(0)) 0.0 else b.getDouble(0))
+    }
+    val lonCellMeters = lonCell * 111320.0 * math.cos(math.toRadians(maxAbsLat))
+    val acceptMeters = math.max(0.0, math.min(NearCellMeters, lonCellMeters))
     val w = Window.partitionBy("fn_id").orderBy("distance", "stop_id")
     def top1(cands: DataFrame): DataFrame = cands
       .withColumn("distance",
@@ -82,8 +95,11 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     val stCells = st.select(col("stop_id"), col("stop_lat"), col("stop_lon"),
       floor(col("stop_lat") / latCell).cast("long").as("cell_x"),
       floor(col("stop_lon") / lonCell).cast("long").as("cell_y"))
+    // cached: the union and the fallback's left_anti both consume this
+    // subtree — uncached it would evaluate the grid join + window twice
     val resolved = top1(fnCells.join(stCells, Seq("cell_x", "cell_y")))
-      .filter(col("distance") <= NearCellMeters)
+      .filter(col("distance") <= acceptMeters)
+      .cache()
     val fallback = top1(
       fn.join(resolved.select("fn_id"), Seq("fn_id"), "left_anti")
         .crossJoin(broadcast(st)))

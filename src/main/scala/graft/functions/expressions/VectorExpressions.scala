@@ -273,10 +273,14 @@ object QuantizedDotExpr {
     if (sa == 0.0 || sb == 0.0) return 0.0
     val qa = a.getBinary(1)
     val qb = b.getBinary(1)
-    val n = math.min(qa.length, qb.length)
+    // fail loudly: the binary payload hides dimensionality, and a silent
+    // min-length truncation would return plausible-but-wrong similarities
+    if (qa.length != qb.length)
+      throw new IllegalArgumentException(
+        s"quantized_dot: dimension mismatch ${qa.length} vs ${qb.length}")
     var acc = 0L
     var i = 0
-    while (i < n) { acc += qa(i).toLong * qb(i).toLong; i += 1 }
+    while (i < qa.length) { acc += qa(i).toLong * qb(i).toLong; i += 1 }
     sa * sb * acc.toDouble
   }
 

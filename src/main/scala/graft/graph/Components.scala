@@ -53,9 +53,13 @@ object Components {
       vertices.map(v => (v, find(v))).toDF("vertex_id", "component")
     } else {
       val edgeRdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      Graph.fromEdges(edgeRdd, 0).connectedComponents()
-        .vertices.map { case (vid, comp) => (vid, comp) }
+      // connectedComponents materializes during the call (Pregel actions)
+      // and caches its own vertices, so the source cache can be released
+      val cc = Graph.fromEdges(edgeRdd, 0).connectedComponents()
+      val out = cc.vertices.map { case (vid, comp) => (vid, comp) }
         .toDF("vertex_id", "component")
+      e.unpersist()
+      out
     }
   }
 }

@@ -28,6 +28,14 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       discriminator: String, saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit one null-extended row per UNMATCHED SALT
+    // REPLICA of a small-side row (saltFactor garbage rows per key) — only
+    // join types that never null-extend the replicated side are salt-safe
+    val safe = Set("inner", "left", "left_outer", "leftouter", "cross")
+    require(safe.contains(joinType.toLowerCase.replace("_", "")) ||
+      safe.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/cross, not $joinType: outer sides " +
+        "that null-extend the replicated small side produce spurious rows")
     val saltedLarge = large.withColumn("__salt",
       pmod(xxhash64(col(key), col(discriminator)), lit(saltFactor)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

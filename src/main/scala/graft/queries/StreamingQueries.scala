@@ -27,13 +27,15 @@ object StreamingQueries {
              |ORDER BY window_start, event_type""".stripMargin)),
 
     // Streaming exact dedup (EventStreams.dedupByKey): bounded-state
-    // dropDuplicates under a watermark. The deterministic batch twin keeps
+    // dropDuplicatesWithinWatermark. The deterministic batch twin keeps
     // the FIRST event per (user, type) — what the stream emits under
     // in-order arrival; StreamingSpec asserts exactly that equivalence.
+    // Ranked on the raw NANOS ts long (Catalog.t) — the micros-truncated
+    // timestamp could tie where DuckDB's full-nano ordering doesn't.
     Q("stream_dedup_by_key", "streaming,dedup",
       (s, dir) => {
         val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-        EventStreams.eventsWithTimestamp(s, dir)
+        t(s, dir, "events") // ts arrives as long nanos
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("user_id", "event_type", "event_id")

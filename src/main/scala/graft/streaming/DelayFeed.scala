@@ -10,8 +10,8 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * projection. The reference is strictly batch; this is the engine's
   * real-time story: the delay table is trip-keyed (dimension-sized), so
   * folding it into a 100 TB projection is a broadcast join, and the
-  * stateful "latest update wins" fold is bounded by the number of live
-  * trips, not the update rate. */
+  * stateful "latest update wins" fold — with an idle TTL — is bounded by
+  * the number of recently-active trips, not the update rate. */
 object DelayFeed {
 
   final case class DelayEvent(trip_id: String, ts: java.sql.Timestamp, delay_secs: Long)
@@ -19,19 +19,35 @@ object DelayFeed {
 
   /** Latest delay per trip from an update stream (stateful upsert
     * changelog, update mode). Ties on timestamp resolve to the larger
-    * delay — mirrored exactly by latestDelaysBatch. */
-  def latestDelays(updates: Dataset[DelayEvent]): Dataset[TripDelay] = {
+    * delay — mirrored exactly by latestDelaysBatch.
+    *
+    * `idleTtlMs` > 0 evicts a trip's state after that much processing-time
+    * inactivity (the final state is re-emitted on expiry, a harmless
+    * changelog refresh) — REQUIRED for production feeds, where trip ids are
+    * date-qualified and a TTL-less state store grows with every service day
+    * ever seen. 0 keeps state forever (deterministic tests). */
+  def latestDelays(updates: Dataset[DelayEvent], idleTtlMs: Long = 0L): Dataset[TripDelay] = {
     import updates.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     updates.groupByKey(_.trip_id)
-      .mapGroupsWithState[TripDelay, TripDelay](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[TripDelay, TripDelay](timeoutConf) {
         (trip, evs, state) =>
-          val candidates = state.getOption.toSeq
-            .map(s => (s.as_of.getTime, s.delay_secs)) ++
-            evs.map(e => (e.ts.getTime, e.delay_secs))
-          val (t, d) = candidates.max
-          val td = TripDelay(trip, d, new java.sql.Timestamp(t))
-          state.update(td)
-          td
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val candidates = state.getOption.toSeq
+              .map(s => (s.as_of.getTime, s.delay_secs)) ++
+              evs.map(e => (e.ts.getTime, e.delay_secs))
+            val (t, d) = candidates.max
+            val td = TripDelay(trip, d, new java.sql.Timestamp(t))
+            state.update(td)
+            if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
+            td
+          }
       }
   }
 

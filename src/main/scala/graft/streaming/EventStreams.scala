@@ -74,16 +74,20 @@ object EventStreams {
       }
   }
 
-  /** Streaming exact dedup: drop repeated keys with bounded state — the
-    * watermark lets Spark expire per-key state, so the operator runs forever
-    * on an unbounded stream (an unwatermarked dropDuplicates would grow
-    * state without bound). On a static frame the same call is a plain
-    * distinct-by-key keeping an arbitrary row; batch parity in the catalog
-    * therefore keys the FIRST row per key (min ts tie-broken by event_id),
-    * which is what the stream emits under in-order arrival. */
+  /** Streaming exact dedup with genuinely bounded state:
+    * dropDuplicatesWithinWatermark expires per-key state once the watermark
+    * passes the key's event time, so the operator runs forever on an
+    * unbounded stream with ever-fresh keys. (Plain dropDuplicates(keyCol)
+    * would keep one state entry per key FOREVER — the watermark does not
+    * bound it unless the event-time column is part of the key.) The
+    * trade-off is the documented one: a duplicate arriving after the
+    * watermark has passed its original re-emits. Batch parity in the
+    * catalog keys the FIRST row per key (min ts tie-broken by event_id),
+    * which is what the stream emits under in-order arrival inside the
+    * watermark window. */
   def dedupByKey(events: DataFrame, keyCol: String,
       watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates(keyCol)
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCol)
 
   /** Read the static events parquet back as a timestamped DataFrame (its
     * `ts` column arrives as long nanos — see Catalog.t). */
