@@ -18,7 +18,6 @@ object PerfHarness {
   def run(engine: RoutingEngine, date: String, time: String, speed: Double,
       radius: Double, pairs: Seq[OdPair]): Seq[Measurement] = {
     import graft.functions.SpatialFunctions._
-    val spark = engine.gtfs.stops.sparkSession
     pairs.map { p =>
       val t0 = System.nanoTime()
       val startNames = engine.findNearStops(date, p.startLat, p.startLon, radius, speed)
@@ -32,11 +31,8 @@ object PerfHarness {
         else engine.routingBetweenTwoPoints(date, p.startLat, p.startLon,
           p.endLat, p.endLon, startNames, endNames, speed, time).count()
       val t3 = System.nanoTime()
-      val km = {
-        import org.apache.spark.sql.functions._
-        spark.range(1).select(haversineMeters(lit(p.startLat), lit(p.startLon),
-          lit(p.endLat), lit(p.endLon)) / 1000.0).head.getDouble(0)
-      }
+      val km = haversineMetersScalar(p.startLat, p.startLon,
+        p.endLat, p.endLon) / 1000.0
       Measurement(p.name, km, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, segments)
     }
   }

@@ -32,7 +32,8 @@ final case class JourneySummary(segments: DataFrame, changes: Long,
   * against the candidate targets and takes the top-1 — identical semantics
   * (each pair's optimal cost is still exact), N× less traversal work.
   */
-class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
+class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
+    ssspLocalThreshold: Long = ShortestPaths.LocalDijkstraMaxEdges) {
 
   private val spark: SparkSession = gtfs.stops.sparkSession
 
@@ -48,7 +49,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
   def projected(day: java.sql.Date, speed: Double): TimeExpandedGraph =
     synchronized {
       projections.getOrElseUpdate((day, speed),
-        TimeExpandedGraph.build(gtfs, day, speed, walkTo))
+        TimeExpandedGraph.build(gtfs, day, speed, walkTo, ssspLocalThreshold))
     }
 
   private def day(date: String): java.sql.Date = java.sql.Date.valueOf(date)
@@ -144,9 +145,9 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0) {
       // full (vertex × source) table ever crosses into Spark.
       val tgtIds = targets.select("t_id").as[Long].collect().toSet
       if (tgtIds.isEmpty) return emptySegments
-      val row = bestPair(g.sssp.runForTargets(srcIds, tgtIds))
-        .getOrElse(return emptySegments)
-      val path = g.sssp.lastPath(row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
+      val run = g.sssp.runForTargets(srcIds, tgtIds)
+      val row = bestPair(run.distances).getOrElse(return emptySegments)
+      val path = run.path(row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
       if (path.size < 2) return emptySegments
       segments(g, path)
     } else {

@@ -25,6 +25,18 @@ object SpatialFunctions {
     lit(2.0 * EarthRadiusMeters) * asin(sqrt(a))
   }
 
+  /** Driver-side twin of [[haversineMeters]] for scalar coordinates already
+    * on the driver (harness bookkeeping, near-stop pre-checks) — issuing a
+    * Spark job to evaluate four literals is pure scheduling overhead. */
+  def haversineMetersScalar(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2.0 * EarthRadiusMeters * math.asin(math.sqrt(a))
+  }
+
   /** Geohash-style integer cell id at a given cell size (degrees), for
     * bucketing spatial self-joins instead of a crossJoin (SURVEY §2.3 J5):
     * equi-join on neighboring cells, then exact haversine filter. */

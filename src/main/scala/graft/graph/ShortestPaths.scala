@@ -156,10 +156,6 @@ object ShortestPaths {
 
     def isLocal: Boolean = localCsr.isDefined
 
-    /** Last local run's per-source (dist, pred) arrays, kept for lastPath.
-      * Single-engine sequential use — not thread-safe across routing calls. */
-    private var lastLocal: Map[Long, (Array[Double], Array[Int])] = Map.empty
-
     private def computeLocal(g: Csr, sources: Set[Long]): Map[Long, (Array[Double], Array[Int])] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -170,36 +166,49 @@ object ShortestPaths {
           if (si < 0) None else Some(dijkstraCsr(g, si))
         }
       }
-      lastLocal = futures
-        .flatMap { case (s, f) => Await.result(f, Duration.Inf).map(s -> _) }.toMap
-      lastLocal
+      futures.flatMap { case (s, f) => Await.result(f, Duration.Inf).map(s -> _) }.toMap
     }
 
     /** Distances restricted to `targets`. The local path computes the
       * per-source arrays once and emits ONLY target rows — materializing
       * the full (vertex × source) table through toDF was the routing hot
-      * path's dominant cost at Modena scale (~1M rows per call). */
-    def runForTargets(sources: Set[Long], targets: Set[Long]): DataFrame = localCsr match {
+      * path's dominant cost at Modena scale (~1M rows per call). The
+      * returned [[TargetRun]] owns THIS call's (dist, pred) state, so
+      * concurrent routing calls cannot observe each other's paths. */
+    def runForTargets(sources: Set[Long], targets: Set[Long]): TargetRun = localCsr match {
       case Some(g) =>
         import spark.implicits._
+        val state = computeLocal(g, sources)
         val b = Seq.newBuilder[(Long, Long, Double, Long)]
-        for ((src, (dist, pred)) <- computeLocal(g, sources); t <- targets) {
+        for ((src, (dist, pred)) <- state; t <- targets) {
           val ti = g.indexOf(t)
           if (ti >= 0 && !dist(ti).isInfinity) {
             val p = if (pred(ti) < 0) -1L else g.ids(pred(ti))
             b += ((t, src, dist(ti), p))
           }
         }
-        b.result().toDF("vertex_id", "source_id", "dist", "pred")
+        new TargetRun(b.result().toDF("vertex_id", "source_id", "dist", "pred"),
+          Some(g), state)
       case None =>
-        run(sources).filter(col("vertex_id").isin(targets.toSeq: _*))
+        new TargetRun(run(sources).filter(col("vertex_id").isin(targets.toSeq: _*)),
+          None, Map.empty)
     }
+  }
 
-    /** Path source→target (source-first) from the LAST runForTargets call's
-      * local state; Nil when unreachable or on the distributed path (there
-      * the caller walks the predecessor chain from the DataFrame). */
-    def lastPath(source: Long, target: Long): List[Long] =
-      (localCsr, lastLocal.get(source)) match {
+  /** One runForTargets call's result: the target-restricted distance frame
+    * plus, in the local regime, a path reconstructor over the call's own
+    * immutable (dist, pred) arrays. Distributed-regime callers reconstruct
+    * via [[pathDistributed]] over the full table instead — `path` is Nil
+    * there by contract. */
+  final class TargetRun private[ShortestPaths] (
+      val distances: DataFrame,
+      csr: Option[Csr],
+      state: Map[Long, (Array[Double], Array[Int])]) {
+
+    /** Path source→target (source-first); Nil when unreachable or when the
+      * run executed on the distributed branch. */
+    def path(source: Long, target: Long): List[Long] =
+      (csr, state.get(source)) match {
         case (Some(g), Some((dist, pred))) =>
           val ti = g.indexOf(target)
           if (ti < 0 || dist(ti).isInfinity) Nil

@@ -24,7 +24,8 @@ import graft.etl.GraphBuilder
   * in memory and reuses it across routing calls; re-projection is needed
   * only per (day, speed), which RoutingEngine keys its cache on.
   */
-final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame) {
+final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame,
+    ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges) {
   def nodeCount: Long = nodes.count()
   def edgeCount: Long = edges.count()
 
@@ -32,10 +33,6 @@ final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame) {
   def weightedEdges: DataFrame =
     edges.select(col("source").as("src"), col("target").as("dst"),
       col("waiting_time").cast("double").as("weight"))
-
-  /** Local-vs-Pregel threshold for `sssp` — assign before first use to
-    * override (tests force the distributed branch with 0). */
-  var ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges
 
   /** Per-projection SSSP handle: the local-vs-Pregel decision and (when
     * local) the adjacency index happen once, shared by every routing call
@@ -57,7 +54,9 @@ object TimeExpandedGraph {
     * `walkToEdges` is the WALK_TO table (build once via
     * GraphBuilder.walkTo — day-independent). */
   def build(g: GtfsTables, day: java.sql.Date, speed: Double,
-      walkToEdges: DataFrame): TimeExpandedGraph = {
+      walkToEdges: DataFrame,
+      ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges)
+      : TimeExpandedGraph = {
 
     // J1 calendar chain: Day ← Service ← Trip ← Stoptime → Stop (+ Route).
     // Dimensions (calendar slice, trips, routes, stops) broadcast — the
@@ -125,6 +124,6 @@ object TimeExpandedGraph {
 
     // U1: the projected edge list is CHANGE ∪ PRECEDES (`main.py:17`).
     val edges = changeEdges.unionByName(precedesDay).cache()
-    TimeExpandedGraph(nodes, edges)
+    TimeExpandedGraph(nodes, edges, ssspLocalThreshold)
   }
 }

@@ -65,7 +65,7 @@ object Relational {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
         .orderBy("r_name", "n_name"),
       Some("""SELECT r_name, n_name, count(*) AS n_items,
-             |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -189,7 +189,7 @@ object Relational {
           .orderBy("s_name")
       },
       Some("""SELECT s_name, count(*) AS n,
-             |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+             |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_name ORDER BY s_name""".stripMargin)),
 
@@ -206,10 +206,10 @@ object Relational {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, COALESCE(cnt, 0) AS n_orders,
-             |       COALESCE(spend, 0) AS total_spend_cents
+             |       CAST(COALESCE(spend, 0) AS BIGINT) AS total_spend_cents
              |FROM customer LEFT JOIN (
              |  SELECT o_custkey, count(*) AS cnt,
-             |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+             |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
              |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
              |ORDER BY c_custkey""".stripMargin)),
 
@@ -409,7 +409,7 @@ object Relational {
           sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+             |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
@@ -437,7 +437,7 @@ object Relational {
           sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
         .orderBy("month"),
       Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n_orders,
-             |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
              |FROM orders GROUP BY month ORDER BY month""".stripMargin)),
   )
 }

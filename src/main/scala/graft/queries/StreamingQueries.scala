@@ -22,7 +22,7 @@ object StreamingQueries {
         .orderBy("window_start", "event_type"),
       Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
              |       count(*) AS n,
-             |       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
              |FROM events GROUP BY window_start, event_type
              |ORDER BY window_start, event_type""".stripMargin)),
 

@@ -106,15 +106,35 @@ class GtfsEngineSpec extends SparkSpec {
   }
 
   test("routing through the forced-Pregel branch equals the local branch") {
-    // same golden query, but the projection's SSSP handle is forced onto the
-    // distributed Pregel + pointer-doubling-path branch before first use
-    val engD = graft.api.DemoGtfs.engine(spark)
-    val g = engD.projected(java.sql.Date.valueOf(Day), 1.0)
-    g.ssspLocalThreshold = 0L
+    // same golden query, but the engine is constructed with localThreshold 0,
+    // forcing the distributed Pregel + pointer-doubling-path branch
+    val engD = new graft.api.RoutingEngine(graft.api.DemoGtfs.tables(spark),
+      ssspLocalThreshold = 0L)
     val segD = engD.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon").collect()
     val segL = engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon").collect()
     assert(segD.toSeq == segL.toSeq)
     assert(segD.length == 5)
+  }
+
+  test("concurrent routing calls do not corrupt each other's paths") {
+    // two threads route different OD pairs against the SAME engine (shared
+    // projection + Sssp handle); each TargetRun owns its own path state, so
+    // both must return their own golden answers every iteration
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon").count() // warm projection
+    val runs = (1 to 4).map { _ =>
+      val a = Future(engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon")
+        .select("trip").as[String].collect().toSeq)
+      val b = Future(engine.routing(Day, 1.0, "14:05:00", "Gamma", "Epsilon")
+        .select("starting_stop_name").as[String].collect().toSeq)
+      (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    }
+    runs.foreach { case (tripsA, stopsB) =>
+      assert(tripsA == Seq("T1", "T1", "T1", "T3", "T3"))
+      assert(stopsB.nonEmpty && stopsB.head == "Gamma")
+    }
   }
 
   test("point-to-point routing at exact stop coordinates equals stop routing") {

@@ -18,6 +18,17 @@ def norm(v):
         return repr(v)
     return str(v)
 
+# DuckDB types whose driver-hash serialization differs from any Spark type:
+# sum(BIGINT) silently widens to HUGEINT (int128) and DECIMAL never matches
+# LongType/DoubleType — both hash-mismatch at the round gate even when the
+# str()-normalized values above compare equal. Flag them as hard failures.
+BANNED_DUCK_TYPES = ("HUGEINT", "DECIMAL")
+
+def banned_cols(con, sql):
+    rel = con.sql(sql)
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if any(b in str(t).upper() for b in BANNED_DUCK_TYPES)]
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -42,11 +53,17 @@ def main(sf_dir, out_dir):
             print(f"ROWS-ONLY     {name}: {len(spark_rows)} rows")
             continue
         try:
+            skew = banned_cols(con, oracle[name])
             res = con.execute(oracle[name])
             cols = [d[0] for d in res.description]
             data = res.fetchall()
         except Exception as e:
             print(f"ORACLE-ERROR  {name}: {e}")
+            n_bad += 1
+            continue
+        if skew:
+            print(f"TYPE-SKEW     {name}: duck cols {skew} would hash-mismatch "
+                  f"(cast to BIGINT/DOUBLE in the oracle SQL)")
             n_bad += 1
             continue
         order = sorted(range(len(cols)), key=lambda i: cols[i])
