@@ -58,7 +58,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     * names (`main.py:62-71`). */
   def findNearStops(date: String, lat: Double, lon: Double, radius: Double,
       speed: Double = 1.0): DataFrame =
-    projected(day(date), speed).nodes
+    projected(day(date), speed).stopDim
       .filter(haversineMeters(col("lat"), col("lon"), lit(lat), lit(lon)) < radius)
       .select("stop_name").distinct()
 
@@ -141,13 +141,34 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
 
     if (g.sssp.isLocal) {
       // In-memory graph (the reference's own regime): distances only at the
-      // candidate targets, path reconstructed from the retained arrays — no
-      // full (vertex × source) table ever crosses into Spark.
-      val tgtIds = targets.select("t_id").as[Long].collect().toSet
-      if (tgtIds.isEmpty) return emptySegments
-      val run = g.sssp.runForTargets(srcIds, tgtIds)
-      val row = bestPair(run.distances).getOrElse(return emptySegments)
-      val path = run.path(row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
+      // candidate targets, path reconstructed from the run's own arrays — no
+      // full (vertex × source) table ever crosses into Spark. The candidate
+      // pair ranking runs driver-side too: sources, targets and distances
+      // are all driver-resident (one-stop candidate sets), so the bestPair
+      // join would only add scheduling overhead. Ordering is the uniform
+      // (arrival + end walk, cost + both walks, s_id, t_id) — with zero
+      // walks this reduces exactly to the stop-to-stop (t_arr, cost) order;
+      // the forced-Pregel parity spec pins both branches equal.
+      val tgtLocal = targets.collect() // tiny: candidate stoptimes at one stop
+      if (tgtLocal.isEmpty) return emptySegments
+      val hasTWalk = targets.columns.contains("t_walk")
+      def secs(r: org.apache.spark.sql.Row, i: Int): Long =
+        r.get(i).asInstanceOf[Number].longValue
+      val run = g.sssp.runForTargets(srcIds, tgtLocal.map(_.getLong(0)).toSet)
+      val ranked = (for {
+        s <- srcLocal
+        t <- tgtLocal
+        // target must depart after its source (`main.py:93,141`)
+        if secs(t, 1) > secs(s, 1)
+        cost <- run.distance(s.getLong(0), t.getLong(0))
+      } yield {
+        val tWalk = if (hasTWalk) t.getDouble(3) else 0.0
+        ((secs(t, 2) + tWalk, cost + s.getDouble(2) + tWalk,
+          s.getLong(0), t.getLong(0)), s.getLong(0), t.getLong(0))
+      }).toSeq
+      if (ranked.isEmpty) return emptySegments
+      val (_, bestSrc, bestTgt) = ranked.minBy(_._1)
+      val path = run.path(bestSrc, bestTgt)
       if (path.size < 2) return emptySegments
       segments(g, path)
     } else {

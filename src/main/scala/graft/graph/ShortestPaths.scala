@@ -143,9 +143,13 @@ object ShortestPaths {
       col("weight").cast("double"))
     private lazy val localCsr: Option[Csr] = {
       import spark.implicits._
-      if (e.count() <= localThreshold)
-        Some(buildCsr(e.as[(Long, Long, Double)].collect()))
-      else None
+      // One job instead of count-then-collect: fetch at most threshold+1
+      // rows; an overflow row proves the graph belongs to the distributed
+      // regime (the collected prefix is discarded — a bounded, one-time
+      // cost even when the full edge set is far larger).
+      val cap = math.min(localThreshold, (Int.MaxValue - 2).toLong).toInt
+      val probe = e.as[(Long, Long, Double)].head(cap + 1)
+      if (probe.length <= cap) Some(buildCsr(probe)) else None
     }
     def run(sources: Set[Long]): DataFrame = localCsr match {
       case Some(g) => localDijkstraDF(spark, g, sources)
@@ -204,6 +208,20 @@ object ShortestPaths {
       val distances: DataFrame,
       csr: Option[Csr],
       state: Map[Long, (Array[Double], Array[Int])]) {
+
+    /** True when this run holds driver-resident state (the local regime) —
+      * distance/path lookups are O(1) array reads, no Spark job. */
+    def isLocal: Boolean = csr.isDefined
+
+    /** Best distance source→target from this run's local state; None when
+      * unreachable, unknown vertices, or on the distributed branch. */
+    def distance(source: Long, target: Long): Option[Double] =
+      (csr, state.get(source)) match {
+        case (Some(g), Some((dist, _))) =>
+          val ti = g.indexOf(target)
+          if (ti < 0 || dist(ti).isInfinity) None else Some(dist(ti))
+        case _ => None
+      }
 
     /** Path source→target (source-first); Nil when unreachable or when the
       * run executed on the distributed branch. */

@@ -34,6 +34,16 @@ final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame,
     edges.select(col("source").as("src"), col("target").as("dst"),
       col("waiting_time").cast("double").as("weight"))
 
+  /** Day-served stop dimension — one row per distinct (stop_name, lat, lon)
+    * with service in this projection. Interactive near-stop search only
+    * needs this few-thousand-row table, not the full stoptime node set
+    * (249k rows at Modena cardinality); built once per projection, cached. */
+  lazy val stopDim: DataFrame = {
+    stopDimForced = true
+    nodes.select("stop_name", "lat", "lon").distinct().cache()
+  }
+  private var stopDimForced = false
+
   /** Per-projection SSSP handle: the local-vs-Pregel decision and (when
     * local) the adjacency index happen once, shared by every routing call
     * against this projection — the reference holds one in-memory CSR per
@@ -41,7 +51,10 @@ final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame,
   lazy val sssp: graft.graph.ShortestPaths.Sssp =
     new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold)
 
-  def unpersist(): Unit = { nodes.unpersist(); edges.unpersist() }
+  def unpersist(): Unit = {
+    if (stopDimForced) stopDim.unpersist()
+    nodes.unpersist(); edges.unpersist()
+  }
 }
 
 object TimeExpandedGraph {
