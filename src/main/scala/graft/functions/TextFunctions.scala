@@ -84,6 +84,30 @@ object TextFunctions {
   def jaccardSorted(a: Column, b: Column): Column =
     graft.functions.expressions.JaccardSortedExpr(a, b)
 
+  /** Engine-portable hashed shingle set: sorted distinct md5-hex of each
+    * n-gram shingle. md5 is bit-identical in Spark and DuckDB, so pipelines
+    * built on this (unlike the xxhash64 [[hashedShingles]]) carry real
+    * DuckDB oracles end to end. */
+  def md5Shingles(text: Column, n: Int): Column =
+    sort_array(array_distinct(transform(shingles(text, n), s => md5(s.cast("binary")))))
+
+  /** Engine-portable MinHash signature over [[md5Shingles]] output: element
+    * j = min over the set of md5(j ":" hex). See expressions.MinHashMd5Expr. */
+  def minhashMd5(md5ShingleCol: Column, k: Int): Column =
+    graft.functions.expressions.MinHashMd5Expr(md5ShingleCol, k)
+
+  /** LSH band keys from a string MinHash signature — md5 of the joined band
+    * rows (DuckDB: `md5(array_to_string(sg[b*r+1 : b*r+r], ','))`). */
+  def lshBandKeysMd5(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), md5(concat_ws(",",
+        slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).cast("binary")).as("key")))
+
+  /** Exact Jaccard over two distinct-element array<string> columns
+    * (DuckDB: `len(list_intersect(a,b)) / len(list_distinct(list_concat))`). */
+  def jaccardSets(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
   /** Word n-gram shingles of size n (space-joined), for MinHash/Jaccard. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
@@ -111,6 +135,12 @@ object TextFunctions {
     * formulation builds a 64-wide tree that dominated dedup at sf0.1). */
   def simhash64(text: Column): Column =
     graft.functions.expressions.SimHash64Expr(tokens(text))
+
+  /** Engine-portable SimHash: per-token 64-bit hash from md5 instead of
+    * xxhash64, so the dedup query carries a DuckDB oracle. See
+    * expressions.SimHashMd5Expr. */
+  def simhashMd5(text: Column): Column =
+    graft.functions.expressions.SimHashMd5Expr(tokens(text))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =

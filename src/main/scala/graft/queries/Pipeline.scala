@@ -18,6 +18,118 @@ import graft.functions.VectorFunctions._
 object Pipeline {
   import Catalog.t
 
+  /** DuckDB CTE prefix mirroring md5Shingles → minhashMd5 → lshBandKeysMd5
+    * → band-key candidate join → exact set Jaccard, step for step (every
+    * hash is md5, bit-identical across engines). `tail` consumes the
+    * `verified(a_id, b_id, jaccard)` relation; `sh(doc_id, s)` holds the
+    * hashed shingle sets. */
+  private def minhashOracle(n: Int, k: Int, bands: Int, rows: Int, tail: String): String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    CASE WHEN len(tk) < $n THEN [md5(array_to_string(tk, ' '))]
+       |         ELSE list_transform(range(1, len(tk) - ${n - 2}),
+       |                             i -> md5(array_to_string(tk[i:i+${n - 1}], ' '))) END)) AS s
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, s, list_transform(range(0, $k), j ->
+       |    list_min(list_transform(s, h -> md5(j || ':' || h)))) AS sg
+       |  FROM sh),
+       |bandrows AS (SELECT doc_id, unnest(range(0, $bands)) AS band, sg FROM sig),
+       |keys AS (SELECT doc_id, band,
+       |  md5(array_to_string(sg[band*$rows+1 : band*$rows+$rows], ',')) AS key FROM bandrows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id JOIN sh sb ON cand.b_id = sb.doc_id)
+       |$tail""".stripMargin
+
+  /** DuckDB mirror of dedup_embedding_cosine: same seeded hyperplanes as
+    * exact double literals, strict `> 0` sign bits, float→double cast, and
+    * left-to-right summation matching DotProductExpr. */
+  private def embeddingCosineOracle: String = {
+    val planes = graft.functions.VectorFunctions.hyperplanes(3, 64)
+    def lit(p: Array[Double]): String = p.mkString("[", ",", "]::DOUBLE[]")
+    def bit(i: Int): String =
+      s"CASE WHEN list_sum(list_transform(list_zip(v, ${lit(planes(i))}), p -> p[1]*p[2])) > 0 THEN ${1 << i} ELSE 0 END"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |unit AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u,
+       |    (${bit(0)} + ${bit(1)} + ${bit(2)}) AS bucket
+       |  FROM e)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |       list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])) AS cos
+       |FROM unit a JOIN unit b ON a.bucket = b.bucket
+       |WHERE a.vec_id < b.vec_id
+       |  AND list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])) >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Shared `unit(vec_id, u, bucket)` CTE prefix for the sign-LSH oracles:
+    * seeded hyperplanes as exact round-trip double literals, strict `> 0`
+    * sign bits, unit vectors via the same left-to-right fold as
+    * DotProductExpr. */
+  private def signLshPrefix(nPlanes: Int): String = {
+    val planes = graft.functions.VectorFunctions.hyperplanes(nPlanes, 64)
+    def lit(p: Array[Double]): String = p.mkString("[", ",", "]::DOUBLE[]")
+    val bits = (0 until nPlanes).map(i =>
+      s"CASE WHEN list_sum(list_transform(list_zip(v, ${lit(planes(i))}), p -> p[1]*p[2])) > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |unit AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u,
+       |    $bits AS bucket
+       |  FROM e)""".stripMargin
+  }
+
+  /** DuckDB mirror of sim_ann_lsh: bucket equi-join candidates, exact
+    * re-rank — same bit-exact arithmetic as [[embeddingCosineOracle]]. */
+  private def annLshOracle: String =
+    s"""${signLshPrefix(2)},
+       |cands AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS v_id,
+       |         list_sum(list_transform(list_zip(q.u, v.u), p -> p[1]*p[2])) AS c
+       |  FROM unit q JOIN unit v ON q.bucket = v.bucket
+       |  WHERE q.vec_id < 5 AND q.vec_id <> v.vec_id),
+       |ranked AS (
+       |  SELECT q_id, v_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, v_id) AS rn
+       |  FROM cands)
+       |SELECT q_id, v_id, round(c, 4) AS cos, CAST(rn AS INTEGER) AS rn FROM ranked
+       |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
+  /** DuckDB mirror of sim_ann_lsh_int8: QuantizeInt8Expr is maxAbs/127
+    * scaling with Java half-up rounding (`floor(x/scale + 0.5)`), and
+    * QuantizedDotExpr is an exact integer MAC scaled by (sa*sb) — both
+    * reproduced term for term, so even the rounded cosines hash-match. */
+  private def annLshInt8Oracle: String =
+    s"""${signLshPrefix(2)},
+       |quant AS (
+       |  SELECT vec_id, bucket,
+       |    list_max(list_transform(u, x -> abs(x))) / 127.0 AS scale,
+       |    list_transform(u, x -> CAST(floor(x / (list_max(list_transform(u, y -> abs(y))) / 127.0) + 0.5) AS BIGINT)) AS q
+       |  FROM unit),
+       |cands AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS v_id,
+       |         (q.scale * v.scale) * CAST(list_sum(list_transform(list_zip(q.q, v.q), p -> p[1]*p[2])) AS DOUBLE) AS c
+       |  FROM quant q JOIN quant v ON q.bucket = v.bucket
+       |  WHERE q.vec_id < 5 AND q.vec_id <> v.vec_id),
+       |ranked AS (
+       |  SELECT q_id, v_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, v_id) AS rn
+       |  FROM cands)
+       |SELECT q_id, v_id, round(c, 4) AS cos, CAST(rn AS INTEGER) AS rn FROM ranked
+       |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on content digest, keep the smallest doc_id.
@@ -43,16 +155,19 @@ object Pipeline {
 
     // MinHash + LSH near-dup: shingle → minhash signature → band keys →
     // bucket self-join (equi-join on band key, NOT a crossJoin) → exact
-    // Jaccard verify on candidates. Rows-only oracle (xxhash64-based).
+    // Jaccard verify on candidates. Hashing is the engine-portable md5
+    // family (bit-identical in DuckDB), so the WHOLE pipeline — shingles,
+    // seeded minhash, band keys, candidate join, exact Jaccard — is
+    // oracle-checked, not rows-only. The xxhash64 twins (hashedShingles /
+    // minhashSignature) remain the cheaper production kernels, covered by
+    // PropertySpec.
     Q("dedup_minhash_lsh", "dedup",
       (s, dir) => {
-        // Shingle sets as sorted hashed longs (8-byte elements in shuffles,
-        // merge-pass exact Jaccard); band join carries doc ids only.
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), hashedShingles(col("text"), 3).as("sh"))
+          .select(col("doc_id"), md5Shingles(col("text"), 3).as("sh"))
           .cache()
         val banded = docs
-          .select(col("doc_id"), explode(lshBandKeys(minhashSignature(col("sh"), 16), 4, 4)).as("bk"))
+          .select(col("doc_id"), explode(lshBandKeysMd5(minhashMd5(col("sh"), 16), 4, 4)).as("bk"))
           .select(col("doc_id"), col("bk.band"), col("bk.key"))
         val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
@@ -63,18 +178,23 @@ object Pipeline {
         candidates
           .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
           .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
+          .select(col("a_id"), col("b_id"), jaccardSets(col("a_sh"), col("b_sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .orderBy("a_id", "b_id")
       },
-      None),
+      Some(minhashOracle(n = 3, k = 16, bands = 4, rows = 4,
+        """SELECT a_id, b_id, jaccard FROM verified
+          |WHERE jaccard >= 0.8 ORDER BY a_id, b_id""".stripMargin))),
 
     // SimHash near-dup: 64-bit simhash, candidate via any equal 16-bit chunk
     // (pigeonhole: hamming ≤ 3 ⇒ one of 4 chunks equal), verify hamming.
+    // md5-derived token hashes (SimHashMd5Expr) so DuckDB mirrors the whole
+    // pipeline — the raw simhash never leaves the query, so the signed
+    // (Spark long) vs unsigned (DuckDB UBIGINT) carrier cannot skew output.
     Q("dedup_simhash", "dedup",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), simhash64(col("text")).as("sh"))
+          .select(col("doc_id"), simhashMd5(col("text")).as("sh"))
         val chunked = docs.select(col("doc_id"), col("sh"),
           explode(array((0 until 4).map(i =>
             struct(lit(i).as("chunk"),
@@ -89,7 +209,28 @@ object Pipeline {
           .filter(col("hamming") <= 3)
           .orderBy("a_id", "b_id")
       },
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |hs AS (
+             |  SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS th
+             |  FROM toks),
+             |sim AS (
+             |  SELECT doc_id, CAST(COALESCE(list_sum(list_transform(range(0, 64), b ->
+             |    CASE WHEN COALESCE(list_sum(list_transform(th, h ->
+             |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)), 0) AS UBIGINT) AS sh
+             |  FROM hs),
+             |keyed AS (
+             |  SELECT doc_id, sh, chunk, (sh >> (chunk * 16)) & 65535 AS ckey
+             |  FROM (SELECT doc_id, sh, unnest(range(0, 4)) AS chunk FROM sim)),
+             |cand AS (
+             |  SELECT a.doc_id AS a_id, a.sh AS a_sh, b.doc_id AS b_id, b.sh AS b_sh
+             |  FROM keyed a JOIN keyed b ON a.chunk = b.chunk AND a.ckey = b.ckey
+             |  WHERE a.doc_id < b.doc_id)
+             |SELECT DISTINCT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS INTEGER) AS hamming
+             |FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // Exact n-gram Jaccard near-dup, with MinHash-LSH candidate generation
     // (8 bands × 2 rows ≈ catches J ≥ 0.5 with high recall) instead of a
@@ -98,10 +239,10 @@ object Pipeline {
     Q("dedup_ngram_jaccard", "dedup",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), hashedShingles(col("text"), 2).as("sh"))
+          .select(col("doc_id"), md5Shingles(col("text"), 2).as("sh"))
           .cache()
         val banded = docs
-          .select(col("doc_id"), explode(lshBandKeys(minhashSignature(col("sh"), 16), 8, 2)).as("bk"))
+          .select(col("doc_id"), explode(lshBandKeysMd5(minhashMd5(col("sh"), 16), 8, 2)).as("bk"))
           .select(col("doc_id"), col("bk.band"), col("bk.key"))
         val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
@@ -110,11 +251,13 @@ object Pipeline {
         candidates
           .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
           .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
+          .select(col("a_id"), col("b_id"), jaccardSets(col("a_sh"), col("b_sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("a_id", "b_id")
       },
-      None),
+      Some(minhashOracle(n = 2, k = 16, bands = 8, rows = 2,
+        """SELECT a_id, b_id, jaccard FROM verified
+          |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin))),
 
     // Embedding near-dup via cosine ≥ threshold on LSH-bucketed candidates.
     // (The synthetic embeddings have no true near-dups — max pairwise cosine
@@ -137,7 +280,12 @@ object Pipeline {
           .filter(col("cos") >= 0.35)
           .orderBy("a_id", "b_id")
       },
-      None),
+      // Oracle carries the 3 seeded hyperplanes as exact round-trip double
+      // literals (Double.toString) and mirrors unitVector / sign-LSH / dot
+      // element for element; DuckDB's list_sum is the same left-to-right
+      // fold as the native DotProductExpr, so even the unrounded cosines
+      // hash-match (verified bit-exact at sf0.01).
+      Some(embeddingCosineOracle)),
 
     // The composed dedup pipeline: near-dup candidate pairs (MinHash-LSH ∪
     // SimHash) → connected components over the pair graph → canonical
@@ -147,10 +295,10 @@ object Pipeline {
     Q("dedup_canonical_assignment", "dedup",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), hashedShingles(col("text"), 2).as("sh"))
+          .select(col("doc_id"), md5Shingles(col("text"), 2).as("sh"))
           .cache()
         val banded = docs
-          .select(col("doc_id"), explode(lshBandKeys(minhashSignature(col("sh"), 16), 8, 2)).as("bk"))
+          .select(col("doc_id"), explode(lshBandKeysMd5(minhashMd5(col("sh"), 16), 8, 2)).as("bk"))
           .select(col("doc_id"), col("bk.band"), col("bk.key"))
         val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
@@ -159,13 +307,25 @@ object Pipeline {
         val nearDupPairs = candidates
           .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
           .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-          .filter(jaccardSorted(col("a_sh"), col("b_sh")) >= 0.5)
+          .filter(jaccardSets(col("a_sh"), col("b_sh")) >= 0.5)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         graft.graph.Components.connected(nearDupPairs)
           .select(col("vertex_id").as("doc_id"), col("component").as("canonical_id"))
           .orderBy("doc_id")
       },
-      None),
+      // components oracle: transitive closure of the verified pair graph by
+      // recursive CTE (tiny — pairs, not documents), canonical = min
+      // reachable id, exactly Components.connected's contract
+      Some(minhashOracle(n = 2, k = 16, bands = 8, rows = 2,
+        """, pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+          |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          |          UNION ALL SELECT b_id, a_id FROM pairs),
+          |reach AS (
+          |  SELECT u, v FROM (SELECT u, v FROM edges UNION SELECT u, u FROM edges)
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          |SELECT u AS doc_id, min(v) AS canonical_id FROM reach
+          |GROUP BY u ORDER BY doc_id""".stripMargin))),
 
     // Brute-force cosine similarity of fixed query vectors against the whole
     // table (selection-free — values only, so it can carry a DuckDB oracle;
@@ -244,14 +404,14 @@ object Pipeline {
           .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
           .orderBy("q_id", "rn")
       },
-      None),
+      Some(annLshOracle)),
 
     // LSH ANN with int8-quantized re-rank: same candidate generation, but
     // the scoring pass reads 1/8th the bytes (struct(scale, int8[]) vs
     // array<double>) — at 100 TB the re-rank is IO-bound and this is the
-    // storage lever. Rows-only (quantization error shifts 4th decimals);
-    // AnnRecallSpec holds its recall floor and FunctionsSpec bounds the
-    // dot-product error.
+    // storage lever. Oracled exactly (annLshInt8Oracle mirrors the integer
+    // MAC); AnnRecallSpec holds its recall floor and FunctionsSpec bounds
+    // the dot-product error vs the float path.
     Q("sim_ann_lsh_int8", "similarity",
       (s, dir) => {
         val planes = hyperplanes(2, 64)
@@ -270,7 +430,7 @@ object Pipeline {
           .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
           .orderBy("q_id", "rn")
       },
-      None),
+      Some(annLshInt8Oracle)),
 
     // IVF ANN (the clustered scale path): k-means cells, probe the 2 nearest
     // cells per query, exact cosine re-rank inside them. Complements
@@ -363,13 +523,35 @@ object Pipeline {
              |       ELSE 'fr' END AS predicted
              |FROM scores ORDER BY doc_id""".stripMargin)),
 
-    // Rolling-hash document fingerprint (rows-only: xxhash64-based).
+    // Order-sensitive document fingerprint: md5 chained over the per-token
+    // md5 stream (equal documents collide, reordered ones don't), plus the
+    // portable simhash exported as unsigned hex — everything md5-derived, so
+    // the oracle mirrors it exactly. The xxhash64 kernels (fingerprint /
+    // simhash64) remain the cheaper production variants (FunctionsSpec).
     Q("text_fingerprint", "text",
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"),
-          simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"),
+          md5(concat_ws("", transform(tokens(col("text")),
+            tok => md5(tok.cast("binary")))).cast("binary")).as("fp"),
+          format_string("%016x", simhashMd5(col("text"))).as("simhash"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |hs AS (
+             |  SELECT doc_id, tk,
+             |         list_transform(tk, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS th
+             |  FROM toks),
+             |sim AS (
+             |  SELECT doc_id, tk, CAST(COALESCE(list_sum(list_transform(range(0, 64), b ->
+             |    CASE WHEN COALESCE(list_sum(list_transform(th, h ->
+             |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+             |         THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)), 0) AS UBIGINT) AS sh
+             |  FROM hs)
+             |SELECT doc_id,
+             |  md5(array_to_string(list_transform(tk, t -> md5(t)), '')) AS fp,
+             |  lower(lpad(to_hex(sh), 16, '0')) AS simhash
+             |FROM sim ORDER BY doc_id""".stripMargin)),
 
     // BPE-ish sub-word token count. DuckDB's RE2 has no lookarounds, so the
     // oracle counts the equivalent decomposition directly: maximal letter

@@ -61,6 +61,39 @@ class FunctionsSpec extends SparkSpec {
     assert(close <= 16)
   }
 
+  test("md5-portable kernels match driver-side references") {
+    // simhashMd5: per-token u64 = first 8 bytes of md5, per-bit majority vote
+    def md5u64(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((h, i) => (h << 8) | (d(i) & 0xFFL))
+    }
+    val toks = Seq("hello", "world", "foo")
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = md5u64(t)
+      (0 until 64).foreach(b => votes(b) += (((h >>> b) & 1L).toInt * 2) - 1)
+    }
+    val expected = (0 until 64).foldLeft(0L)((acc, b) =>
+      if (votes(b) > 0) acc | (1L << b) else acc)
+    val got = Seq("hello world foo").toDF("text")
+      .select(simhashMd5($"text")).as[Long].head()
+    assert(got == expected)
+    // minhashMd5: element j is the lexicographic min of md5(s"$j:$hex")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val hexes = Seq("a b", "b c", "c d").map(md5hex).sorted
+    val expSig = (0 until 4).map(j => hexes.map(h => md5hex(s"$j:$h")).min)
+    val gotSig = Seq("a b c d").toDF("text")
+      .select(minhashMd5(md5Shingles($"text", 2), 4)).as[Seq[String]].head()
+    assert(gotSig == expSig)
+    // empty text: simhash 0, shingle set = [md5("")]
+    val empty = Seq("").toDF("text")
+      .select(simhashMd5($"text"), md5Shingles($"text", 2)).head()
+    assert(empty.getLong(0) == 0L)
+    assert(empty.getSeq[String](1) == Seq(md5hex("")))
+  }
+
   test("cosine similarity: orthogonal=0, identical=1") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
