@@ -103,7 +103,22 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     val fallback = top1(
       fn.join(resolved.select("fn_id"), Seq("fn_id"), "left_anti")
         .crossJoin(broadcast(st)))
-    resolved.unionByName(fallback).cache()
+    val union = resolved.unionByName(fallback).cache()
+    // materialize the union so the inner cache can be released — otherwise
+    // `resolved` stays pinned for the engine's lifetime although only the
+    // union is ever reused
+    union.count()
+    resolved.unpersist()
+    nearEdgesForced = true
+    union
+  }
+  private var nearEdgesForced = false
+  private var walkingForced = false
+
+  /** Release this engine's cached frames (mirrors TimeExpandedGraph). */
+  def unpersist(): Unit = {
+    if (walkingForced) walkingGraphEdges.unpersist()
+    if (nearEdgesForced) nearEdges.unpersist()
   }
 
   /** The weighted walking graph: typed foot edges (CONTAINS bidirectional,
@@ -122,8 +137,10 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     val nearRev = nearEdges
       .select(stopVid(col("stop_id")).as("src"), footVid(col("fn_id")).as("dst"),
         col("distance").as("weight"), lit("NEAR").as("type"))
-    typed.unionByName(reversedContains).unionByName(near).unionByName(nearRev)
+    val g = typed.unionByName(reversedContains).unionByName(near).unionByName(nearRev)
       .select("src", "dst", "weight").cache()
+    walkingForced = true
+    g
   }
 
   /** Nearest footnode to a point: (footnode_id, geodesic meters) —

@@ -18,13 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Internal column name guaranteed absent from `cols` — a caller-supplied
+    * `__salt` column would otherwise be silently overwritten (and collide
+    * in the join key). */
+  private def freshName(base: String, cols: Seq[String]): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !cols.contains(n)).get
+
+  /** Deterministic salt in [0, saltFactor). A NULL discriminator would
+    * silently collapse every row of a hot key into one bucket (xxhash64
+    * skips nulls), defeating the mitigation — fail loudly instead. */
+  private def saltExpr(key: String, discriminator: String, saltFactor: Int): Column =
+    when(col(discriminator).isNull, raise_error(lit(
+      s"SkewJoin: discriminator '$discriminator' is NULL — salt would " +
+        "degenerate to one bucket per key; pick a non-null column")))
+      .otherwise(pmod(xxhash64(col(key), col(discriminator)), lit(saltFactor)).cast("int"))
+
   /** Equi-join `large ⋈ small` on `key`, fanning each small-side row out to
     * `saltFactor` replicas and hashing the large side across them. The
     * small side is the dimension (its replication costs saltFactor×|small|);
     * the large side's hot keys spread across saltFactor reducers.
     *
     * `discriminator` picks the large-side column whose hash spreads rows of
-    * one key (e.g. a unique id); it must be non-null. */
+    * one key (e.g. a unique id); NULL values raise at execution. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       discriminator: String, saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
@@ -36,11 +53,11 @@ object SkewJoin {
       safe.contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/cross, not $joinType: outer sides " +
         "that null-extend the replicated small side produce spurious rows")
-    val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(col(key), col(discriminator)), lit(saltFactor)).cast("int"))
-    val saltedSmall = small.withColumn("__salt",
+    val salt = freshName("__salt", large.columns.toSeq ++ small.columns.toSeq)
+    val saltedLarge = large.withColumn(salt, saltExpr(key, discriminator, saltFactor))
+    val saltedSmall = small.withColumn(salt,
       explode(array((0 until saltFactor).map(lit): _*)))
-    saltedLarge.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
+    saltedLarge.join(saltedSmall, Seq(key, salt), joinType).drop(salt)
   }
 
   /** Skew-safe grouped aggregation: partial-aggregate on (key, salt), then
@@ -51,11 +68,13 @@ object SkewJoin {
     * collect/flatten…). */
   def saltedAgg(df: DataFrame, key: String, discriminator: String,
       saltFactor: Int, partial: Column, fin: Column => Column,
-      outName: String): DataFrame =
-    df.withColumn("__salt",
-        pmod(xxhash64(col(key), col(discriminator)), lit(saltFactor)).cast("int"))
-      .groupBy(col(key), col("__salt"))
-      .agg(partial.as("__partial"))
+      outName: String): DataFrame = {
+    val salt = freshName("__salt", df.columns.toSeq)
+    val part = freshName("__partial", df.columns.toSeq)
+    df.withColumn(salt, saltExpr(key, discriminator, saltFactor))
+      .groupBy(col(key), col(salt))
+      .agg(partial.as(part))
       .groupBy(col(key))
-      .agg(fin(col("__partial")).as(outName))
+      .agg(fin(col(part)).as(outName))
+  }
 }

@@ -43,4 +43,23 @@ class SkewJoinSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-9 * math.max(1.0, math.abs(a)))
     }
   }
+
+  test("pre-existing __salt column survives and does not collide") {
+    val f = fact().withColumn("__salt", lit("caller-owned"))
+    val d = dim()
+    val out = SkewJoin.saltedJoin(f, d, "k", "id", saltFactor = 4)
+      .orderBy("id").collect().toSeq
+    assert(out.size == 1000)
+    assert(out.head.getAs[String]("__salt") == "caller-owned")
+  }
+
+  test("NULL discriminator fails loudly instead of collapsing to one bucket") {
+    val f = fact().withColumn("id", when(col("id") === 500L, lit(null)).otherwise(col("id")))
+    val ex = intercept[Exception] {
+      SkewJoin.saltedJoin(f, dim(), "k", "id").count()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(causes(ex).exists(m => m != null && m.contains("discriminator")), ex.toString)
+  }
 }
