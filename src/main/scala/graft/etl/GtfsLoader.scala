@@ -16,9 +16,36 @@ import graft.functions.TimeFunctions.secondsSinceMidnight
   */
 object GtfsLoader {
 
+  /** Column-name fallbacks: real feeds write `route_short_name`; the model
+    * (and the mini fixture) use `short_name`. */
+  private val aliases: Map[String, Seq[String]] = Map(
+    "short_name" -> Seq("route_short_name"))
+
+  /** GTFS-optional columns: absent from some real feeds; loaded as null
+    * rather than failing (nothing downstream keys on them). */
+  private val optional: Set[String] = Set("direction_id", "shape_id", "trip_headsign")
+
+  /** Header-driven CSV read: columns are resolved BY NAME and cast to the
+    * model schema, so real-world feeds with extra columns (stop_code,
+    * pickup_type, route_color, …) or a different column order load
+    * correctly — a positional schema would silently misparse them. All
+    * columns arrive as strings (no inference pass over the big
+    * stop_times file); required columns missing from the header fail
+    * loudly. */
   private def csv(spark: SparkSession, dir: String, name: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(s"$dir/$name")
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(s"$dir/$name")
+    val have = raw.columns.toSet
+    val cols = schema.fields.map { f =>
+      (f.name +: aliases.getOrElse(f.name, Nil)).find(have.contains) match {
+        case Some(source) => col(source).cast(f.dataType).as(f.name)
+        case None if optional.contains(f.name) => lit(null).cast(f.dataType).as(f.name)
+        case None => throw new IllegalArgumentException(
+          s"$name: required column '${f.name}' not in header [${raw.columns.mkString(", ")}]")
+      }
+    }
+    raw.select(cols.toSeq: _*)
+  }
 
   /** reshape.py semantics: keep only calendar rows whose service_id occurs
     * in trips.txt, convert YYYYMMDD → a date column `day`

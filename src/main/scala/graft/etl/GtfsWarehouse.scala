@@ -31,6 +31,7 @@ object GtfsWarehouse {
   def write(g: GtfsTables, dir: String): Unit = {
     dayExpandedStopTimes(g).write.mode("overwrite")
       .partitionBy("day").parquet(s"$dir/day_stoptimes")
+    g.agency.write.mode("overwrite").parquet(s"$dir/agency")
     g.stops.write.mode("overwrite").parquet(s"$dir/stops")
     g.routes.write.mode("overwrite").parquet(s"$dir/routes")
     g.trips.write.mode("overwrite").parquet(s"$dir/trips")
@@ -41,6 +42,22 @@ object GtfsWarehouse {
     * (verify with `.inputFiles`: only day=<d> paths appear). */
   def loadDay(spark: SparkSession, dir: String, day: java.sql.Date): DataFrame =
     spark.read.parquet(s"$dir/day_stoptimes").filter(col("day") === lit(day))
+
+  /** Rebuild GtfsTables from a written warehouse for ONE service day: the
+    * engine's full query surface (projection, routing, metrics) runs off
+    * the day-pruned partition + dimensions — at 100 TB this reads one
+    * day directory, never the whole expanded table. The day filter is
+    * required: the expanded table repeats each stoptime once per valid
+    * day, so the unfiltered frame would duplicate rows in the projection
+    * joins. */
+  def loadTables(spark: SparkSession, dir: String, day: java.sql.Date): GtfsTables =
+    GtfsTables(
+      agency = spark.read.parquet(s"$dir/agency"),
+      routes = spark.read.parquet(s"$dir/routes"),
+      trips = spark.read.parquet(s"$dir/trips"),
+      stops = spark.read.parquet(s"$dir/stops"),
+      stopTimes = loadDay(spark, dir, day).drop("route_id", "service_id", "day"),
+      calendar = spark.read.parquet(s"$dir/calendar"))
 
   /** Bucketed twin of the day-expanded table, keyed by stop_id: the
     * CHANGE-candidate joins (stoptime ↔ WALK_TO ↔ stoptime) are all
