@@ -87,9 +87,10 @@ object TextFunctions {
   /** Engine-portable hashed shingle set: sorted distinct md5-hex of each
     * n-gram shingle. md5 is bit-identical in Spark and DuckDB, so pipelines
     * built on this (unlike the xxhash64 [[hashedShingles]]) carry real
-    * DuckDB oracles end to end. */
+    * DuckDB oracles end to end. Single native pass (tokens → shingle md5s
+    * → sorted distinct) — see expressions.Md5ShinglesExpr. */
   def md5Shingles(text: Column, n: Int): Column =
-    sort_array(array_distinct(transform(shingles(text, n), s => md5(s.cast("binary")))))
+    graft.functions.expressions.Md5ShinglesExpr(tokens(text), n)
 
   /** Engine-portable MinHash signature over [[md5Shingles]] output: element
     * j = min over the set of md5(j ":" hex). See expressions.MinHashMd5Expr. */
@@ -97,16 +98,17 @@ object TextFunctions {
     graft.functions.expressions.MinHashMd5Expr(md5ShingleCol, k)
 
   /** LSH band keys from a string MinHash signature — md5 of the joined band
-    * rows (DuckDB: `md5(array_to_string(sg[b*r+1 : b*r+r], ','))`). */
+    * rows (DuckDB: `md5(array_to_string(sg[b*r+1 : b*r+r], ','))`). Native
+    * single pass: the transform(sequence…) form re-evaluates the signature
+    * subtree once per band (see expressions.LshBandKeysMd5Expr). */
   def lshBandKeysMd5(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), md5(concat_ws(",",
-        slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).cast("binary")).as("key")))
+    graft.functions.expressions.LshBandKeysMd5Expr(signature, bands, rowsPerBand)
 
-  /** Exact Jaccard over two distinct-element array<string> columns
+  /** Exact Jaccard over two SORTED distinct array<string> columns
+    * ([[md5Shingles]] output) — one merge pass, no per-pair hash sets
     * (DuckDB: `len(list_intersect(a,b)) / len(list_distinct(list_concat))`). */
   def jaccardSets(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+    graft.functions.expressions.JaccardSortedStrExpr(a, b)
 
   /** Word n-gram shingles of size n (space-joined), for MinHash/Jaccard. */
   def shingles(text: Column, n: Int): Column = {

@@ -122,6 +122,47 @@ case class JaccardSortedExpr(left: Expression, right: Expression) extends Binary
     copy(left = l, right = r)
 }
 
+/** Exact Jaccard of two SORTED DISTINCT array<string> columns (md5-hex
+  * shingle sets): single merge pass on UTF8String binary order — the
+  * array_intersect/array_union formulation builds two hash sets per pair,
+  * which tripled the md5-dedup verify stage at sf0.1. */
+case class JaccardSortedStrExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted_str"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSortedStrExpr.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.JaccardSortedStrExpr.jaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object JaccardSortedStrExpr {
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSortedStrExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
 object JaccardSortedExpr {
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()

@@ -36,7 +36,12 @@ object ShortestPaths {
     }.toMap
 
   /** Multi-source SSSP. Returns a VertexRDD whose state maps each source to
-    * the best (distance, predecessor) at that vertex. */
+    * the best (distance, predecessor) at that vertex.
+    *
+    * Memory posture: per-vertex state is O(|sources| reaching it) — sized
+    * for candidate-stop source sets (tens, the routing use case). For
+    * thousands of sources batch the calls; one traversal per batch keeps
+    * peak state at O(batch) while still decorrelating within a batch. */
   def multiSource(edges: RDD[Edge[Double]], sources: Set[VertexId],
       maxIterations: Int = Int.MaxValue): VertexRDD[State] = {
     val g: Graph[State, Double] = Graph.fromEdges(edges, Map.empty: State)

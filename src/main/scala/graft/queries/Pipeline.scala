@@ -169,6 +169,7 @@ object Pipeline {
         val banded = docs
           .select(col("doc_id"), explode(lshBandKeysMd5(minhashMd5(col("sh"), 16), 4, 4)).as("bk"))
           .select(col("doc_id"), col("bk.band"), col("bk.key"))
+          .cache() // both sides of the candidate self-join read this
         val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
@@ -244,6 +245,7 @@ object Pipeline {
         val banded = docs
           .select(col("doc_id"), explode(lshBandKeysMd5(minhashMd5(col("sh"), 16), 8, 2)).as("bk"))
           .select(col("doc_id"), col("bk.band"), col("bk.key"))
+          .cache() // both sides of the candidate self-join read this
         val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
@@ -300,6 +302,7 @@ object Pipeline {
         val banded = docs
           .select(col("doc_id"), explode(lshBandKeysMd5(minhashMd5(col("sh"), 16), 8, 2)).as("bk"))
           .select(col("doc_id"), col("bk.band"), col("bk.key"))
+          .cache() // both sides of the candidate self-join read this
         val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
