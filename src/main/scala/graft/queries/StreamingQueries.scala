@@ -68,5 +68,36 @@ object StreamingQueries {
              |                            ORDER BY ts DESC, event_id DESC) AS rn
              |  FROM events) WHERE rn = 1
              |ORDER BY user_id""".stripMargin)),
+
+    // Stream-stream interval join (EventStreams.intervalJoinByUser batch
+    // twin): view → same-user click within 24 h, the attribution shape
+    // whose streaming form bounds join state via two-sided watermarks.
+    // Joined on MICROSECONDS (ts div 1000 == DuckDB's epoch_us of the
+    // nanos-truncated timestamp) so both engines compare identical longs.
+    Q("stream_interval_join", "streaming,join",
+      (s, dir) => {
+        val e = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("us").as("view_us"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("us").as("click_us"))
+        v.join(c, Seq("user_id"))
+          .filter(col("click_us") >= col("view_us") &&
+            col("click_us") <= col("view_us") + lit(86400000000L))
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            expr("(click_us - view_us) div 1000").as("lag_ms"))
+          .orderBy("user_id", "view_id", "click_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+             |v AS (SELECT user_id, event_id AS view_id, us AS view_us FROM e
+             |      WHERE event_type = 'view'),
+             |c AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e
+             |      WHERE event_type = 'click')
+             |SELECT v.user_id AS user_id, view_id, click_id,
+             |       (click_us - view_us) // 1000 AS lag_ms
+             |FROM v JOIN c ON v.user_id = c.user_id
+             |WHERE click_us >= view_us AND click_us <= view_us + 86400000000
+             |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
   )
 }

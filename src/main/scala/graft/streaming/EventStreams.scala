@@ -89,6 +89,27 @@ object EventStreams {
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join: each left event pairs with same-user
+    * right events whose timestamp falls in [left.ts, left.ts + within].
+    * With watermarks on BOTH sides, Spark bounds the join state: buffered
+    * rows older than watermark + interval are dropped, so the operator
+    * runs forever on unbounded streams (the classic view→click
+    * attribution shape). Works identically on static frames — the catalog
+    * twin (`stream_interval_join`) is the same join on the static events
+    * table; StreamingSpec proves stream output == batch output. */
+  def intervalJoinByUser(left: DataFrame, right: DataFrame, within: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Read the static events parquet back as a timestamped DataFrame (its
     * `ts` column arrives as long nanos — see Catalog.t). */
   def eventsWithTimestamp(spark: SparkSession, sfDir: String): DataFrame = {

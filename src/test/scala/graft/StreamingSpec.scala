@@ -82,6 +82,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join on same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 11:00:00")),
+      (2L, 12L, ts("2024-01-01 10:30:00")))
+    val clicks = Seq(
+      (1L, 20L, ts("2024-01-01 10:04:00")), // within 10 min of view 10
+      (1L, 21L, ts("2024-01-01 10:20:00")), // outside view 10's window
+      (1L, 22L, ts("2024-01-01 11:05:00")), // within view 11's window
+      (2L, 23L, ts("2024-01-01 10:31:00")), // within view 12's window
+      (3L, 24L, ts("2024-01-01 10:00:00"))) // no view for user 3
+    def df(rows: Seq[(Long, Long, java.sql.Timestamp)]) =
+      rows.toDF("user_id", "event_id", "ts")
+    val batch = EventStreams.intervalJoinByUser(df(views), df(clicks), "10 minutes")
+      .select("user_id", "l_id", "r_id").orderBy("user_id", "l_id", "r_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(batch == Seq((1L, 10L, 20L), (1L, 11L, 22L), (2L, 12L, 23L)))
+
+    val memV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventStreams.intervalJoinByUser(
+      memV.toDF().toDF("user_id", "event_id", "ts"),
+      memC.toDF().toDF("user_id", "event_id", "ts"), "10 minutes")
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    try {
+      memV.addData(views: _*)
+      memC.addData(clicks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("interval_join")
+        .select("user_id", "l_id", "r_id").orderBy("user_id", "l_id", "r_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch events table flows through the same windowed plan") {
     val df = EventStreams.eventsWithTimestamp(spark, "/root/testdata/sf0.001")
     val out = EventStreams.windowedTypeCounts(df, "1 day")
