@@ -94,6 +94,45 @@ class FunctionsSpec extends SparkSpec {
     assert(empty.getSeq[String](1) == Seq(md5hex("")))
   }
 
+  test("native md5 kernels equal their compositional Column forms") {
+    // the native single-pass rewrites must match the pure-Column
+    // formulations they replaced, on varied shapes (empty, short, repeated
+    // tokens, punctuation, unicode)
+    val texts = Seq("", "one", "a b", "a b c d e f g", "x x x x",
+      "Hello, wörld! Ünïcode 123", "the quick brown fox jumps over the lazy dog")
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 3)) {
+      val composed = df.select(
+        sort_array(array_distinct(transform(shingles($"text", n),
+          s => md5(s.cast("binary"))))).as("sh"))
+        .as[Seq[String]].collect().toSeq
+      val native = df.select(md5Shingles($"text", n)).as[Seq[String]].collect().toSeq
+      assert(native == composed, s"md5Shingles n=$n")
+    }
+    val sig = md5Shingles($"text", 2)
+    val composedBands = df.select(
+      transform(sequence(lit(0), lit(3)), b => struct(b.as("band"),
+        md5(concat_ws(",", slice(minhashMd5(sig, 8), b * 2 + 1, lit(2)))
+          .cast("binary")).as("key"))).as("bk"))
+      .as[Seq[(Int, String)]].collect().toSeq
+    val nativeBands = df.select(lshBandKeysMd5(minhashMd5(sig, 8), 4, 2))
+      .as[Seq[(Int, String)]].collect().toSeq
+    assert(nativeBands == composedBands)
+    // merge-pass Jaccard == set-algebra Jaccard on sorted distinct arrays
+    val pairs = Seq(("a b c d", "b c d e"), ("a b", "a b"), ("a b", "x y"), ("", ""))
+      .toDF("t1", "t2")
+    val mergeJ = pairs.select(jaccardSets(md5Shingles($"t1", 2), md5Shingles($"t2", 2)))
+      .as[Double].collect().toSeq
+    val setJ = pairs.select(
+      size(array_intersect(md5Shingles($"t1", 2), md5Shingles($"t2", 2))).cast("double") /
+        size(array_union(md5Shingles($"t1", 2), md5Shingles($"t2", 2))).cast("double"))
+      .as[Double].collect().toSeq
+    // empty∩empty: merge-pass defines 1.0, set-algebra 0/0 = NaN — compare
+    // the defined ones and pin the convention explicitly
+    mergeJ.zip(setJ).foreach { case (m, s2) => if (!s2.isNaN) assert(m == s2) }
+    assert(mergeJ.last == 1.0)
+  }
+
   test("cosine similarity: orthogonal=0, identical=1") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
