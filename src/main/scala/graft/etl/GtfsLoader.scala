@@ -34,7 +34,12 @@ object GtfsLoader {
     * loudly. */
   private def csv(spark: SparkSession, dir: String, name: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val raw = spark.read.option("header", "true").csv(s"$dir/$name")
+    val raw0 = spark.read.option("header", "true").csv(s"$dir/$name")
+    // real-world exports often lead with a UTF-8 BOM, which lands inside
+    // the first header name and breaks by-name resolution
+    val raw = raw0.columns.headOption.filter(_.startsWith("\uFEFF"))
+      .map(c => raw0.withColumnRenamed(c, c.stripPrefix("\uFEFF")))
+      .getOrElse(raw0)
     val have = raw.columns.toSet
     val cols = schema.fields.map { f =>
       (f.name +: aliases.getOrElse(f.name, Nil)).find(have.contains) match {
