@@ -262,6 +262,30 @@ object Relational {
              |         rank() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate) AS rk
              |  FROM lineitem) WHERE rk = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // A4 again as the ONE-PASS typed Aggregator (apoc.agg.minItems analog,
+    // SURVEY §2.11): same rows as the window form, same oracle — but an
+    // O(n) map-side-combinable fold instead of a per-partition sort.
+    Q("a4_argmin_onepass", "A4,UDAF",
+      (s, dir) => {
+        val minItems = udaf(new graft.functions.MinItemsAggregator,
+          org.apache.spark.sql.Encoders.product[(Long, Long)])
+        t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          // parquet dates are TIMESTAMP_NTZ; session TZ is UTC so the
+          // NTZ→TZ→micros round-trip is the identity
+          .agg(minItems(unix_micros(col("l_shipdate").cast("timestamp")),
+            col("l_linenumber").cast("long")).as("m"))
+          .select(col("l_orderkey"), explode(col("m.items")).as("ln"),
+            timestamp_micros(col("m.minKey")).cast("timestamp_ntz").as("l_shipdate"))
+          .select(col("l_orderkey"), col("ln").cast("int").as("l_linenumber"),
+            col("l_shipdate"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate FROM (
+             |  SELECT l_orderkey, l_linenumber, l_shipdate,
+             |         rank() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate) AS rk
+             |  FROM lineitem) WHERE rk = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // A5 — tied arg-max (ref: main.py:197 maxItems latest arrival per line)
     Q("a5_argmax_ties", "A5,W2",
       (s, dir) => {
