@@ -330,6 +330,69 @@ object Pipeline {
           |SELECT u AS doc_id, min(v) AS canonical_id FROM reach
           |GROUP BY u ORDER BY doc_id""".stripMargin))),
 
+    // The COMPOSED corpus-cleaning pipeline — what a production
+    // training-data job actually ships: language filter (keep predicted
+    // English) → quality gate (length + stopword-density) → near-dup
+    // survivor selection (drop every cluster member except the canonical
+    // min-id doc). Each stage is individually oracled above; this query
+    // oracles their composition end to end.
+    Q("pipeline_corpus_filter", "dedup,text,compose",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = docs.select(col("doc_id"), md5Shingles(col("text"), 2).as("sh")).cache()
+        val banded = sh
+          .select(col("doc_id"), explode(lshBandKeysMd5(minhashMd5(col("sh"), 16), 8, 2)).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.key"))
+          .cache()
+        val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+          .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val nearDupPairs = candidates
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+          .filter(jaccardSets(col("a_sh"), col("b_sh")) >= 0.5)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        // non-canonical cluster members — the rows dedup removes
+        val losers = graft.graph.Components.connected(nearDupPairs)
+          .filter(col("vertex_id") =!= col("component"))
+          .select(col("vertex_id").as("doc_id"))
+        docs
+          .withColumn("qs", qualityStats(col("text")))
+          .filter(langId(col("text")) === "en" &&
+            col("qs.n_tokens") >= 20 && col("qs.stopword_ratio") >= 0.03)
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("qs.n_tokens").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(minhashOracle(n = 2, k = 16, bands = 8, rows = 2,
+        """, pairs AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+          |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          |          UNION ALL SELECT b_id, a_id FROM pairs),
+          |reach AS (
+          |  SELECT u, v FROM (SELECT u, v FROM edges UNION SELECT u, u FROM edges)
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          |losers AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)),
+          |ltk AS (
+          |  SELECT doc_id, list_transform(tk, x -> lower(x)) AS lt, len(tk) AS n_tokens
+          |  FROM toks),
+          |scored AS (
+          |  SELECT doc_id, n_tokens,
+          |    len(list_filter(lt, x -> x IN ('der','die','und','das','in','von','zu','den','mit','ist'))) AS s_de,
+          |    len(list_filter(lt, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+          |    len(list_filter(lt, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+          |    len(list_filter(lt, x -> x IN ('le','la','de','et','les','des','en','un','du','que'))) AS s_fr
+          |  FROM ltk)
+          |SELECT doc_id, n_tokens FROM scored
+          |-- predicted = 'en' per text_langid's CASE: en beats es/fr on ties
+          |-- (listed first) but loses an en-de tie (de is checked first)
+          |WHERE s_en > 0 AND s_en > s_de AND s_en >= s_es AND s_en >= s_fr
+          |  AND n_tokens >= 20
+          |  AND CAST(s_en AS DOUBLE) / n_tokens >= 0.03
+          |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+          |ORDER BY doc_id""".stripMargin))),
+
     // Brute-force cosine similarity of fixed query vectors against the whole
     // table (selection-free — values only, so it can carry a DuckDB oracle;
     // rounded to absorb summation-order ULPs).
