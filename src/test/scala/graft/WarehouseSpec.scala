@@ -51,4 +51,52 @@ class WarehouseSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS day_stoptimes_by_stop")
     }
   }
+
+  test("bucketed day table: CHANGE-candidate join shuffles only the walk fan-out") {
+    // the projection's dominant join at 100 TB is
+    //   stoptimes ⋈ WALK_TO ⋈ stoptimes  (s_stop, then n_stop)
+    // with the day table bucketed by stop_id, the target side satisfies the
+    // n_stop distribution straight off the scan — only the (much smaller)
+    // s×walk fan-out shuffles. The unbucketed layout shuffles BOTH sides.
+    val gtfs = GtfsLoader.load(spark, fixtureDir)
+    val dir = java.nio.file.Files.createTempDirectory("warehouse-change").toString
+    GtfsWarehouse.writeBucketedByStop(gtfs, "day_st_change", s"$dir/t", buckets = 4)
+    GtfsWarehouse.write(gtfs, dir) // plain layout twin
+    // localCheckpoint truncates walkTo's own grid-join lineage so the
+    // Exchange count below reflects only the stoptimes join layout
+    val walk = graft.etl.GraphBuilder.walkTo(gtfs.stops, 300.0)
+      .select(col("src_stop_id").as("n_stop"), col("dst_stop_id").as("s_stop"))
+      .localCheckpoint()
+    def changeCandidates(t: org.apache.spark.sql.DataFrame) = {
+      val s = t.select(col("stop_id").as("s_stop"), col("trip_id").as("s_trip"),
+        col("arr_secs").as("s_arr"))
+      val tgt = t.select(col("stop_id").as("n_stop"), col("trip_id").as("t_trip"),
+        col("dep_secs").as("t_dep"))
+      s.join(broadcast(walk), Seq("s_stop"))
+        .join(tgt, Seq("n_stop"))
+        .filter(col("s_arr") < col("t_dep") && col("s_trip") =!= col("t_trip"))
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // pin the strategy: walk broadcasts by explicit hint only; the big
+      // join must go sort-merge so the Exchange count reflects the layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "(?<!Broadcast)Exchange".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      val bucketed = changeCandidates(spark.table("day_st_change"))
+      val plain = changeCandidates(spark.read.parquet(s"$dir/day_stoptimes"))
+      assert(bucketed.count() == plain.count() && plain.count() > 0)
+      val (nb, np) = (exchanges(bucketed), exchanges(plain))
+      assert(nb == 1, s"bucketed plan should shuffle only the fan-out side:\n" +
+        bucketed.queryExecution.executedPlan)
+      assert(np == 2, s"plain plan should shuffle both sides, got $np")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS day_st_change")
+    }
+  }
 }
