@@ -63,13 +63,35 @@ object GtfsWarehouse {
     * CHANGE-candidate joins (stoptime ↔ WALK_TO ↔ stoptime) are all
     * stop-keyed equi-joins, so two bucketed sides co-locate and the
     * projection's dominant Exchange disappears — the 100 TB shuffle
-    * killer. Bucketing needs a catalog entry (saveAsTable); `path` makes
-    * it an external table so the data lands where the caller says. */
+    * killer. Day-partitioned on top, so a projection still reads one
+    * day directory (partition pruning) AND scans it pre-distributed on
+    * stop_id (bucket co-location). Bucketing needs a catalog entry
+    * (saveAsTable); `path` makes it an external table so the data lands
+    * where the caller says. */
   def writeBucketedByStop(g: GtfsTables, tableName: String, path: String,
       buckets: Int = 32): Unit =
     dayExpandedStopTimes(g).write.mode("overwrite")
       .option("path", path)
+      .partitionBy("day")
       .bucketBy(buckets, "stop_id")
       .sortBy("stop_id")
       .saveAsTable(tableName)
+
+  /** Rebuild GtfsTables for ONE day off the bucketed warehouse table:
+    * the stoptime side of every projection join arrives pre-distributed
+    * on stop_id straight from the scan, so TimeExpandedGraph.build's
+    * CHANGE-candidate join shuffles neither big side — only the (small)
+    * WALK_TO fan-out redistributes. This is the production 100 TB path;
+    * `loadTables` (plain layout) keeps working where no catalog table
+    * exists. Dimensions still come from the plain parquet dir. */
+  def loadTablesBucketed(spark: SparkSession, tableName: String, dir: String,
+      day: java.sql.Date): GtfsTables =
+    GtfsTables(
+      agency = spark.read.parquet(s"$dir/agency"),
+      routes = spark.read.parquet(s"$dir/routes"),
+      trips = spark.read.parquet(s"$dir/trips"),
+      stops = spark.read.parquet(s"$dir/stops"),
+      stopTimes = spark.table(tableName).filter(col("day") === lit(day))
+        .drop("route_id", "service_id", "day"),
+      calendar = spark.read.parquet(s"$dir/calendar"))
 }

@@ -99,4 +99,46 @@ class WarehouseSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS day_st_change")
     }
   }
+
+  test("projection built from the bucketed warehouse: same graph, fewer shuffles") {
+    // the production 100 TB path: TimeExpandedGraph.build over
+    // loadTablesBucketed must produce the exact same graph as over the
+    // plain layout, with the big-side Exchanges gone from the real plan.
+    val gtfs = GtfsLoader.load(spark, fixtureDir)
+    val dir = java.nio.file.Files.createTempDirectory("warehouse-proj").toString
+    GtfsWarehouse.write(gtfs, dir)
+    GtfsWarehouse.writeBucketedByStop(gtfs, "day_st_proj", s"$dir/t", buckets = 4)
+    val day = java.sql.Date.valueOf("2024-01-18")
+    val walk = graft.etl.GraphBuilder.walkTo(gtfs.stops, 300.0).localCheckpoint()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force sort-merge for non-hinted joins so Exchange counts show the
+      // layout; build()'s dimension joins keep their explicit broadcast hints
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val bucketedTables = GtfsWarehouse.loadTablesBucketed(spark, "day_st_proj", dir, day)
+      val plainTables = GtfsWarehouse.loadTables(spark, dir, day)
+      val gb = graft.projection.TimeExpandedGraph.build(bucketedTables, day, 1.0, walk)
+      val gp = graft.projection.TimeExpandedGraph.build(plainTables, day, 1.0, walk)
+      try {
+        def edgeSet(g: graft.projection.TimeExpandedGraph) =
+          g.edges.select("source", "target", "type", "waiting_time")
+            .collect().map(_.toString).toSet
+        val (eb, ep) = (edgeSet(gb), edgeSet(gp))
+        assert(eb == ep && eb.nonEmpty)
+        def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+          "(?<!Broadcast)Exchange".r
+            .findAllIn(df.queryExecution.executedPlan.toString).size
+        val (nb, np) = (exchanges(gb.edges), exchanges(gp.edges))
+        assert(nb < np, s"bucketed build should shuffle less: $nb vs $np")
+        assert(gb.edges.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
+          "bucketed scan should reach the projection plan")
+      } finally { gb.unpersist(); gp.unpersist() }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS day_st_proj")
+    }
+  }
 }
