@@ -632,6 +632,109 @@ object Pipeline {
              |  + len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r]')) AS n_subword_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Repetition quality signals (the Gopher-style filters): distinct-token
+    // ratio, most-common-bigram share, duplicate-trigram share, and a
+    // repetitive flag. Relational formulation — explode n-grams, count per
+    // (doc, gram), re-aggregate per doc — so the work is two partial-agg
+    // shuffles keyed (doc_id, gram), never a per-document quadratic pass;
+    // at 100 TB the map-side combine absorbs the fan-out.
+    Q("text_repetition", "text",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        def gramStats(n: Int, topName: String, dupName: String) = d
+          .select(col("doc_id"), explode(shingles(col("text"), n)).as("gram"))
+          .groupBy("doc_id", "gram").count()
+          .groupBy("doc_id")
+          .agg(
+            round(max(col("count")).cast("double") / sum(col("count")), 4).as(topName),
+            round(coalesce(sum(when(col("count") >= 2, col("count"))), lit(0L))
+              .cast("double") / sum(col("count")), 4).as(dupName))
+        val base = d.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+          round(size(array_distinct(tokens(col("text")))).cast("double") /
+            size(tokens(col("text"))), 4).as("distinct_ratio"))
+        base
+          .join(gramStats(2, "top_bigram_frac", "dup_bigram_frac"), Seq("doc_id"))
+          .join(gramStats(3, "top_trigram_frac", "dup_trigram_frac"), Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+            col("top_bigram_frac"), col("dup_trigram_frac"),
+            (col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.30 ||
+              col("distinct_ratio") < 0.30).cast("int").as("repetitive"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |g2 AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+             |    ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END) AS gram
+             |  FROM toks),
+             |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+             |s2 AS (SELECT doc_id,
+             |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+             |  FROM c2 GROUP BY doc_id),
+             |g3 AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             |    ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS gram
+             |  FROM toks),
+             |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+             |s3 AS (SELECT doc_id,
+             |    round(CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c END), 0) AS DOUBLE) /
+             |          CAST(sum(c) AS DOUBLE), 4) AS dup_trigram_frac
+             |  FROM c3 GROUP BY doc_id),
+             |base AS (SELECT doc_id, len(tk) AS n_tokens,
+             |    round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS distinct_ratio
+             |  FROM toks)
+             |SELECT base.doc_id AS doc_id, n_tokens, distinct_ratio, top_bigram_frac, dup_trigram_frac,
+             |  CAST(top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30 OR distinct_ratio < 0.30
+             |       AS INTEGER) AS repetitive
+             |FROM base JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PII detection + redaction: email / URL / long-digit-run counts and the
+    // md5 of the redacted text (proves the replacement output exactly without
+    // shipping it). The synthetic corpus carries no PII, so each doc is
+    // deterministically augmented with one marker derived from doc_id —
+    // the detection regexes are RE2-safe (no lookarounds) and replacement
+    // order (email → URL → digits) is part of the contract.
+    Q("text_pii_redact", "text",
+      (s, dir) => {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val url = "https?://[^ ]+"
+        val digits = "[0-9]{7,}"
+        val aug = t(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" reach me at user"), col("doc_id"), lit("@example.com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" see https://example.org/p/"), col("doc_id")))
+          .otherwise(concat(lit(" call "),
+            lpad((col("doc_id") * lit(7919L) % lit(1000000000L)).cast("string"), 9, "0")))
+          ).as("text"))
+        aug.select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).as("n_emails"),
+          regexp_count(col("text"), lit(url)).as("n_urls"),
+          regexp_count(col("text"), lit(digits)).as("n_digit_runs"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+            lit(email), lit("<EMAIL>")), lit(url), lit("<URL>")),
+            lit(digits), lit("<NUM>")).cast("binary")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || doc_id || '@example.com'
+             |         WHEN doc_id % 3 = 1 THEN ' see https://example.org/p/' || doc_id
+             |         ELSE ' call ' || lpad(CAST(doc_id * 7919 % 1000000000 AS VARCHAR), 9, '0')
+             |    END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+             |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_digit_runs,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |    'https?://[^ ]+', '<URL>', 'g'),
+             |    '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
     // Multimodal plumbing: treat content as an opaque binary column with
     // typed metadata. Image payloads decode for real via javax.imageio
     // (MediaSpec proves it on a PNG fixture); these text blobs take the
