@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Emits ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},
+  *  "runs":{name:[sec,...]},"starts":{name:[epochSec,...]},"sf":dir}
+  *
+  * Each query runs `BENCH_REPEATS` times (default 2) and `queries` reports the
+  * MIN across runs: a co-tenant CPU spike during one window poisons a single
+  * run, not the reported number. `starts` carries the wall-clock epoch seconds
+  * of every run so a contended window is identifiable post-hoc from the JSON
+  * alone (a contiguous block of inflated first-runs with normal second-runs is
+  * the contention signature; BENCH_r03 was unreadable without this).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,21 +30,30 @@ object Bench {
     spark.range(1000).repartition(4).groupBy((org.apache.spark.sql.functions
       .col("id") % 10).as("k")).count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every column (count() would let
-      // Catalyst prune the plan down to a row count).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries may cache intermediates internally; drop them so one
-      // query's cached blocks don't pressure the next one's memory.
-      spark.catalog.clearCache()
-      name -> dt
+      val timings = (1 to repeats).map { _ =>
+        val start = System.currentTimeMillis() / 1000.0
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every column (count() would let
+        // Catalyst prune the plan down to a row count).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries may cache intermediates internally; drop them so one run's
+        // cached blocks neither speed up the next run nor pressure its memory.
+        spark.catalog.clearCache()
+        (start, dt)
+      }
+      (name, timings.map(_._2), timings.map(_._1))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(pairs: Seq[(String, String)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (k, runs, _) => k -> runs.min.toString })
+    val runsJson = obj(results.map { case (k, runs, _) =>
+      k -> runs.mkString("[", ",", "]") })
+    val startsJson = obj(results.map { case (k, _, starts) =>
+      k -> starts.mkString("[", ",", "]") })
+    val total = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -498,27 +498,38 @@ object Pipeline {
       },
       Some(annLshInt8Oracle)),
 
-    // IVF ANN (the clustered scale path): k-means cells, probe the 2 nearest
-    // cells per query, exact cosine re-rank inside them. Complements
-    // sim_ann_lsh; at 100 TB the assignment is bucketed by cluster so a
-    // probe touches nprobe/k of the corpus.
+    // IVF ANN (the clustered scale path): cell assignment, probe the 2
+    // nearest cells per query, exact cosine re-rank inside them. The cells
+    // here are PLANTED deterministically — the 16 lowest-id vectors are the
+    // centroids (sample-seeded IVF, no Lloyd pass) — so assignment and probe
+    // are pure arithmetic the DuckDB oracle re-derives bit-exactly (the
+    // k-means fit isn't SQL-mirrorable; the fitted variant keeps its recall
+    // floor in AnnRecallSpec and its fit-once persistence in IvfSpec). At
+    // 100 TB the assignment is bucketed by cluster (IvfAnn.save) so a probe
+    // touches nprobe/k of the corpus.
     Q("sim_ann_ivf", "similarity",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val index = graft.ml.IvfAnn.build(e, "embedding", k = 16)
+        val eD = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val cents = eD.filter(col("vec_id") < 16).orderBy("vec_id")
+          .collect().map(_.getSeq[Double](1).toArray) // 16×64 doubles: tiny
+        val index = graft.ml.IvfAnn.buildWithCentroids(eD, "vec_id", "v", cents)
         val assigned = index.assigned
-          .select(col("vec_id"), col("cluster"), unitVector(col("embedding")).as("u"))
+          .select(col("vec_id"), col("cluster"), unitVector(col("v")).as("u"))
           .cache()
         // Probing as a join: queries → (query, probe_cell) rows → equi-join
-        // `assigned` on cluster. One plan regardless of query-set size (the
-        // earlier per-query driver loop built one subplan per query). The
+        // `assigned` on cluster. One plan regardless of query-set size. The
         // probe side is the small one, so broadcasting IT is correct.
-        val queries = assigned.filter(col("vec_id") < 5)
+        val qRaw = eD.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        val probes = graft.ml.IvfAnn.probe(index, qRaw, "q_id", "q_v", nprobe = 2)
+          .select(col("cluster"), col("q_id"))
+        val qUnit = assigned.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("u").as("q_u"))
-        val probes = graft.ml.IvfAnn.probe(index, queries, "q_id", "q_u", nprobe = 2)
+        val probeU = probes.join(qUnit, Seq("q_id"))
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))
         assigned.select(col("cluster"), col("vec_id").as("v_id"), col("u").as("v_u"))
-          .join(broadcast(probes), Seq("cluster"))
+          .join(broadcast(probeU), Seq("cluster"))
           .filter(col("q_id") =!= col("v_id"))
           .select(col("q_id"), col("v_id"), dot(col("q_u"), col("v_u")).as("cos"))
           .withColumn("rn", row_number().over(w))
@@ -526,7 +537,40 @@ object Pipeline {
           .select(col("q_id"), col("v_id"), round(col("cos"), 4).as("cos"), col("rn"))
           .orderBy("q_id", "rn")
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cl, v AS c FROM e WHERE vec_id < 16),
+             |scored AS (
+             |  SELECT e.vec_id, cent.cl,
+             |         list_sum(list_transform(list_zip(e.v, e.v), p -> p[1]*p[2]))
+             |         - 2.0 * list_sum(list_transform(list_zip(e.v, cent.c), p -> p[1]*p[2]))
+             |         + list_sum(list_transform(list_zip(cent.c, cent.c), p -> p[1]*p[2])) AS d2
+             |  FROM e CROSS JOIN cent),
+             |assigned AS (
+             |  SELECT vec_id, cl AS cluster FROM (
+             |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+             |    FROM scored) WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS q_id, cl AS cluster FROM (
+             |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+             |    FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+             |unit AS (
+             |  SELECT vec_id,
+             |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+             |  FROM e),
+             |cands AS (
+             |  SELECT p.q_id, a.vec_id AS v_id,
+             |         list_sum(list_transform(list_zip(qu.u, au.u), z -> z[1]*z[2])) AS c
+             |  FROM probes p
+             |  JOIN assigned a ON p.cluster = a.cluster
+             |  JOIN unit au ON au.vec_id = a.vec_id
+             |  JOIN unit qu ON qu.vec_id = p.q_id
+             |  WHERE a.vec_id <> p.q_id),
+             |ranked AS (
+             |  SELECT q_id, v_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, v_id) AS rn
+             |  FROM cands)
+             |SELECT q_id, v_id, round(c, 4) AS cos, CAST(rn AS INTEGER) AS rn
+             |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)),
 
     // Token counting (whitespace tokenizer) — SQL-expressible, oracled.
     Q("text_token_count", "text",
@@ -640,21 +684,36 @@ object Pipeline {
     // at 100 TB the map-side combine absorbs the fan-out.
     Q("text_repetition", "text",
       (s, dir) => {
+        // ONE corpus scan: unigrams ride along as n=1 grams, so token count
+        // (Σ unigram counts) and distinct-token count (# unigram groups)
+        // come out of the same (doc_id, n, gram) shuffle cycle as the
+        // bigram/trigram stats — at 100 TB, one scan + one partial-agg
+        // cycle vs the previous three scans + two joins.
         val d = t(s, dir, "documents")
-        def gramStats(n: Int, topName: String, dupName: String) = d
-          .select(col("doc_id"), explode(shingles(col("text"), n)).as("gram"))
-          .groupBy("doc_id", "gram").count()
+        val tagged = d.select(col("doc_id"), explode(concat(
+            transform(tokens(col("text")), g => struct(lit(1).as("n"), g.as("gram"))),
+            transform(shingles(col("text"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+            transform(shingles(col("text"), 3), g => struct(lit(3).as("n"), g.as("gram")))))
+            .as("g"))
+          .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        tagged.groupBy("doc_id", "n", "gram").count()
           .groupBy("doc_id")
           .agg(
-            round(max(col("count")).cast("double") / sum(col("count")), 4).as(topName),
-            round(coalesce(sum(when(col("count") >= 2, col("count"))), lit(0L))
-              .cast("double") / sum(col("count")), 4).as(dupName))
-        val base = d.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
-          round(size(array_distinct(tokens(col("text")))).cast("double") /
-            size(tokens(col("text"))), 4).as("distinct_ratio"))
-        base
-          .join(gramStats(2, "top_bigram_frac", "dup_bigram_frac"), Seq("doc_id"))
-          .join(gramStats(3, "top_trigram_frac", "dup_trigram_frac"), Seq("doc_id"))
+            sum(when(col("n") === 1, col("count"))).as("tok_total"),
+            count(when(col("n") === 1, lit(1))).as("tok_distinct"),
+            max(when(col("n") === 2, col("count"))).as("big_top"),
+            sum(when(col("n") === 2, col("count"))).as("big_total"),
+            coalesce(sum(when(col("n") === 3 && col("count") >= 2, col("count"))),
+              lit(0L)).as("tri_dup"),
+            sum(when(col("n") === 3, col("count"))).as("tri_total"))
+          .select(col("doc_id"),
+            col("tok_total").cast("int").as("n_tokens"),
+            round(col("tok_distinct").cast("double") / col("tok_total"), 4)
+              .as("distinct_ratio"),
+            round(col("big_top").cast("double") / col("big_total"), 4)
+              .as("top_bigram_frac"),
+            round(col("tri_dup").cast("double") / col("tri_total"), 4)
+              .as("dup_trigram_frac"))
           .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
             col("top_bigram_frac"), col("dup_trigram_frac"),
             (col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.30 ||

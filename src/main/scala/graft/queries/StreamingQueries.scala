@@ -69,6 +69,37 @@ object StreamingQueries {
              |  FROM events) WHERE rn = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // Gap-based sessionization (EventStreams.sessionWindows batch twin):
+    // native session_window aggregation — per-user sessions split on ≥30 min
+    // of inactivity, session span = [first_ts, last_ts + gap). The oracle
+    // re-derives the same sessions relationally (lag → new-session flag →
+    // running sum) on the micros timeline both engines share; money as
+    // exact integer cents. mapGroupsWithState sessionize (arbitrary-state
+    // form) keeps its StreamingSpec parity coverage.
+    Q("stream_sessionize", "streaming",
+      (s, dir) => EventStreams.sessionWindows(
+        EventStreams.eventsWithTimestamp(s, dir), "30 minutes")
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, us, value,
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (
+             |  SELECT user_id, us, value,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f)
+             |SELECT user_id,
+             |  make_timestamp(min(us)) AS session_start,
+             |  make_timestamp(max(us) + 1800000000) AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // Stream-stream interval join (EventStreams.intervalJoinByUser batch
     // twin): view → same-user click within 24 h, the attribution shape
     // whose streaming form bounds join state via two-sided watermarks.

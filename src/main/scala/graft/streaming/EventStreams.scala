@@ -74,6 +74,22 @@ object EventStreams {
       }
   }
 
+  /** Gap-based session windows per user via the native `session_window`
+    * aggregation — the declarative twin of [[sessionize]]: events closer
+    * than `gap` merge into one session spanning [first_ts, last_ts + gap).
+    * Identical plan on a static frame or a stream (with the watermark
+    * bounding session state); money as exact integer cents (same
+    * order-independence argument as windowedTypeCounts). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("total_value_cents"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value_cents"))
+
   /** Streaming exact dedup with genuinely bounded state:
     * dropDuplicatesWithinWatermark expires per-key state once the watermark
     * passes the key's event time, so the operator runs forever on an
