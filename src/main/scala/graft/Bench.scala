@@ -1,9 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entry point. Emits ONE JSON line:
+/** Benchmark entry point. Emits a full JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},
   *  "runs":{name:[sec,...]},"starts":{name:[epochSec,...]},"sf":dir}
+  * followed by a compact summary line (total + per-query mins only) so a
+  * consumer that keeps only the tail of stdout still gets every number.
   *
   * Each query runs `BENCH_REPEATS` times (default 2) and `queries` reports the
   * MIN across runs: a co-tenant CPU spike during one window poisons a single
@@ -54,6 +56,11 @@ object Bench {
       k -> starts.mkString("[", ",", "]") })
     val total = results.map(_._2.min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"sf":"$sfDir"}""")
+    // The driver keeps only the TAIL of stdout: r4's single long line was cut
+    // inside `starts`, truncating the per-query mins away ("parsed": null).
+    // Re-emit a compact summary as the final line so the tail always contains
+    // a complete parseable JSON object with the per-query minimums.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

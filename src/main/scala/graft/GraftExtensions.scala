@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, FunctionRegistryBridge}
 import graft.functions.expressions._
 
@@ -34,10 +34,18 @@ object GraftExtensions {
       FunctionRegistryBridge.register(spark, name, info, builder)
     }
 
-  private def intLit(fn: String, arg: String, e: Expression): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be an integer literal, got $other")
+  private def intLit(fn: String, arg: String, e: Expression): Int = {
+    // Accept any foldable integral expression (1+1, a BIGINT/SMALLINT
+    // literal, …), not just a bare Int Literal — fold, then range-check.
+    val folded = if (e.foldable) e.eval() else null
+    folded match {
+      case v: Int => v
+      case v: Byte => v.toInt
+      case v: Short => v.toInt
+      case v: Long if v.isValidInt => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a foldable integer expression in Int range, got $e")
+    }
   }
 
   private def info(name: String, usage: String, clazz: Class[_]): ExpressionInfo =

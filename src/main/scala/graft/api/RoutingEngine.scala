@@ -76,10 +76,9 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       .filter(col("stop_name") === targetName &&
         col("dep_secs") < t0 + maxDurationHours * 3600)
       .select(col("id").as("t_id"), col("dep_secs").as("t_dep"),
-        col("arr_secs").as("t_arr"))
-    route(g, sources, targets,
-      // stop-to-stop: best by (arrival_time, cost) — `main.py:102`
-      orderCols = df => df.orderBy(col("t_arr"), col("cost"), col("s_id"), col("t_id")))
+        col("arr_secs").as("t_arr"), lit(0.0).as("t_walk"))
+    // zero walks ⇒ PairOrder reduces to (arrival_time, cost) — `main.py:102`
+    route(g, sources, targets)
   }
 
   /** Best point-to-point itinerary with walking legs (`main.py:119-176`):
@@ -101,18 +100,31 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
         col("dep_secs") + endWalk < t0 + maxDurationHours * 3600)
       .select(col("id").as("t_id"), col("dep_secs").as("t_dep"),
         col("arr_secs").as("t_arr"), endWalk.as("t_walk"))
-    route(g, sources, targets,
-      // point-to-point: best by (final_time, cost+walks) — `main.py:158-159`
-      orderCols = df => df
-        .withColumn("final_time", col("t_arr") + col("t_walk"))
-        .withColumn("full_cost", col("cost") + col("s_walk") + col("t_walk"))
-        .orderBy(col("final_time"), col("full_cost"), col("s_id"), col("t_id")))
+    // non-zero walks ⇒ PairOrder is (final_time, cost+walks) — `main.py:158-159`
+    route(g, sources, targets)
+  }
+
+  /** THE best-pair ordering — one definition shared by both routing variants
+    * and both execution branches (r4 advice: the local branch used to
+    * hardcode a tuple that only happened to match the callers' orderCols).
+    * Formula: (t_arr + t_walk, cost + s_walk + t_walk, s_id, t_id). With
+    * zero walks this is exactly the stop-to-stop (arrival, cost) order
+    * (`main.py:102`); with walks it is the point-to-point
+    * (final_time, full_cost) order (`main.py:158-159`). `columns` and `key`
+    * MUST stay the same formula — the forced-Pregel parity spec pins them. */
+  private object PairOrder {
+    def columns: Seq[org.apache.spark.sql.Column] = Seq(
+      col("t_arr") + col("t_walk"), col("cost") + col("s_walk") + col("t_walk"),
+      col("s_id"), col("t_id"))
+    def key(tArr: Long, tWalk: Double, cost: Double, sWalk: Double,
+        sId: Long, tId: Long): (Double, Double, Long, Long) =
+      (tArr + tWalk, cost + sWalk + tWalk, sId, tId)
   }
 
   /** Shared routing core: per-route earliest source selection, one
     * multi-source SSSP, candidate-pair ranking, path expansion (G6+J8). */
   private def route(g: TimeExpandedGraph, sourceCandidates: DataFrame,
-      targets: DataFrame, orderCols: DataFrame => DataFrame): DataFrame = {
+      targets: DataFrame): DataFrame = {
     import spark.implicits._
     // Per-route earliest departure; apoc.agg.minItems + `s[0]` keeps one
     // item per route (`main.py:84-87`) — deterministic first here.
@@ -136,7 +148,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
         .filter(col("t_dep") > col("s_dep"))
         .withColumn("cost", col("dist"))
         .withColumnRenamed("source_id", "s_id")
-      orderCols(pairs).limit(1).collect().headOption
+      pairs.orderBy(PairOrder.columns: _*).limit(1).collect().headOption
     }
 
     if (g.sssp.isLocal) {
@@ -145,13 +157,11 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       // full (vertex × source) table ever crosses into Spark. The candidate
       // pair ranking runs driver-side too: sources, targets and distances
       // are all driver-resident (one-stop candidate sets), so the bestPair
-      // join would only add scheduling overhead. Ordering is the uniform
-      // (arrival + end walk, cost + both walks, s_id, t_id) — with zero
-      // walks this reduces exactly to the stop-to-stop (t_arr, cost) order;
-      // the forced-Pregel parity spec pins both branches equal.
+      // join would only add scheduling overhead. Ranking key = PairOrder.key,
+      // the same definition the distributed branch orders by; the
+      // forced-Pregel parity spec pins both branches equal.
       val tgtLocal = targets.collect() // tiny: candidate stoptimes at one stop
       if (tgtLocal.isEmpty) return emptySegments
-      val hasTWalk = targets.columns.contains("t_walk")
       def secs(r: org.apache.spark.sql.Row, i: Int): Long =
         r.get(i).asInstanceOf[Number].longValue
       val run = g.sssp.runForTargets(srcIds, tgtLocal.map(_.getLong(0)).toSet)
@@ -162,8 +172,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
         if secs(t, 1) > secs(s, 1)
         cost <- run.distance(s.getLong(0), t.getLong(0))
       } yield {
-        val tWalk = if (hasTWalk) t.getDouble(3) else 0.0
-        ((secs(t, 2) + tWalk, cost + s.getDouble(2) + tWalk,
+        (PairOrder.key(secs(t, 2), t.getDouble(3), cost, s.getDouble(2),
           s.getLong(0), t.getLong(0)), s.getLong(0), t.getLong(0))
       }).toSeq
       if (ranked.isEmpty) return emptySegments

@@ -333,6 +333,15 @@ object LshBandKeysMd5Expr {
   private val COMMA = ",".getBytes("US-ASCII")
 
   def keys(sig: ArrayData, bands: Int, rowsPerBand: Int): Array[Any] = {
+    // Fail loudly instead of silently hashing empty input for bands past
+    // the end of a short signature — that degenerate key makes every short
+    // row an LSH candidate of every other (same convention as SkewJoin's
+    // NULL-discriminator guard).
+    if (bands.toLong * rowsPerBand > sig.numElements())
+      throw new IllegalArgumentException(
+        s"lsh_band_keys_md5: bands*rowsPerBand = ${bands.toLong * rowsPerBand} " +
+          s"exceeds signature length ${sig.numElements()}; bands past the end " +
+          "would all share md5(\"\") and bucket every short signature together")
     val md = Md5Hex.digest.get()
     val out = new Array[Any](bands)
     var b = 0
@@ -341,11 +350,9 @@ object LshBandKeysMd5Expr {
       var r = 0
       while (r < rowsPerBand) {
         val idx = b * rowsPerBand + r
-        if (idx < sig.numElements()) {
-          if (r > 0) md.update(COMMA)
-          val s = sig.getUTF8String(idx)
-          if (s != null) md.update(s.getBytes)
-        }
+        if (r > 0) md.update(COMMA)
+        val s = sig.getUTF8String(idx)
+        if (s != null) md.update(s.getBytes)
         r += 1
       }
       out(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

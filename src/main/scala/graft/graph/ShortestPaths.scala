@@ -148,13 +148,16 @@ object ShortestPaths {
       col("weight").cast("double"))
     private lazy val localCsr: Option[Csr] = {
       import spark.implicits._
-      // One job instead of count-then-collect: fetch at most threshold+1
-      // rows; an overflow row proves the graph belongs to the distributed
-      // regime (the collected prefix is discarded — a bounded, one-time
-      // cost even when the full edge set is far larger).
+      // Overflow pre-gate: `limit(cap+1).count()` answers "is the graph
+      // local?" without moving a single edge row to the driver — the
+      // previous head(cap+1) probe collected up to threshold+1 tuples
+      // (~100-200 MB at the default threshold) even when the answer was
+      // "distributed regime, discard". The collect happens only when the
+      // count proves every edge fits.
       val cap = math.min(localThreshold, (Int.MaxValue - 2).toLong).toInt
-      val probe = e.as[(Long, Long, Double)].head(cap + 1)
-      if (probe.length <= cap) Some(buildCsr(probe)) else None
+      if (e.limit(cap + 1).count() <= cap)
+        Some(buildCsr(e.as[(Long, Long, Double)].collect()))
+      else None
     }
     def run(sources: Set[Long]): DataFrame = localCsr match {
       case Some(g) => localDijkstraDF(spark, g, sources)

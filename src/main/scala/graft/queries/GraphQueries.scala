@@ -114,6 +114,55 @@ object GraphQueries {
              |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
              |ORDER BY hop""".stripMargin)),
 
+    // P3+P4+P6+O2 — the reference's FLAGSHIP point-to-point routing
+    // (`routing_between_two_points_in_space`, main.py:119-176) with
+    // NON-ZERO walking adjustments that change the answer: the start point
+    // is ~78 m from Alpha, so the walk-adjusted departure predicate
+    // `dep_secs - walk/speed > 14:00` (main.py:132) EXCLUDES the 14:01 T1
+    // departure (walk 78 s > 60 s margin) that wins the stop-to-stop golden
+    // above, and the itinerary flips to the direct R3 ride (T5, arr 15:30).
+    // The end point is ~14 m off Epsilon, so the arrival-side adjustment
+    // (main.py:140) and the (final_time, cost+walks) ranking (main.py:158)
+    // carry non-zero walk terms too. Literal-VALUES golden.
+    Q("gtfs_point_routing_golden", "P3,P4,P6,O2,G1,G2",
+      (s, _) => graft.api.DemoGtfs.engine(s)
+        .routingBetweenTwoPoints("2024-01-18", 44.5993, 10.9000, 44.6401, 10.9201,
+          Seq("Alpha"), Seq("Epsilon"), 1.0, "14:00:00"),
+      Some("""SELECT hop, trip, departure, line, starting_stop_name, starting_stop_id,
+             | CAST(start_lat AS DOUBLE) AS start_lat, CAST(start_lon AS DOUBLE) AS start_lon,
+             | next_trip, next_stop, next_stop_id,
+             | CAST(next_lat AS DOUBLE) AS next_lat, CAST(next_lon AS DOUBLE) AS next_lon,
+             | next_line, arrival
+             |FROM (VALUES
+             | (1,'T5','14:02:00','R3','Alpha','SA',44.6,10.9,'T5','Epsilon','SE',44.64,10.92,'R3','15:30:00'))
+             | AS t(hop, trip, departure, line, starting_stop_name, starting_stop_id, start_lat, start_lon,
+             |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
+             |ORDER BY hop""".stripMargin)),
+
+    // A7+G4+J7+F12 — the door-to-door journey composition (the notebook's
+    // headline result shape: cells 7-18 — nearby stops, point-to-point
+    // transit, footway walking legs, total = transit span + walks). One-row
+    // golden of the JourneySummary scalars; walk meters from the footway
+    // Dijkstra (F1→…→NEAR→stop), rounded to cm like gtfs_footway_distances.
+    Q("gtfs_journey_golden", "A7,G4,J7,F12,F13",
+      (s, _) => {
+        import s.implicits._
+        val eng = graft.api.DemoGtfs.engine(s)
+        val fw = graft.api.DemoGtfs.footwayEngine(s)
+        val j = eng.journey("2024-01-18", 44.5998, 10.9000, 44.6400, 10.9200,
+          speed = 1.0, time = "14:00:00", footway = Some(fw)).get
+        Seq((j.changes, math.round(j.startWalkMeters * 100) / 100.0,
+          math.round(j.endWalkMeters * 100) / 100.0,
+          math.round(j.totalSeconds * 100) / 100.0))
+          .toDF("changes", "start_walk_m", "end_walk_m", "total_secs")
+      },
+      Some("""SELECT CAST(changes AS BIGINT) AS changes,
+             | CAST(start_walk_m AS DOUBLE) AS start_walk_m,
+             | CAST(end_walk_m AS DOUBLE) AS end_walk_m,
+             | CAST(total_secs AS DOUBLE) AS total_secs
+             |FROM (VALUES (1, 34.9, 7.91, 2382.82))
+             | AS t(changes, start_walk_m, end_walk_m, total_secs)""".stripMargin)),
+
     // S1-analog near-stop spatial search on the demo network (F1+P8).
     // Literal-VALUES golden oracle (see gtfs_routing_golden).
     Q("gtfs_near_stops", "F1,P8,A3",

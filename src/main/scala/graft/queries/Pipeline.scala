@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
@@ -17,6 +17,14 @@ import graft.functions.VectorFunctions._
   */
 object Pipeline {
   import Catalog.t
+
+  /** Word n-gram rows from a pre-tokenized array; short docs collapse to a
+    * single whole-text gram (the shingle convention of
+    * TextFunctions.shingles, inlined here to tokenize once per row). */
+  private def tokenGrams(tk: Column, n: Int): Column =
+    when(size(tk) < n, array(concat_ws(" ", tk)))
+      .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
 
   /** DuckDB CTE prefix mirroring md5Shingles → minhashMd5 → lshBandKeysMd5
     * → band-key candidate join → exact set Jaccard, step for step (every
@@ -684,31 +692,36 @@ object Pipeline {
     // at 100 TB the map-side combine absorbs the fan-out.
     Q("text_repetition", "text",
       (s, dir) => {
-        // ONE corpus scan: unigrams ride along as n=1 grams, so token count
-        // (Σ unigram counts) and distinct-token count (# unigram groups)
-        // come out of the same (doc_id, n, gram) shuffle cycle as the
-        // bigram/trigram stats — at 100 TB, one scan + one partial-agg
-        // cycle vs the previous three scans + two joins.
+        // ONE corpus scan, but only the n∈{2,3} grams are exploded+shuffled.
+        // The unigram stats (token count, distinct-token count) are computed
+        // per-row map-side and ride the exploded rows as pass-through group
+        // keys (functionally dependent on doc_id, so zero extra groups) —
+        // the r4 shape that exploded unigrams too shuffled one extra row per
+        // token and measured 1.6× slower than three scans at sf0.1. This
+        // keeps the single scan AND the r3 shuffle volume.
         val d = t(s, dir, "documents")
-        val tagged = d.select(col("doc_id"), explode(concat(
-            transform(tokens(col("text")), g => struct(lit(1).as("n"), g.as("gram"))),
-            transform(shingles(col("text"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
-            transform(shingles(col("text"), 3), g => struct(lit(3).as("n"), g.as("gram")))))
-            .as("g"))
-          .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-        tagged.groupBy("doc_id", "n", "gram").count()
-          .groupBy("doc_id")
+        val tagged = d
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            size(col("tk")).as("n_tok"),
+            size(array_distinct(col("tk"))).as("n_distinct"),
+            explode(concat(
+              transform(tokenGrams(col("tk"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+              transform(tokenGrams(col("tk"), 3), g => struct(lit(3).as("n"), g.as("gram")))))
+              .as("g"))
+          .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+            col("g.n").as("n"), col("g.gram").as("gram"))
+        tagged.groupBy("doc_id", "n_tok", "n_distinct", "n", "gram").count()
+          .groupBy("doc_id", "n_tok", "n_distinct")
           .agg(
-            sum(when(col("n") === 1, col("count"))).as("tok_total"),
-            count(when(col("n") === 1, lit(1))).as("tok_distinct"),
             max(when(col("n") === 2, col("count"))).as("big_top"),
             sum(when(col("n") === 2, col("count"))).as("big_total"),
             coalesce(sum(when(col("n") === 3 && col("count") >= 2, col("count"))),
               lit(0L)).as("tri_dup"),
             sum(when(col("n") === 3, col("count"))).as("tri_total"))
           .select(col("doc_id"),
-            col("tok_total").cast("int").as("n_tokens"),
-            round(col("tok_distinct").cast("double") / col("tok_total"), 4)
+            col("n_tok").cast("int").as("n_tokens"),
+            round(col("n_distinct").cast("double") / col("n_tok"), 4)
               .as("distinct_ratio"),
             round(col("big_top").cast("double") / col("big_total"), 4)
               .as("top_bigram_frac"),
@@ -822,5 +835,89 @@ object Pipeline {
       Some("""SELECT doc_id,
              |  unnest(range(0, 1 + octet_length(encode(text)) % 32, 4)) AS frame_idx
              |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Deterministic content-stable train/holdout split: bucket = first hex
+    // byte of md5("split:" || doc_id), holdout iff bucket < 0x0d (13/256 ≈
+    // 5%). Pure per-row projection — no shuffle, no RNG: the property a
+    // 100 TB pipeline needs so a re-run (or a different cluster) never
+    // leaks holdout docs into training. Engine-portable: md5 both sides.
+    Q("pipeline_split_sample", "sampling",
+      (s, dir) => {
+        val bucket = substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string")).cast("binary")), 1, 2)
+        t(s, dir, "documents")
+          .select(col("doc_id"), bucket.as("bucket"),
+            when(bucket < "0d", lit("holdout")).otherwise(lit("train")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, substr(md5('split:' || doc_id), 1, 2) AS bucket,
+             |  CASE WHEN substr(md5('split:' || doc_id), 1, 2) < '0d'
+             |       THEN 'holdout' ELSE 'train' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Stratified per-language sample: first 20 docs per lang in
+    // deterministic md5 order — per-group window top-k (partitioned
+    // shuffle on lang, never a global sort), the balanced-subset op for
+    // eval-set construction over a skewed-language corpus.
+    Q("pipeline_stratified_sample", "sampling",
+      (s, dir) => {
+        val key = md5(concat(lit("strat:"), col("doc_id").cast("string")).cast("binary"))
+        val w = Window.partitionBy("lang").orderBy(col("k"), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), key.as("k"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+          .select(col("lang"), col("rn"), col("doc_id"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, rn, doc_id FROM (
+             |  SELECT lang, doc_id, row_number() OVER (
+             |    PARTITION BY lang ORDER BY md5('strat:' || doc_id), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
+    // Train/test contamination detection (the GPT-3/Gopher decontamination
+    // op): corpus docs sharing any verbatim 8-gram with a benchmark set.
+    // Benchmark stand-in = doc_id % 20 == 0. Scale shape: the benchmark
+    // gram set is small by construction → distinct + broadcast; the corpus
+    // side streams through one explode + broadcast semi-join + per-doc agg,
+    // so 100 TB of corpus never shuffles grams.
+    Q("pipeline_contamination", "decontamination",
+      (s, dir) => {
+        val g = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(tokenGrams(tokens(col("text")), 8)).as("gram"))
+        val bench = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
+        g.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(bench), Seq("gram"))
+          .groupBy("doc_id").agg(countDistinct("gram").as("n_shared_8grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+             |    ELSE list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' ')) END) AS gram
+             |  FROM toks),
+             |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+             |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_8grams
+             |FROM g JOIN bench USING (gram)
+             |WHERE g.doc_id % 20 <> 0
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Vocabulary construction: corpus-wide token frequencies, top 50 by
+    // (count desc, token) — the tokenizer-training / frequency-filter
+    // primitive. Two-level hash aggregation (map-side combine absorbs the
+    // per-doc fan-out) then a global top-k (TakeOrdered, no full sort).
+    Q("text_vocab_topk", "text,W3",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(50),
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+             |                            x -> len(x) > 0)) AS token
+             |  FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)),
   )
 }

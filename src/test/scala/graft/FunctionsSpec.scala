@@ -133,6 +133,22 @@ class FunctionsSpec extends SparkSpec {
     assert(mergeJ.last == 1.0)
   }
 
+  test("lsh band keys fail loudly when bands*rows exceeds the signature length") {
+    // bands past the end of a short signature used to silently hash empty
+    // input (md5("") keys bucketing every short row together); now it's an
+    // error, matching SkewJoin's fail-loud NULL-discriminator convention
+    val df = Seq("a b c d").toDF("text")
+    val e = intercept[Exception] {
+      df.select(lshBandKeysMd5(minhashMd5(md5Shingles($"text", 2), 8), 5, 2)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds signature length")))
+    // exact fit (bands*rows == k) still works
+    assert(df.select(lshBandKeysMd5(minhashMd5(md5Shingles($"text", 2), 8), 4, 2))
+      .as[Seq[(Int, String)]].head().size == 4)
+  }
+
   test("cosine similarity: orthogonal=0, identical=1") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),

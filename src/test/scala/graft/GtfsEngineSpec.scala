@@ -195,6 +195,25 @@ class GtfsEngineSpec extends SparkSpec {
     assert(math.abs(j.totalSeconds - expectedTotal) < 1e-6)
   }
 
+  test("Sssp locality probe decides the distributed regime without collecting rows") {
+    // A distributed-scale edge set containing a row that CANNOT be
+    // deserialized to the driver (null src into a primitive Long): the
+    // count-based pre-gate never moves or decodes edge rows, so the
+    // decision succeeds; the previous head(cap+1) probe collected — and
+    // would throw decoding the poison row — even though the answer was
+    // "not local". (What's-wrong r4 #3: a ~100-200 MB driver spike in
+    // exactly the 100× regime.)
+    val edges = spark.range(10).selectExpr(
+      "CASE WHEN id = 3 THEN NULL ELSE id END AS src",
+      "id + 1 AS dst", "CAST(1.0 AS DOUBLE) AS weight")
+    val sssp = new ShortestPaths.Sssp(edges, localThreshold = 5)
+    assert(!sssp.isLocal)
+    // below the threshold the same handle still goes local
+    val small = spark.range(4).selectExpr("id AS src", "id + 1 AS dst",
+      "CAST(1.0 AS DOUBLE) AS weight")
+    assert(new ShortestPaths.Sssp(small, localThreshold = 5).isLocal)
+  }
+
   test("empty result when no source departs in the window") {
     val seg = engine.routing(Day, 1.0, "23:00:00", "Gamma", "Epsilon")
     assert(seg.count() == 0)
