@@ -883,9 +883,12 @@ object Pipeline {
     // so 100 TB of corpus never shuffles grams.
     Q("pipeline_contamination", "decontamination",
       (s, dir) => {
+        // tokenize in a separate projection: referencing tokens(text)
+        // inside the tokenGrams lambda would re-tokenize once PER GRAM
+        // (CollapseProject keeps the named column single-evaluated)
         val g = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(tokenGrams(tokens(col("text")), 8)).as("gram"))
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"), explode(tokenGrams(col("tk"), 8)).as("gram"))
         val bench = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
         g.filter(col("doc_id") % 20 =!= 0)
           .join(broadcast(bench), Seq("gram"))

@@ -100,6 +100,45 @@ object StreamingQueries {
              |FROM g GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // The ARBITRARY-STATE sessionization path under the hash gate: the
+    // same per-user gap fold the mapGroupsWithState operator runs,
+    // executed via groupByKey + flatMapGroups on the static table (r4
+    // noted the custom-state form was spec-only). Same session semantics
+    // as stream_sessionize, so the same relational oracle pins it.
+    Q("stream_sessionize_custom", "streaming",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .selectExpr("CAST(user_id AS BIGINT)", "CAST(ts div 1000 AS BIGINT)",
+            "CAST(value AS DOUBLE)")
+          .as[(Long, Long, Double)]
+        EventStreams.sessionizeBatchUs(e, 1800000000L).toDF()
+          .select(col("user_id"),
+            timestamp_micros(col("session_start_us")).as("session_start"),
+            timestamp_micros(col("session_end_us")).as("session_end"),
+            col("n_events"), col("total_value_cents"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, us, value,
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (
+             |  SELECT user_id, us, value,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f)
+             |SELECT user_id,
+             |  make_timestamp(min(us)) AS session_start,
+             |  make_timestamp(max(us) + 1800000000) AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // Stream-stream interval join (EventStreams.intervalJoinByUser batch
     // twin): view → same-user click within 24 h, the attribution shape
     // whose streaming form bounds join state via two-sided watermarks.

@@ -74,6 +74,42 @@ object EventStreams {
       }
   }
 
+  final case class GapSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, total_value_cents: Long)
+
+  /** The arbitrary-state gap sessionization in its deterministic batch
+    * form: groupByKey + flatMapGroups folding each user's time-sorted
+    * events into sessions split on ≥ `gapUs` of inactivity — the same
+    * per-group state logic [[sessionize]] (mapGroupsWithState) runs, with
+    * the processing-time timeout replaced by the event-time gap so the
+    * result is exactly derivable (and hash-checked) via the lag +
+    * running-sum SQL form. Timeline in microseconds, the resolution both
+    * engines share; money as integer cents (order-independent sums).
+    * Per-group memory = one user's events — the bounded-key regime; the
+    * unbounded-key regime belongs to the streaming form, where the
+    * watermark timeout bounds state instead. */
+  def sessionizeBatchUs(events: Dataset[(Long, Long, Double)],
+      gapUs: Long): Dataset[GapSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroups { (uid, it) =>
+      val evs = it.toArray.sortBy(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapSession]
+      def emit(lo: Int, hi: Int): Unit = { // [lo, hi)
+        var n = 0L; var cents = 0L; var j = lo
+        while (j < hi) { n += 1; cents += math.round(evs(j)._3 * 100); j += 1 }
+        out += GapSession(uid, evs(lo)._2, evs(hi - 1)._2 + gapUs, n, cents)
+      }
+      var start = 0
+      var i = 1
+      while (i < evs.length) {
+        if (evs(i)._2 - evs(i - 1)._2 >= gapUs) { emit(start, i); start = i }
+        i += 1
+      }
+      if (evs.nonEmpty) emit(start, evs.length)
+      out.iterator
+    }
+  }
+
   /** Gap-based session windows per user via the native `session_window`
     * aggregation — the declarative twin of [[sessionize]]: events closer
     * than `gap` merge into one session spanning [first_ts, last_ts + gap).
