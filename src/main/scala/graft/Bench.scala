@@ -31,7 +31,12 @@ object Bench {
     // absorb session start-up (~5 s otherwise).
     spark.range(1000).repartition(4).groupBy((org.apache.spark.sql.functions
       .col("id") % 10).as("k")).count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset run for iterating on one query's timing:
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 (driver runs always leave this unset).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val timings = (1 to repeats).map { _ =>
         val start = System.currentTimeMillis() / 1000.0
         val t0 = System.nanoTime()

@@ -148,14 +148,17 @@ object ShortestPaths {
       col("weight").cast("double"))
     private lazy val localCsr: Option[Csr] = {
       import spark.implicits._
-      // Overflow pre-gate: `limit(cap+1).count()` answers "is the graph
-      // local?" without moving a single edge row to the driver — the
-      // previous head(cap+1) probe collected up to threshold+1 tuples
-      // (~100-200 MB at the default threshold) even when the answer was
-      // "distributed regime, discard". The collect happens only when the
-      // count proves every edge fits.
+      // Overflow pre-gate: a plain parallel count() answers "is the graph
+      // local?" without moving a single edge row — per-partition counts
+      // combine map-side. (The previous head(cap+1) probe collected up to
+      // threshold+1 tuples, ~100-200 MB, to the driver even when the
+      // answer was "distributed regime, discard"; a limit(cap+1).count()
+      // probe would be no better, gathering the rows into one partition
+      // for the GlobalLimit.) The collect below runs only when the count
+      // proves every edge fits — and reads the projection's cache, which
+      // the count itself just populated.
       val cap = math.min(localThreshold, (Int.MaxValue - 2).toLong).toInt
-      if (e.limit(cap + 1).count() <= cap)
+      if (e.count() <= cap)
         Some(buildCsr(e.as[(Long, Long, Double)].collect()))
       else None
     }

@@ -856,16 +856,25 @@ object Pipeline {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Stratified per-language sample: first 20 docs per lang in
-    // deterministic md5 order — per-group window top-k (partitioned
-    // shuffle on lang, never a global sort), the balanced-subset op for
-    // eval-set construction over a skewed-language corpus.
+    // deterministic md5 order — the balanced-subset op for eval-set
+    // construction over a skewed-language corpus. lang has FEW values, so
+    // a bare per-lang window would funnel the whole corpus into a handful
+    // of sort partitions at 100 TB; instead an exact two-level top-k: a
+    // first window keyed (lang, input-partition id) — balanced, parallel —
+    // keeps 20 rows per (lang, pid) (the global per-lang top-20 is
+    // contained in their union), so the final per-lang sort sees ≤ 20 ×
+    // partitions rows. Result is partitioning-independent: the second
+    // window re-ranks globally.
     Q("pipeline_stratified_sample", "sampling",
       (s, dir) => {
         val key = md5(concat(lit("strat:"), col("doc_id").cast("string")).cast("binary"))
-        val w = Window.partitionBy("lang").orderBy(col("k"), col("doc_id"))
+        val local = Window.partitionBy("lang", "pid").orderBy(col("k"), col("doc_id"))
+        val global = Window.partitionBy("lang").orderBy(col("k"), col("doc_id"))
         t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), key.as("k"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+          .select(col("doc_id"), col("lang"), key.as("k"),
+            spark_partition_id().as("pid"))
+          .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 20)
+          .withColumn("rn", row_number().over(global)).filter(col("rn") <= 20)
           .select(col("lang"), col("rn"), col("doc_id"))
           .orderBy("lang", "rn")
       },
