@@ -163,6 +163,24 @@ object GraphQueries {
              |FROM (VALUES (1, 34.9, 7.91, 2382.82))
              | AS t(changes, start_walk_m, end_walk_m, total_secs)""".stripMargin)),
 
+    // S3 — the calendar preprocessor (reshape.py:9-37): keep only calendar
+    // rows whose service_id occurs in trips (semi-join), YYYYMMDD →
+    // DATE. Literal-VALUES golden: S9 (absent from trips) must be dropped.
+    Q("gtfs_calendar_reshape", "S3",
+      (s, _) => {
+        import s.implicits._
+        val trips = Seq(("R1", "S1", "T1"), ("R1", "S2", "T2"))
+          .toDF("route_id", "service_id", "trip_id")
+        val raw = Seq(("S1", "20240118", "1"), ("S1", "20240119", "2"),
+          ("S2", "20240118", "1"), ("S9", "20240118", "1"))
+          .toDF("service_id", "date", "exception_type")
+        graft.etl.GtfsLoader.reshapeCalendar(trips, raw).orderBy("service_id", "day")
+      },
+      Some("""SELECT service_id, CAST(day AS DATE) AS day, exception_type FROM (VALUES
+             | ('S1', DATE '2024-01-18', '1'), ('S1', DATE '2024-01-19', '2'),
+             | ('S2', DATE '2024-01-18', '1')) AS t(service_id, day, exception_type)
+             |ORDER BY service_id, day""".stripMargin)),
+
     // S1-analog near-stop spatial search on the demo network (F1+P8).
     // Literal-VALUES golden oracle (see gtfs_routing_golden).
     Q("gtfs_near_stops", "F1,P8,A3",

@@ -51,6 +51,86 @@ object Relational {
       Some("""SELECT event_id, event_type, value FROM events
              |WHERE props IS NOT NULL AND value > 150.0 ORDER BY event_id""".stripMargin)),
 
+    // S5 — import-merge-on-key upsert semantics (ref: PDF p.5-6 §2.2-2.3
+    // `MERGE … ON CREATE SET` during the whole-graph CSV re-import):
+    // incoming rows override existing rows on the key; existing keys absent
+    // from the incoming batch survive. (The file round-trip itself is
+    // FootwaySpec's unit coverage; this pins the merge relation.)
+    Q("s5_merge_on_key", "S5",
+      (s, dir) => {
+        val base = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        val incoming = base.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"))
+        incoming.unionByName(
+            base.join(incoming.select("c_custkey"), Seq("c_custkey"), "left_anti"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name || '-v2' AS c_name FROM customer
+             |WHERE c_custkey % 10 = 0
+             |UNION ALL
+             |SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 <> 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // F10 — the stable synthetic id contract: xxhash64 over the natural key
+    // must be injective on the data (the id() replacement, SURVEY §7.3 —
+    // stability across runs is GtfsEngineSpec's coverage; DuckDB cannot
+    // compute xxhash64, but it CAN check the distinct-count the hash must
+    // reproduce if collision-free).
+    Q("f10_stable_id", "F10",
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(xxhash64(col("l_orderkey"), col("l_linenumber")))
+            .as("n_ids")),
+      Some("""SELECT count(*) AS n_rows,
+             |       count(DISTINCT (l_orderkey, l_linenumber)) AS n_ids
+             |FROM lineitem""".stripMargin)),
+
+    // P7 — anti-self inequality predicates in a self-join (ref: main.py:17
+    // `t.id <> trip_source AND r.id <> line`: a transfer must change BOTH
+    // trip and route). Same shape: same-order lineitem pairs that differ in
+    // line number AND supplier.
+    Q("p7_anti_self_join", "P7,J6",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        val a = l.select(col("l_orderkey"),
+          col("l_linenumber").as("a_line"), col("l_suppkey").as("a_supp"))
+        val b = l.select(col("l_orderkey"),
+          col("l_linenumber").as("b_line"), col("l_suppkey").as("b_supp"))
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("a_line") < col("b_line") && col("a_supp") =!= col("b_supp"))
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n_cross_supplier_pairs"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT a.l_orderkey AS l_orderkey, count(*) AS n_cross_supplier_pairs
+             |FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+             |WHERE a.l_linenumber < b.l_linenumber AND a.l_suppkey <> b.l_suppkey
+             |GROUP BY a.l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // P10 — optional-parameter predicate built driver-side (ref:
+    // routing.ipynb:cell1:L185 `WHERE $footway_id IS NULL OR
+    // footnode.footway_id = $footway_id`): the filter exists only when the
+    // parameter is set. Both branches demonstrated in one result, labeled.
+    Q("p10_optional_param", "P10",
+      (s, dir) => {
+        def branch(param: Option[String]) = {
+          val base = t(s, dir, "orders")
+          param.fold(base)(p => base.filter(col("o_orderpriority") === p))
+            .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+            .select(lit(param.getOrElse("<unset>")).as("param"),
+              col("o_orderpriority"), col("n"))
+        }
+        branch(Some("1-URGENT")).unionByName(branch(None))
+          .orderBy("param", "o_orderpriority")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT '1-URGENT' AS param, o_orderpriority, count(*) AS n
+             |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority
+             |  UNION ALL
+             |  SELECT '<unset>' AS param, o_orderpriority, count(*) AS n
+             |  FROM orders GROUP BY o_orderpriority)
+             |ORDER BY param, o_orderpriority""".stripMargin)),
+
     // J1 — the calendar-chain 4-way equi-join (ref: main.py:16 Day–Service–
     // Trip–Stoptime–Stop chain) as region–nation–customer–orders–lineitem;
     // small dimensions broadcast exactly like Day/Service/Route.
