@@ -163,6 +163,29 @@ object GraphQueries {
              |FROM (VALUES (1, 34.9, 7.91, 2382.82))
              | AS t(changes, start_walk_m, end_walk_m, total_secs)""".stripMargin)),
 
+    // S4+S5 — whole-graph CSV export + import round-trip through real
+    // files (apoc.export.csv.all / LOAD CSV analog, PDF p.5-6): the demo
+    // stop table written as headered CSV to a temp dir and read back under
+    // its declared schema. Literal-VALUES golden = the fixture itself; a
+    // lossy codec (quoting, float formatting, header skew) would break the
+    // hash.
+    Q("gtfs_csv_roundtrip", "S4,S5",
+      (s, _) => {
+        val stops = graft.api.DemoGtfs.tables(s).stops
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_s4_stops").getAbsolutePath
+        graft.etl.GraphCsv.exportTable(stops, dir, single = true)
+        graft.etl.GraphCsv.importTable(s, dir, stops.schema).orderBy("stop_id")
+      },
+      Some("""SELECT stop_id, stop_name, CAST(stop_lat AS DOUBLE) AS stop_lat,
+             | CAST(stop_lon AS DOUBLE) AS stop_lon FROM (VALUES
+             | ('SA','Alpha',44.6,10.9), ('SB','Beta',44.61,10.9),
+             | ('SC','Gamma',44.62,10.9), ('SC2','Gamma Due',44.62015,10.9),
+             | ('SD1','Delta',44.63,10.91), ('SD2','Delta',44.63005,10.91005),
+             | ('SE','Epsilon',44.64,10.92))
+             | AS t(stop_id, stop_name, stop_lat, stop_lon)
+             |ORDER BY stop_id""".stripMargin)),
+
     // S3 — the calendar preprocessor (reshape.py:9-37): keep only calendar
     // rows whose service_id occurs in trips (semi-join), YYYYMMDD →
     // DATE. Literal-VALUES golden: S9 (absent from trips) must be dropped.

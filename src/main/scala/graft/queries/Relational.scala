@@ -51,24 +51,27 @@ object Relational {
       Some("""SELECT event_id, event_type, value FROM events
              |WHERE props IS NOT NULL AND value > 150.0 ORDER BY event_id""".stripMargin)),
 
-    // S5 — import-merge-on-key upsert semantics (ref: PDF p.5-6 §2.2-2.3
+    // S5 — import-merge-on-key semantics (ref: PDF p.5-6 §2.2-2.3
     // `MERGE … ON CREATE SET` during the whole-graph CSV re-import):
-    // incoming rows override existing rows on the key; existing keys absent
-    // from the incoming batch survive. (The file round-trip itself is
-    // FootwaySpec's unit coverage; this pins the merge relation.)
+    // EXISTING rows win on a shared key (ON CREATE SET fires only for
+    // unseen keys); fresh incoming keys are appended. Pins the actual
+    // library function (GraphCsv.mergeOnKeys): the '-v2' rewrites of
+    // existing keys must NOT surface, the '-new' fresh keys must.
     Q("s5_merge_on_key", "S5",
       (s, dir) => {
         val base = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
         val incoming = base.filter(col("c_custkey") % 10 === 0)
           .select(col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"))
-        incoming.unionByName(
-            base.join(incoming.select("c_custkey"), Seq("c_custkey"), "left_anti"))
+          .unionByName(base.filter(col("c_custkey") % 25 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              concat(col("c_name"), lit("-new")).as("c_name")))
+        graft.etl.GraphCsv.mergeOnKeys(base, incoming, Seq("c_custkey"))
           .orderBy("c_custkey")
       },
-      Some("""SELECT c_custkey, c_name || '-v2' AS c_name FROM customer
-             |WHERE c_custkey % 10 = 0
+      Some("""SELECT c_custkey, c_name FROM customer
              |UNION ALL
-             |SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 <> 0
+             |SELECT c_custkey + 1000000 AS c_custkey, c_name || '-new' AS c_name
+             |FROM customer WHERE c_custkey % 25 = 0
              |ORDER BY c_custkey""".stripMargin)),
 
     // F10 — the stable synthetic id contract: xxhash64 over the natural key

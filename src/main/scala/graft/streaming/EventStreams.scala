@@ -79,12 +79,16 @@ object EventStreams {
 
   /** The arbitrary-state gap sessionization in its deterministic batch
     * form: groupByKey + flatMapGroups folding each user's time-sorted
-    * events into sessions split on ≥ `gapUs` of inactivity — the same
-    * per-group state logic [[sessionize]] (mapGroupsWithState) runs, with
-    * the processing-time timeout replaced by the event-time gap so the
-    * result is exactly derivable (and hash-checked) via the lag +
-    * running-sum SQL form. Timeline in microseconds, the resolution both
-    * engines share; money as integer cents (order-independent sums).
+    * events into sessions split on more than `gapUs` of inactivity — the
+    * same per-group state logic [[sessionize]] (mapGroupsWithState) runs,
+    * with the processing-time timeout replaced by the event-time gap so
+    * the result is exactly derivable (and hash-checked) via the lag +
+    * running-sum SQL form. Boundary convention matches the native
+    * `session_window`: an event at exactly last + gap MERGES (touching
+    * per-event windows [ts, ts+gap) coalesce) — StreamingSpec pins the
+    * two forms equal on that edge. Timeline in microseconds, the
+    * resolution both engines share; money as integer cents
+    * (order-independent sums).
     * Per-group memory = one user's events — the bounded-key regime; the
     * unbounded-key regime belongs to the streaming form, where the
     * watermark timeout bounds state instead. */
@@ -102,7 +106,7 @@ object EventStreams {
       var start = 0
       var i = 1
       while (i < evs.length) {
-        if (evs(i)._2 - evs(i - 1)._2 >= gapUs) { emit(start, i); start = i }
+        if (evs(i)._2 - evs(i - 1)._2 > gapUs) { emit(start, i); start = i }
         i += 1
       }
       if (evs.nonEmpty) emit(start, evs.length)

@@ -82,6 +82,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroups gap sessionization equals the native session_window") {
+    // the arbitrary-state batch fold (sessionizeBatchUs) and the
+    // declarative session_window aggregation must produce identical
+    // sessions on the same rows — including the boundary convention
+    // (an event at exactly last + gap MERGES: touching windows coalesce)
+    // and the [first, last + gap) span
+    val rows = Seq(
+      (1L, 1000000L, 1.0), (1L, 1500000L, 2.0),   // same session (0.5 s gap)
+      (1L, 1500000L + 2000000L, 4.0),             // exactly gap later → merges
+      (2L, 5000000L, 8.0))                        // single-event session
+    val df = rows.toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val native = EventStreams.sessionWindows(df, "2 seconds", "0 seconds")
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"),
+        col("total_value_cents"))
+      .orderBy("user_id", "s").collect().toSeq
+    val custom = EventStreams.sessionizeBatchUs(
+        df.select(col("user_id"), unix_micros(col("ts")), col("value"))
+          .as[(Long, Long, Double)], 2000000L)
+      .toDF().select(col("user_id"), col("session_start_us").as("s"),
+        col("session_end_us").as("e"), col("n_events"), col("total_value_cents"))
+      .orderBy("user_id", "s").collect().toSeq
+    assert(custom == native)
+    assert(custom.length == 2) // user 1: one 3-event session; user 2: one
+  }
+
   test("stream-stream interval join equals the batch join on same rows") {
     implicit val sqlCtx = spark.sqlContext
     val views = Seq(
