@@ -8,7 +8,7 @@ import graft.etl.GraphBuilder
 import graft.projection.TimeExpandedGraph
 import graft.graph.ShortestPaths
 import graft.functions.SpatialFunctions.haversineMeters
-import graft.functions.TimeFunctions.{parseHms, hmsString}
+import graft.functions.TimeFunctions.parseHms
 
 /** Degree-distribution summary of the projected graph — the analog of
   * `gds.graph.list` (`main.py:29-44`). */
@@ -201,24 +201,30 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     * columns. */
   private def segments(g: TimeExpandedGraph, path: List[Long]): DataFrame = {
     import spark.implicits._
-    val hops = path.zip(path.tail).zipWithIndex
-      .map { case ((a, b), i) => (i + 1, a, b) }
-    val hopsDF = spark.createDataset(hops).toDF("hop", "s1_id", "s2_id")
-    // label joins touch only the path's own nodes — the isin filter prunes
-    // the cached node scan before the broadcast, so a 250k-node projection
-    // doesn't get broadcast to label a 100-hop path
-    val pathNodes = g.nodes.filter(col("id").isin(path: _*))
-    val n1 = pathNodes.select(col("id").as("s1_id"), col("trip_id").as("trip"),
-      hmsString(col("dep_secs")).as("departure"), col("route_id").as("line"),
-      col("stop_name").as("starting_stop_name"), col("stop_id").as("starting_stop_id"),
-      col("lat").as("start_lat"), col("lon").as("start_lon"))
-    val n2 = pathNodes.select(col("id").as("s2_id"), col("trip_id").as("next_trip"),
-      col("route_id").as("next_line"), col("stop_name").as("next_stop"),
-      col("stop_id").as("next_stop_id"),
-      col("lat").as("next_lat"), col("lon").as("next_lon"),
-      hmsString(col("arr_secs")).as("arrival"))
-    hopsDF.join(broadcast(n1), Seq("s1_id")).join(broadcast(n2), Seq("s2_id"))
-      .select("hop", "trip", "departure", "line", "starting_stop_name",
+    // ONE job: collect only the path's own node rows (≤ hops+1 — tens of
+    // rows; the isin filter prunes the cached node scan) and assemble the
+    // labeled segment rows driver-side. The previous form ran the J8 label
+    // joins as two broadcast joins — several Spark jobs per routing call
+    // to label a ~20-row result, the dominant per-pair overhead in the
+    // 9-OD harness. Semantics unchanged (GtfsEngineSpec goldens +
+    // gtfs_routing_golden / gtfs_point_routing_golden hash oracles).
+    val byId = g.nodes.filter(col("id").isin(path: _*))
+      .select(col("id"), col("trip_id"), col("route_id"), col("stop_name"),
+        col("stop_id"), col("lat"), col("lon"), col("arr_secs"), col("dep_secs"))
+      .collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val hms = graft.functions.TimeFunctions.formatHms _
+    def secsOf(r: org.apache.spark.sql.Row, i: Int): Int =
+      r.get(i).asInstanceOf[Number].intValue
+    val rows = path.zip(path.tail).zipWithIndex.flatMap { case ((a, b), i) =>
+      for (ra <- byId.get(a); rb <- byId.get(b)) yield
+        (i + 1, ra.getString(1), hms(secsOf(ra, 8)), ra.getString(2),
+          ra.getString(3), ra.getString(4), ra.getDouble(5), ra.getDouble(6),
+          rb.getString(1), rb.getString(3), rb.getString(4),
+          rb.getDouble(5), rb.getDouble(6), rb.getString(2), hms(secsOf(rb, 7)))
+    }
+    spark.createDataset(rows)
+      .toDF("hop", "trip", "departure", "line", "starting_stop_name",
         "starting_stop_id", "start_lat", "start_lon", "next_trip", "next_stop",
         "next_stop_id", "next_lat", "next_lon", "next_line", "arrival")
       .orderBy("hop")
