@@ -917,6 +917,106 @@ object Pipeline {
              |WHERE g.doc_id % 20 <> 0
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Sequence packing (the pretraining batch-construction fold): docs in
+    // corpus order greedily packed into fixed-token-budget bins, per shard
+    // (doc_id % 8) so shards pack independently and in parallel — exactly
+    // how a 100 TB pipeline packs per-worker. The reset fold (bin += 1 when
+    // fill + n would exceed the budget) is arbitrary per-group state, same
+    // machinery as sessionizeBatchUs; the oracle re-derives it with a
+    // recursive CTE.
+    Q("pipeline_pack_sequences", "packing",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 256
+        val counts = t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            size(tokens(col("text"))).as("n_tokens"))
+          .selectExpr("CAST(shard AS BIGINT)", "CAST(doc_id AS BIGINT)",
+            "CAST(n_tokens AS BIGINT)")
+          .as[(Long, Long, Long)]
+        counts.groupByKey(_._1).flatMapGroups { (shard, it) =>
+          val docs = it.toArray.sortBy(_._2)
+          var bin = 0L; var fill = 0L
+          docs.iterator.map { case (_, docId, n) =>
+            if (fill + n > cap && fill > 0) { bin += 1; fill = 0 }
+            fill += n
+            (shard, bin, docId, n)
+          }
+        }.toDF("shard", "bin", "doc_id", "n_tokens")
+          .orderBy("shard", "bin", "doc_id")
+      },
+      Some("""WITH RECURSIVE counts AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |         len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+             |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |p AS (
+             |  SELECT shard, rn, doc_id, n_tokens,
+             |         CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+             |  FROM counts WHERE rn = 1
+             |  UNION ALL
+             |  SELECT c.shard, c.rn, c.doc_id, c.n_tokens,
+             |         CASE WHEN p.fill + c.n_tokens > 256 AND p.fill > 0
+             |              THEN p.bin + 1 ELSE p.bin END,
+             |         CASE WHEN p.fill + c.n_tokens > 256 AND p.fill > 0
+             |              THEN c.n_tokens ELSE p.fill + c.n_tokens END
+             |  FROM p JOIN counts c ON c.shard = p.shard AND c.rn = p.rn + 1)
+             |SELECT shard, bin, doc_id, n_tokens FROM p
+             |ORDER BY shard, bin, doc_id""".stripMargin)),
+
+    // Embedding outlier scoring (quality filtering): cosine of each vector
+    // to its LABEL CENTROID, bottom-5 per label = the mislabeled/outlier
+    // candidates. Determinism across engines: components quantized to
+    // integer thousandths, so centroid sums, dot products and norms are
+    // EXACT integers (order-independent) and the final cosine is one
+    // double expression over them, rounded before ranking. Scale shape:
+    // one partial-agg shuffle for the 10×64 centroid table (broadcast
+    // back), one scan for the scores.
+    Q("sim_label_centroid_outlier", "similarity,quality",
+      (s, dir) => {
+        val q = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+        val cent = q
+          .select(col("label"), posexplode(col("qv")).as(Seq("d", "x")))
+          .groupBy("label", "d").agg(sum("x").as("s"))
+          .groupBy("label")
+          .agg(transform(sort_array(collect_list(struct(col("d"), col("s")))),
+            e => e.getField("s")).as("c"))
+        val dot = aggregate(zip_with(col("qv"), col("c"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        val nv2 = aggregate(transform(col("qv"), a => a * a), lit(0L), (acc, x) => acc + x)
+        val nc2 = aggregate(transform(col("c"), a => a * a), lit(0L), (acc, x) => acc + x)
+        val cos = round(dot.cast("double") /
+          (sqrt(nv2.cast("double")) * sqrt(nc2.cast("double"))), 6)
+        val w = Window.partitionBy("label").orderBy(col("centroid_cos"), col("vec_id"))
+        q.join(broadcast(cent), Seq("label"))
+          .select(col("label"), col("vec_id"), cos.as("centroid_cos"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("label"), col("rn"), col("vec_id"), col("centroid_cos"))
+          .orderBy("label", "rn")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, label,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |dims AS (
+             |  SELECT label, d, sum(qv[d]) AS s
+             |  FROM q, range(1, 65) t(d) GROUP BY label, d),
+             |cent AS (SELECT label, list(s ORDER BY d) AS c FROM dims GROUP BY label),
+             |scored AS (
+             |  SELECT q.label, q.vec_id,
+             |    round(CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * c[i])) AS DOUBLE) /
+             |          (sqrt(CAST(list_sum(list_transform(qv, a -> a * a)) AS DOUBLE)) *
+             |           sqrt(CAST(list_sum(list_transform(c, a -> a * a)) AS DOUBLE))), 6) AS centroid_cos
+             |  FROM q JOIN cent ON q.label = cent.label)
+             |SELECT label, rn, vec_id, centroid_cos FROM (
+             |  SELECT label, vec_id, centroid_cos,
+             |         row_number() OVER (PARTITION BY label ORDER BY centroid_cos, vec_id) AS rn
+             |  FROM scored) WHERE rn <= 5
+             |ORDER BY label, rn""".stripMargin)),
+
     // Vocabulary construction: corpus-wide token frequencies, top 50 by
     // (count desc, token) — the tokenizer-training / frequency-filter
     // primitive. Two-level hash aggregation (map-side combine absorbs the
