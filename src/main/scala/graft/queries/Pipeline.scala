@@ -934,15 +934,7 @@ object Pipeline {
           .selectExpr("CAST(shard AS BIGINT)", "CAST(doc_id AS BIGINT)",
             "CAST(n_tokens AS BIGINT)")
           .as[(Long, Long, Long)]
-        counts.groupByKey(_._1).flatMapGroups { (shard, it) =>
-          val docs = it.toArray.sortBy(_._2)
-          var bin = 0L; var fill = 0L
-          docs.iterator.map { case (_, docId, n) =>
-            if (fill + n > cap && fill > 0) { bin += 1; fill = 0 }
-            fill += n
-            (shard, bin, docId, n)
-          }
-        }.toDF("shard", "bin", "doc_id", "n_tokens")
+        graft.operators.SequencePacking.pack(counts, cap)
           .orderBy("shard", "bin", "doc_id")
       },
       Some("""WITH RECURSIVE counts AS (

@@ -100,6 +100,49 @@ class PropertySpec extends SparkSpec {
       gtfs.stops.count())
   }
 
+  test("sequence packing invariants hold on random shards") {
+    import graft.operators.SequencePacking
+    val cap = 256L
+    val genDocs = Gen.listOf(for {
+      id <- Gen.choose(0L, 500L)
+      n <- Gen.choose(1L, 300L) // includes oversize docs (> cap)
+    } yield (id, n)).map(_.distinctBy(_._1))
+    val prop = Prop.forAll(genDocs) { docs =>
+      docs.nonEmpty ==> {
+        val packed = SequencePacking.packShard(docs, cap)
+        val byBin = packed.groupBy(_._1)
+        // every bin within budget unless it holds a single oversize doc
+        val budgetOk = byBin.forall { case (_, rows) =>
+          rows.map(_._3).sum <= cap || rows.size == 1 }
+        // no doc lost or duplicated
+        val complete = packed.map(_._2).toSet == docs.map(_._1).toSet &&
+          packed.size == docs.size
+        // bins are nondecreasing in doc order and contiguous from 0
+        val order = packed.map(_._1)
+        val monotone = order == order.sorted
+        val contiguous = order.distinct == (0L until byBin.size.toLong)
+        // greedy: a doc never starts a new bin the previous bin had room for
+        val greedy = packed.sliding(2).forall {
+          case Seq((b1, _, _), (b2, _, n2)) if b2 == b1 + 1 =>
+            byBin(b1).map(_._3).sum + n2 > cap
+          case _ => true
+        }
+        budgetOk && complete && monotone && contiguous && greedy
+      }
+    }
+    check("packing invariants", prop)
+    // distributed form == driver fold, shard by shard
+    val docs = Seq((0L, 10L, 100L), (0L, 11L, 200L), (0L, 12L, 250L),
+      (1L, 20L, 300L), (1L, 21L, 5L), (2L, 30L, 256L))
+    val distributed = SequencePacking.pack(docs.toDS(), cap)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val reference = docs.groupBy(_._1).flatMap { case (shard, rows) =>
+      SequencePacking.packShard(rows.map(t => (t._2, t._3)), cap)
+        .map { case (bin, id, n) => (shard, bin, id, n) }
+    }.toSet
+    assert(distributed == reference)
+  }
+
   test("minhash similarity estimates correlate with true Jaccard") {
     // identical sets → identical signatures; disjoint sets → (near) disjoint
     val a = (1L to 40L).toArray
