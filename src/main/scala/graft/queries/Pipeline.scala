@@ -1009,6 +1009,55 @@ object Pipeline {
              |  FROM scored) WHERE rn <= 5
              |ORDER BY label, rn""".stripMargin)),
 
+    // Distributed BPE tokenizer TRAINING under the hash gate: the classic
+    // Sennrich word-frequency fixture trained for 6 merges (each round =
+    // one distributed pair-count aggregation + a 1-row argmax; ties break
+    // lexicographically). Literal-VALUES golden — BpeSpec hand-derives the
+    // first four merges; the fixture is inline so the answer is
+    // scale-factor-independent (sf documents aren't prefix-stable).
+    Q("text_bpe_merges", "text,bpe",
+      (s, _) => {
+        import s.implicits._
+        val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+          .toDF("word", "count")
+        graft.operators.Bpe.train(words, 6)
+          .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+          .toDF("rank", "left", "right").orderBy("rank")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (1, 'e', 's'), (2, 'es', 't'), (3, 'l', 'o'),
+             | (4, 'lo', 'w'), (5, 'e', 'w'), (6, 'ew', 'est'))
+             | AS t(rank, "left", "right")
+             |ORDER BY rank""".stripMargin)),
+
+    // BPE ENCODING at corpus scale with the merges text_bpe_merges just
+    // pinned: per-document sub-word count after the 6-merge replace chain.
+    // The double-space symbol representation makes each merge a plain
+    // (non-regex) string replace that DuckDB reproduces verbatim — greedy
+    // left-to-right BPE in both engines.
+    Q("text_bpe_encode", "text,bpe",
+      (s, dir) => {
+        val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"),
+          ("lo", "w"), ("e", "w"), ("ew", "est"))
+        t(s, dir, "documents").select(col("doc_id"),
+          aggregate(transform(tokens(col("text")),
+            w => graft.operators.Bpe.subwordCount(w, merges)),
+            lit(0), (acc, x) => acc + x).as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(COALESCE(list_sum(list_transform(tk, w ->
+             |    len(string_split_regex(trim(
+             |      replace(replace(replace(replace(replace(replace(
+             |        ' ' || regexp_replace(w, '(.)', '\1  ', 'g'),
+             |        ' e  s ', ' es '), ' es  t ', ' est '), ' l  o ', ' lo '),
+             |        ' lo  w ', ' low '), ' e  w ', ' ew '), ' ew  est ', ' ewest ')
+             |    ), ' +')))), 0) AS INTEGER) AS n_bpe_tokens
+             |FROM toks ORDER BY doc_id""".stripMargin)),
+
     // Vocabulary construction: corpus-wide token frequencies, top 50 by
     // (count desc, token) — the tokenizer-training / frequency-filter
     // primitive. Two-level hash aggregation (map-side combine absorbs the
