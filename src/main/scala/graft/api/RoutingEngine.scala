@@ -59,7 +59,10 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
   def findNearStops(date: String, lat: Double, lon: Double, radius: Double,
       speed: Double = 1.0): DataFrame =
     projected(day(date), speed).stopDim
-      .filter(haversineMeters(col("lat"), col("lon"), lit(lat), lit(lon)) < radius)
+      // bbox + exact haversine: the box predicates prune a columnar stop
+      // store before any trig runs (identical result set)
+      .filter(graft.functions.SpatialFunctions.withinRadius(
+        col("lat"), col("lon"), lat, lon, radius))
       .select("stop_name").distinct()
 
   /** Best stop-name-to-stop-name itinerary (`main.py:73-117`): per-route

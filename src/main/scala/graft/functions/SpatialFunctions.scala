@@ -42,4 +42,30 @@ object SpatialFunctions {
     * equi-join on neighboring cells, then exact haversine filter. */
   def cellId(lat: Column, lon: Column, cellDeg: Double): Column =
     (floor(lat / cellDeg).cast("long") * 100000L) + floor(lon / cellDeg).cast("long")
+
+  /** Radius predicate with a derived bounding-box pre-filter. The bbox
+    * comparisons are plain `lat/lon BETWEEN` predicates Catalyst pushes
+    * into the parquet scan (`PushedFilters` → row-group min/max pruning) —
+    * at 100 TB the scan skips everything outside the box before a single
+    * trig instruction runs; the exact haversine conjunct keeps the
+    * semantics identical (the box is a strict superset of the circle).
+    * Falls back to the exact test alone near the poles or the
+    * antimeridian, where a rectangular box stops being a superset. Margins
+    * use 111 000 m/degree (slightly under the true 111 195), widening the
+    * box — never shrinking the result. */
+  def withinRadius(lat: Column, lon: Column, lat0: Double, lon0: Double,
+      radiusMeters: Double): Column = {
+    val exact = haversineMeters(lat, lon, lit(lat0), lit(lon0)) < radiusMeters
+    val latMargin = radiusMeters / 111000.0
+    if (math.abs(lat0) + latMargin >= 89.0) exact
+    else {
+      val latBox = lat >= lat0 - latMargin && lat <= lat0 + latMargin
+      val cosLat = math.cos(math.toRadians(math.abs(lat0) + latMargin))
+      val lonMargin = radiusMeters / (111000.0 * cosLat)
+      if (lon0 - lonMargin <= -180.0 || lon0 + lonMargin >= 180.0)
+        latBox && exact
+      else
+        latBox && lon >= lon0 - lonMargin && lon <= lon0 + lonMargin && exact
+    }
+  }
 }

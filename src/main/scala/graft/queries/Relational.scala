@@ -466,6 +466,34 @@ object Relational {
              |       )) / 1000.0, 0) AS BIGINT) < 2000
              |ORDER BY k1, k2""".stripMargin)),
 
+    // P8 — the scan-prunable radius predicate: withinRadius emits plain
+    // lat/lon BETWEEN conjuncts (parquet row-group pruning at scale;
+    // FunctionsSpec asserts the PushedFilters) alongside the exact
+    // haversine. The ORACLE filters with the exact haversine ONLY — if the
+    // derived box ever clipped a true result, this row would hash-mismatch.
+    // Thresholds on whole km both sides (ULP-safe); the bbox uses 510 km,
+    // a strict superset of every rounded-in point (< 500.5 km).
+    Q("p8_bbox_radius", "P8,F1",
+      (s, dir) => {
+        val pts = t(s, dir, "customer").select(col("c_custkey").as("k"),
+          ((col("c_custkey") % 179) - 89.0).as("lat"),
+          (((col("c_custkey") * 7) % 359) - 179.5).as("lon"))
+        pts.filter(
+            graft.functions.SpatialFunctions.withinRadius(
+              col("lat"), col("lon"), 40.0, 10.0, 1510000.0) &&
+            round(haversineMeters(col("lat"), col("lon"), lit(40.0), lit(10.0)) / 1000.0, 0) < 1500)
+          .select("k").orderBy("k")
+      },
+      Some("""WITH pts AS (
+             |  SELECT c_custkey AS k, (c_custkey % 179) - 89.0 AS lat,
+             |         ((c_custkey * 7) % 359) - 179.5 AS lon FROM customer)
+             |SELECT k FROM pts
+             |WHERE round(2 * 6371000.0 * asin(sqrt(
+             |        sin(radians(40.0 - lat) / 2) ^ 2 +
+             |        cos(radians(lat)) * cos(radians(40.0)) * sin(radians(10.0 - lon) / 2) ^ 2
+             |      )) / 1000.0, 0) < 1500
+             |ORDER BY k""".stripMargin)),
+
     // F5/F3 — time-of-day as seconds-since-midnight (ref: SURVEY §7.4 codec).
     // `ts` arrives as long nanos (see Catalog.t); exact integer math, UTC.
     Q("f5_seconds_since_midnight", "F5,F3,P2",

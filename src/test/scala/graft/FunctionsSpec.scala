@@ -133,6 +133,40 @@ class FunctionsSpec extends SparkSpec {
     assert(mergeJ.last == 1.0)
   }
 
+  test("withinRadius: bbox conjuncts reach the parquet scan and never clip") {
+    // the derived lat/lon bounds must land in the scan's PushedFilters —
+    // the row-group-pruning contract that makes the predicate 100 TB-safe
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bbox_pts").getAbsolutePath
+    (1 to 2000).map(i => (i, (i % 171) - 85.0 + 0.1, (i % 353) - 176.0 + 0.2))
+      .toDF("id", "lat", "lon").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    // default maxMetadataStringLength elides PushedFilters after ~100 chars
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = pts.filter(withinRadius($"lat", $"lon", 40.0, 10.0, 300000.0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThanOrEqual(lat") &&
+      plan.contains("LessThanOrEqual(lat"), s"no lat bounds pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(lon") &&
+      plan.contains("LessThanOrEqual(lon"), s"no lon bounds pushed:\n$plan")
+    // superset correctness on adversarial centers: poles (lon margin
+    // degenerates), antimeridian (box would wrap), and mid-latitudes —
+    // the boxed predicate must return EXACTLY the plain-haversine rows
+    val cases = Seq(
+      (88.5, 0.0, 500000.0), (-88.5, 170.0, 800000.0), // pole fallback
+      (45.0, 179.8, 300000.0), (0.0, -179.9, 150000.0), // antimeridian
+      (40.0, 10.0, 10000.0), (40.0, 10.0, 3000000.0), (-33.9, 18.4, 450000.0))
+    for ((lat0, lon0, r) <- cases) {
+      val boxed = pts.filter(withinRadius($"lat", $"lon", lat0, lon0, r))
+        .select("id").as[Int].collect().toSet
+      val plain = pts.filter(
+          haversineMeters($"lat", $"lon", lit(lat0), lit(lon0)) < r)
+        .select("id").as[Int].collect().toSet
+      assert(boxed == plain, s"clipped at ($lat0, $lon0, $r)")
+    }
+  }
+
   test("lsh band keys fail loudly when bands*rows exceeds the signature length") {
     // bands past the end of a short signature used to silently hash empty
     // input (md5("") keys bucketing every short row together); now it's an
