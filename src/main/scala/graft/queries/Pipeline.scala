@@ -884,6 +884,29 @@ object Pipeline {
              |  FROM documents)
              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
 
+    // Source-weighted corpus mixing (the Dolma/Pile mixing primitive):
+    // each source keeps a deterministic hash fraction of its docs — here
+    // quarter-weights derived from the source index (0.25/0.5/0.75/1.0).
+    // Pure per-row projection + filter: no RNG, no shuffle; re-runs and
+    // different clusters select the identical subset, and changing one
+    // source's weight never reshuffles another's sample.
+    Q("pipeline_source_mixing", "sampling,mixing",
+      (s, dir) => {
+        val quarter = (regexp_extract(col("source"), "\\d+", 0).cast("int") % 4) + 1
+        val threshold = element_at(
+          array(lit("4000"), lit("8000"), lit("c000"), lit("zzzz")), quarter)
+        t(s, dir, "documents")
+          .filter(substring(md5(concat(lit("mix:"),
+            col("doc_id").cast("string")).cast("binary")), 1, 4) < threshold)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE substr(md5('mix:' || doc_id), 1, 4) <
+             |      list_extract(['4000','8000','c000','zzzz'],
+             |                   (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 4) + 1)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Train/test contamination detection (the GPT-3/Gopher decontamination
     // op): corpus docs sharing any verbatim 8-gram with a benchmark set.
     // Benchmark stand-in = doc_id % 20 == 0. Scale shape: the benchmark

@@ -139,6 +139,23 @@ object StreamingQueries {
              |FROM g GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Stream-static enrichment (EventStreams.enrich batch twin): events
+    // joined to the broadcast customer dimension — the most common
+    // streaming pattern (no state; the dim rebroadcasts per micro-batch).
+    Q("stream_static_enrich", "streaming,J2",
+      (s, dir) => {
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        EventStreams.enrich(
+            t(s, dir, "events").select("event_id", "user_id", "event_type"),
+            dim, "user_id")
+          .select("event_id", "user_id", "event_type", "c_mktsegment")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, c_mktsegment
+             |FROM events JOIN customer ON user_id = c_custkey
+             |ORDER BY event_id""".stripMargin)),
+
     // Stream-stream interval join (EventStreams.intervalJoinByUser batch
     // twin): view → same-user click within 24 h, the attribution shape
     // whose streaming form bounds join state via two-sided watermarks.

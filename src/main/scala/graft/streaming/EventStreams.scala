@@ -166,6 +166,13 @@ object EventStreams {
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a small static
+    * dimension on `key` — Spark broadcasts the dim into every micro-batch
+    * (no stream state at all, unlike a stream-stream join). The same plan
+    * runs on a static frame; StreamingSpec pins stream == batch. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   /** Read the static events parquet back as a timestamped DataFrame (its
     * `ts` column arrives as long nanos — see Catalog.t). */
   def eventsWithTimestamp(spark: SparkSession, sfDir: String): DataFrame = {

@@ -82,6 +82,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch join on same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val rows = Seq((1L, 10L), (2L, 11L), (3L, 12L), (1L, 13L)) // user 3: no dim row
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.enrich(mem.toDF().toDF("user_id", "event_id"), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enriched")
+        .select("user_id", "event_id", "tier")
+        .as[(Long, Long, String)].collect().toSet
+      val batch = EventStreams.enrich(rows.toDF("user_id", "event_id"), dim, "user_id")
+        .select("user_id", "event_id", "tier")
+        .as[(Long, Long, String)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 10L, "gold"), (2L, 11L, "silver"), (1L, 13L, "gold")))
+    } finally q.stop()
+  }
+
   test("flatMapGroups gap sessionization equals the native session_window") {
     // the arbitrary-state batch fold (sessionizeBatchUs) and the
     // declarative session_window aggregation must produce identical
