@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark entry point. Emits a full JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},
   *  "runs":{name:[sec,...]},"starts":{name:[epochSec,...]},"sf":dir}
-  * followed by a compact summary line (total + per-query mins only) so a
-  * consumer that keeps only the tail of stdout still gets every number.
+  * followed by a compact FINAL line sized for a consumer that keeps only the
+  * last 2000 chars of stdout (see `qmsLine`).
   *
   * Each query runs `BENCH_REPEATS` times (default 2) and `queries` reports the
   * MIN across runs: a co-tenant CPU spike during one window poisons a single
@@ -15,6 +15,20 @@ import org.apache.spark.sql.SparkSession
   * the contention signature; BENCH_r03 was unreadable without this).
   */
 object Bench {
+
+  /** The tail-window-safe summary: total seconds plus per-query INTEGER
+    * MILLISECONDS in a name-sorted array (`v(i)` belongs to the i-th
+    * sorted query name — recoverable from `SparkEntry.queries.keys`).
+    * Integer ms and no names keep the line ~600 chars for 86 queries
+    * (r3-r5's name-keyed line was 2877 chars and was cut mid-line by the
+    * consumer's 2000-char tail window every round — BenchReportSpec pins
+    * the budget so it can't regress).
+    */
+  def qmsLine(totalSec: Double, sfDir: String, minsSecNameSorted: Seq[Double]): String = {
+    val ms = minsSecNameSorted.map(s => math.round(s * 1000)).mkString("[", ",", "]")
+    val tot = math.round(totalSec * 1000) / 1000.0
+    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":"$sfDir","n":${minsSecNameSorted.size},"v":$ms}"""
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,11 +80,12 @@ object Bench {
       k -> starts.mkString("[", ",", "]") })
     val total = results.map(_._2.min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"sf":"$sfDir"}""")
-    // The driver keeps only the TAIL of stdout: r4's single long line was cut
-    // inside `starts`, truncating the per-query mins away ("parsed": null).
-    // Re-emit a compact summary as the final line so the tail always contains
-    // a complete parseable JSON object with the per-query minimums.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs}""")
+    // The driver keeps only the TAIL of stdout: the full line above is 4k+
+    // chars and gets cut mid-line ("parsed": null in r3-r5). Final line =
+    // the compact name-free summary, guaranteed (BenchReportSpec) to fit a
+    // 2000-char tail window together with the truncated remains of the
+    // full line, so the last complete line always parses with every number.
+    println(qmsLine(total, sfDir, results.map(_._2.min)))
     spark.stop()
   }
 }

@@ -187,13 +187,26 @@ object Relational {
              |) WHERE next_orderkey IS NOT NULL ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // J5/P8 — band (range) self-join, the WALK_TO < 300 m analog
-    // (ref: new_dbSetup.py:94-100); small table so a crossJoin+filter is the
-    // honest plan; see f1_haversine_radius for the bucketed spatial variant.
+    // (ref: new_dbSetup.py:94-100), in its SCALE shape: bucket each row by
+    // floor(bal/1000) (= the band width), probe the three neighboring
+    // buckets via a 3-way explode on one side, equi-join on bucket, exact
+    // band filter last. |bal_a − bal_b| < 1000 forces the buckets to differ
+    // by at most 1, so the candidate set is provably complete, and each
+    // qualifying pair matches on exactly ONE probe bucket (b's own) — no
+    // dedup needed. Same plan family as GraphBuilder.walkTo's grid-bucketed
+    // spatial join; at 100× this is a shuffled equi-join, not a cartesian.
     Q("j5_band_selfjoin", "J5,P8",
       (s, dir) => {
-        val a = t(s, dir, "supplier").select(col("s_suppkey").as("src"), col("s_acctbal").as("bal_a"))
-        val b = t(s, dir, "supplier").select(col("s_suppkey").as("dst"), col("s_acctbal").as("bal_b"))
-        a.crossJoin(b)
+        val a = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("src"), col("s_acctbal").as("bal_a"))
+          .withColumn("bkt", explode(array(
+            floor(col("bal_a") / 1000.0) - 1,
+            floor(col("bal_a") / 1000.0),
+            floor(col("bal_a") / 1000.0) + 1)))
+        val b = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("dst"), col("s_acctbal").as("bal_b"),
+            floor(col("s_acctbal") / 1000.0).as("bkt"))
+        a.join(b, Seq("bkt"))
           .filter(col("src") < col("dst") && abs(col("bal_a") - col("bal_b")) < 1000.0)
           .select(col("src"), col("dst"), abs(col("bal_a") - col("bal_b")).as("bal_gap"))
           .orderBy("src", "dst")
