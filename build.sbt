@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of bench stdout as JSON. Two sbt behaviors
+// break that by default: (1) forked-process output is routed through sbt's
+// logger, which prefixes every line with `[info] `; (2) after the task, sbt
+// prints a `[success] Total time: …` line, so the program's println is never
+// last. StdoutOutput makes the forked JVM inherit stdout verbatim;
+// showSuccess := false drops the trailing success line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// exclude it from the unused-key lint (it demonstrably works: no [success]).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

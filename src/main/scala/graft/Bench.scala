@@ -16,18 +16,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** JSON string-literal escaping for interpolated values (sfDir is a
+    * filesystem path — a backslash or quote in it must not break the line). */
+  private[graft] def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   /** The tail-window-safe summary: total seconds plus per-query INTEGER
     * MILLISECONDS in a name-sorted array (`v(i)` belongs to the i-th
-    * sorted query name — recoverable from `SparkEntry.queries.keys`).
+    * element of `SparkEntry.queries.keys.toSeq.sorted` — a consumer must
+    * sort the names itself; Map iteration order is unspecified).
     * Integer ms and no names keep the line ~600 chars for 86 queries
     * (r3-r5's name-keyed line was 2877 chars and was cut mid-line by the
     * consumer's 2000-char tail window every round — BenchReportSpec pins
-    * the budget so it can't regress).
+    * the budget so it can't regress). `n` must equal the full catalog size
+    * for the positional mapping to hold: a SPARK_GRAFT_BENCH_ONLY subset
+    * run (local iteration only; driver runs leave it unset) shifts the
+    * array, and n != catalog size is the consumer's detection signal.
     */
   def qmsLine(totalSec: Double, sfDir: String, minsSecNameSorted: Seq[Double]): String = {
     val ms = minsSecNameSorted.map(s => math.round(s * 1000)).mkString("[", ",", "]")
     val tot = math.round(totalSec * 1000) / 1000.0
-    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":"$sfDir","n":${minsSecNameSorted.size},"v":$ms}"""
+    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":${jsonStr(sfDir)},"n":${minsSecNameSorted.size},"v":$ms}"""
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +88,7 @@ object Bench {
     val startsJson = obj(results.map { case (k, _, starts) =>
       k -> starts.mkString("[", ",", "]") })
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"sf":${jsonStr(sfDir)}}""")
     // The driver keeps only the TAIL of stdout: the full line above is 4k+
     // chars and gets cut mid-line ("parsed": null in r3-r5). Final line =
     // the compact name-free summary, guaranteed (BenchReportSpec) to fit a
