@@ -892,7 +892,14 @@ object Pipeline {
     // source's weight never reshuffles another's sample.
     Q("pipeline_source_mixing", "sampling,mixing",
       (s, dir) => {
-        val quarter = (regexp_extract(col("source"), "\\d+", 0).cast("int") % 4) + 1
+        // TRY_CAST + coalesce on BOTH sides: a digit-free source value makes
+        // regexp_extract return '', which ANSI CAST hard-errors on (and a
+        // nullable cast would silently null-drop the row) — either way the
+        // engine and the oracle diverge. Defaulting to index 0 keeps every
+        // source deterministic and both engines identical.
+        val quarter = (coalesce(
+          expr("try_cast(regexp_extract(source, '[0-9]+', 0) AS INT)"),
+          lit(0)) % 4) + 1
         val threshold = element_at(
           array(lit("4000"), lit("8000"), lit("c000"), lit("zzzz")), quarter)
         t(s, dir, "documents")
@@ -904,7 +911,7 @@ object Pipeline {
       Some("""SELECT doc_id, source FROM documents
              |WHERE substr(md5('mix:' || doc_id), 1, 4) <
              |      list_extract(['4000','8000','c000','zzzz'],
-             |                   (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 4) + 1)
+             |                   (coalesce(TRY_CAST(regexp_extract(source, '[0-9]+') AS INTEGER), 0) % 4) + 1)
              |ORDER BY doc_id""".stripMargin)),
 
     // Train/test contamination detection (the GPT-3/Gopher decontamination
@@ -1002,7 +1009,15 @@ object Pipeline {
         val dot = aggregate(zip_with(col("qv"), col("c"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x)
         val nv2 = aggregate(transform(col("qv"), a => a * a), lit(0L), (acc, x) => acc + x)
-        val nc2 = aggregate(transform(col("c"), a => a * a), lit(0L), (acc, x) => acc + x)
+        // The centroid norm squares SUMS: c_i ~ rows_per_label × 1000, so
+        // c_i² overflows Long at ~400k rows/label (where DuckDB's list_sum
+        // would widen instead — silent engine-vs-oracle divergence). Square
+        // in double on BOTH sides: identical inputs, identical left-to-right
+        // 64-element fold, and round(…, 6) absorbs any last-ulp skew. dot
+        // and nv2 stay exact-integer (qv_i ≤ ~10³; dot ≤ 64·10³·c_i — Long
+        // holds that to ~10¹¹ rows/label).
+        val nc2 = aggregate(transform(col("c"),
+          a => a.cast("double") * a.cast("double")), lit(0.0), (acc, x) => acc + x)
         val cos = round(dot.cast("double") /
           (sqrt(nv2.cast("double")) * sqrt(nc2.cast("double"))), 6)
         val w = Window.partitionBy("label").orderBy(col("centroid_cos"), col("vec_id"))
@@ -1024,7 +1039,7 @@ object Pipeline {
              |  SELECT q.label, q.vec_id,
              |    round(CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * c[i])) AS DOUBLE) /
              |          (sqrt(CAST(list_sum(list_transform(qv, a -> a * a)) AS DOUBLE)) *
-             |           sqrt(CAST(list_sum(list_transform(c, a -> a * a)) AS DOUBLE))), 6) AS centroid_cos
+             |           sqrt(list_sum(list_transform(c, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS centroid_cos
              |  FROM q JOIN cent ON q.label = cent.label)
              |SELECT label, rn, vec_id, centroid_cos FROM (
              |  SELECT label, vec_id, centroid_cos,

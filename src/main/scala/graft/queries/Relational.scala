@@ -57,20 +57,24 @@ object Relational {
     // unseen keys); fresh incoming keys are appended. Pins the actual
     // library function (GraphCsv.mergeOnKeys): the '-v2' rewrites of
     // existing keys must NOT surface, the '-new' fresh keys must.
+    // Fresh keys are offset by 10^12: customer keys grow ~150k per unit
+    // SF, so a 10^6 offset collides with real keys at sf≈7 and the
+    // engine's existing-wins would silently diverge from the oracle's
+    // unconditional append; 10^12 needs sf≈7,000,000 to collide.
     Q("s5_merge_on_key", "S5",
       (s, dir) => {
         val base = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
         val incoming = base.filter(col("c_custkey") % 10 === 0)
           .select(col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"))
           .unionByName(base.filter(col("c_custkey") % 25 === 0)
-            .select((col("c_custkey") + 1000000).as("c_custkey"),
+            .select((col("c_custkey") + lit(1000000000000L)).as("c_custkey"),
               concat(col("c_name"), lit("-new")).as("c_name")))
         graft.etl.GraphCsv.mergeOnKeys(base, incoming, Seq("c_custkey"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
              |UNION ALL
-             |SELECT c_custkey + 1000000 AS c_custkey, c_name || '-new' AS c_name
+             |SELECT c_custkey + 1000000000000 AS c_custkey, c_name || '-new' AS c_name
              |FROM customer WHERE c_custkey % 25 = 0
              |ORDER BY c_custkey""".stripMargin)),
 

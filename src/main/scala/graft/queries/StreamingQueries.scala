@@ -70,8 +70,11 @@ object StreamingQueries {
              |ORDER BY user_id""".stripMargin)),
 
     // Gap-based sessionization (EventStreams.sessionWindows batch twin):
-    // native session_window aggregation — per-user sessions split on ≥30 min
-    // of inactivity, session span = [first_ts, last_ts + gap). The oracle
+    // native session_window aggregation — per-user sessions split on MORE
+    // THAN 30 min of inactivity (an event at exactly last + gap MERGES:
+    // touching windows coalesce, in both session_window — probed empirically,
+    // StreamingSpec's boundary cases — and sessionizeBatchUs's `> gapUs`),
+    // session span = [first_ts, last_ts + gap). The oracle
     // re-derives the same sessions relationally (lag → new-session flag →
     // running sum) on the micros timeline both engines share; money as
     // exact integer cents. mapGroupsWithState sessionize (arbitrary-state
@@ -84,7 +87,7 @@ object StreamingQueries {
              |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
              |f AS (
              |  SELECT user_id, event_id, us, value,
-             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
              |         THEN 1 ELSE 0 END AS new_s
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
              |g AS (
@@ -123,7 +126,7 @@ object StreamingQueries {
              |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
              |f AS (
              |  SELECT user_id, event_id, us, value,
-             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+             |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
              |         THEN 1 ELSE 0 END AS new_s
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
              |g AS (

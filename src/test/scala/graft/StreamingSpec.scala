@@ -130,6 +130,31 @@ class StreamingSpec extends SparkSpec {
     assert(custom.length == 2) // user 1: one 3-event session; user 2: one
   }
 
+  test("two events exactly 30 minutes apart form ONE session (both forms)") {
+    // The catalog oracles (stream_sessionize / stream_sessionize_custom)
+    // open a new session only on `us - lag(us) > 1800000000`: an event at
+    // exactly last + gap must MERGE. This pins that convention at the
+    // production gap for both the native session_window aggregation and
+    // the arbitrary-state fold — a `>=` oracle would split here and
+    // hash-mismatch.
+    val df = Seq((7L, 0L, 1.0), (7L, 1800000000L, 2.0)) // exactly 30 min apart
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val native = EventStreams.sessionWindows(df, "30 minutes", "0 seconds")
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .collect().toSeq
+    val custom = EventStreams.sessionizeBatchUs(
+        df.select(col("user_id"), unix_micros(col("ts")), col("value"))
+          .as[(Long, Long, Double)], 1800000000L)
+      .toDF().select(col("user_id"), col("session_start_us").as("s"),
+        col("session_end_us").as("e"), col("n_events"))
+      .collect().toSeq
+    assert(native == custom)
+    assert(native.length == 1 && native.head.getLong(3) == 2L)
+    assert(native.head.getLong(2) == 1800000000L + 1800000000L) // [0, last+gap)
+  }
+
   test("stream-stream interval join equals the batch join on same rows") {
     implicit val sqlCtx = spark.sqlContext
     val views = Seq(
