@@ -35,4 +35,40 @@ class BpeSpec extends SparkSpec {
     val words = Seq(("a", 3L), ("b", 2L)).toDF("word", "count")
     assert(Bpe.train(words, 5).isEmpty)
   }
+
+  test("local and distributed branches learn identical merges") {
+    // A vocabulary with real tie pressure: repeated stems, shared suffixes,
+    // counts that collide. localMaxWords = 0 forces the distributed rounds;
+    // the default takes the in-heap path. The merge sequences must be
+    // EQUAL element-by-element — the local trainer is a fast path, not an
+    // approximation.
+    val words = Seq(
+      ("lowering", 4L), ("lowered", 4L), ("lowest", 6L), ("low", 9L),
+      ("newest", 6L), ("newer", 3L), ("widest", 3L), ("wider", 3L),
+      ("ab", 5L), ("ba", 5L), ("aba", 2L), ("bab", 2L))
+      .toDF("word", "count")
+    val local = Bpe.train(words, 12)
+    val distributed = Bpe.train(words, 12, localMaxWords = 0L)
+    assert(local == distributed)
+    assert(local.size == 12)
+  }
+
+  test("local fast path trains 1000+ merges in seconds") {
+    // The per-merge-Spark-job loop trains toy vocabularies only; the gate
+    // exists so a real vocab size is feasible. 1500 distinct 24-symbol
+    // words -> 36k total symbols, plenty of merge room. Wall-clock bound
+    // is generous (CI headroom) — the point is it completes at all, where
+    // 1000 distributed rounds would take ~30+ min.
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnop"
+    val words = Seq.tabulate(1500) { i =>
+      val w = Array.fill(24)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      (w + i.toString, (i % 7 + 1).toLong) // suffix keeps words distinct
+    }.toDF("word", "count")
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(words, 1000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1000)
+    assert(sec < 60.0, s"local BPE training took $sec s")
+  }
 }
