@@ -39,10 +39,15 @@ object PerfHarness {
       val endNames = engine.findNearStops(date, p.endLat, p.endLon, radius, speed)
         .collect().map(_.getString(0)).toSeq
       val t2 = System.nanoTime()
+      // collect(), not count(): count() lets Catalyst prune every label
+      // column off the plan, so routingSec would understate what a real
+      // caller pays to SEE the itinerary. The result is bounded (≤ hops+1
+      // path segments), so the collect is driver-safe, and its length is
+      // the segment count — full materialization and the count in one job.
       val segments =
         if (startNames.isEmpty || endNames.isEmpty) 0L
         else engine.routingBetweenTwoPoints(date, p.startLat, p.startLon,
-          p.endLat, p.endLon, startNames, endNames, speed, time).count()
+          p.endLat, p.endLon, startNames, endNames, speed, time).collect().length.toLong
       val t3 = System.nanoTime()
       val km = haversineMetersScalar(p.startLat, p.startLon,
         p.endLat, p.endLon) / 1000.0

@@ -114,6 +114,41 @@ object GraphQueries {
              |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
              |ORDER BY hop""".stripMargin)),
 
+    // The production STORAGE path under the hash gate: the same routing
+    // flow as gtfs_routing_golden, but the stoptime table goes through the
+    // bucketed warehouse round-trip first — written day-partitioned +
+    // stop-bucketed (writeBucketedByStop), reloaded off the catalog table
+    // (loadTablesBucketed), then projected and routed. WarehouseSpec proves
+    // the layout's zero-Exchange join plans; THIS row proves the layout
+    // never changes answers: the oracle is the identical golden itinerary.
+    Q("gtfs_routing_bucketed", "S2,G1,G2,J8",
+      (s, _) => {
+        val g = graft.api.DemoGtfs.tables(s)
+        val dir = java.nio.file.Files.createTempDirectory("graft_wh_route").toString
+        graft.etl.GtfsWarehouse.write(g, dir) // dims + plain day table
+        graft.etl.GtfsWarehouse.writeBucketedByStop(
+          g, "graft_demo_day_st_bucketed", s"$dir/bucketed", buckets = 4)
+        val day = java.sql.Date.valueOf("2024-01-18")
+        val tables = graft.etl.GtfsWarehouse.loadTablesBucketed(
+          s, "graft_demo_day_st_bucketed", dir, day)
+        new graft.api.RoutingEngine(tables)
+          .routing("2024-01-18", 1.0, "14:00:00", "Alpha", "Epsilon")
+      },
+      Some("""SELECT hop, trip, departure, line, starting_stop_name, starting_stop_id,
+             | CAST(start_lat AS DOUBLE) AS start_lat, CAST(start_lon AS DOUBLE) AS start_lon,
+             | next_trip, next_stop, next_stop_id,
+             | CAST(next_lat AS DOUBLE) AS next_lat, CAST(next_lon AS DOUBLE) AS next_lon,
+             | next_line, arrival
+             |FROM (VALUES
+             | (1,'T1','14:01:00','R1','Alpha','SA',44.6,10.9,'T1','Beta','SB',44.61,10.9,'R1','14:05:00'),
+             | (2,'T1','14:06:00','R1','Beta','SB',44.61,10.9,'T1','Gamma','SC',44.62,10.9,'R1','14:10:00'),
+             | (3,'T1','14:11:00','R1','Gamma','SC',44.62,10.9,'T3','Gamma Due','SC2',44.62015,10.9,'R2','14:15:00'),
+             | (4,'T3','14:15:00','R2','Gamma Due','SC2',44.62015,10.9,'T3','Delta','SD1',44.63,10.91,'R2','14:25:00'),
+             | (5,'T3','14:26:00','R2','Delta','SD1',44.63,10.91,'T3','Epsilon','SE',44.64,10.92,'R2','14:40:00'))
+             | AS t(hop, trip, departure, line, starting_stop_name, starting_stop_id, start_lat, start_lon,
+             |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
+             |ORDER BY hop""".stripMargin)),
+
     // P3+P4+P6+O2 — the reference's FLAGSHIP point-to-point routing
     // (`routing_between_two_points_in_space`, main.py:119-176) with
     // NON-ZERO walking adjustments that change the answer: the start point

@@ -313,6 +313,39 @@ object Relational {
              |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
              |ORDER BY c_custkey""".stripMargin)),
 
+    // INTERSECT — set semantics (SURVEY §2.7: free from Spark; this row
+    // proves the claim under the hash gate). Customers ordering in BOTH
+    // the early and the late era (testdata orders span 1995–2001); both
+    // engines dedup per set semantics.
+    Q("ux_intersect", "U-intersect",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderdate") < lit(java.sql.Date.valueOf("1996-01-01")))
+          .select("o_custkey")
+          .intersect(
+            o.filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("2000-01-01")))
+              .select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1996-01-01'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // EXCEPT — set-difference twin of ux_intersect: customers none of
+    // whose orders crossed 300k (the j9_anti_join predicate re-expressed
+    // as set difference; the left side's column name survives in both
+    // engines).
+    Q("ux_except", "U-except",
+      (s, dir) => t(s, dir, "customer").select("c_custkey")
+        .except(t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // A1 — count distinct (ref: main.py:186-191 stops active on a day)
     Q("a1_count_distinct", "A1",
       (s, dir) => t(s, dir, "lineitem")
