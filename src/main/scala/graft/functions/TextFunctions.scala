@@ -53,7 +53,9 @@ object TextFunctions {
     val toks = tokens(text)
     val nChars = length(text)
     val nToks = size(toks)
-    val toksLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    // Long accumulator: an Int one would overflow (ANSI: runtime error) at
+    // 2^31 total token chars — inside Spark's 2 GB string ceiling.
+    val toksLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val punct = length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
     val stops = stopwordHits(toks, stopwords("en"))
     struct(
