@@ -104,30 +104,55 @@ object TimeExpandedGraph {
     // CHANGE edges (`main.py:17`): from stoptime `s`, walk to a neighboring
     // stop (WALK_TO, self-loop included = same-stop change), catch the
     // earliest-departing stoptime per (other route, walking distance) on the
-    // SAME service, different trip AND route, reachable in time:
+    // SAME service, different route (one trip serves one route, so the
+    // reference's trip-inequality predicate is implied), reachable in time:
     //   s.arrival + floor(distance/speed) < t.departure   (strict)
     // weight = (t.departure − s.arrival) + floor(distance/speed).
     // apoc.agg.minItems keeps ALL tied earliest targets → rank()=1.
+    //
+    // Shape for scale: the naive s ⋈ walk ⋈ stoptimes expansion materializes
+    // |stoptimes| × neighbors × departures-per-stop rows (≈10⁸ at Modena
+    // cardinality, worse at 100 TB) just to keep one-in-thousands after the
+    // rank. Instead the target side is aggregated ONCE into a per-(stop,
+    // service, route) SORTED departure schedule — data volume |stoptimes|,
+    // grouping key starts with stop_id so a stop-bucketed scan satisfies it
+    // shuffle-free — and each (s × walk × route-at-neighbor) row probes its
+    // schedule array for the earliest departure after the walk-adjusted
+    // threshold (+ ties). Only those winners (≈ one per candidate row) reach
+    // the rank window, which then only resolves EQUIDISTANT neighbor stops
+    // sharing a route (min over per-stop minima = min over their union, and
+    // a row ties globally iff it ties within its stop — so the two-stage
+    // selection is exactly the one-stage one).
     val s = nodes.select(col("id").as("s_id"), col("trip_id").as("s_trip"),
       col("route_id").as("s_route"), col("service_id").as("s_service"),
       col("stop_id").as("s_stop"), col("arr_secs").as("s_arr"))
     val walk = walkToEdges.select(col("src_stop_id").as("n_stop"),
       col("dst_stop_id").as("s_stop"), col("distance"))
-    val tgt = nodes.select(col("id").as("t_id"), col("trip_id").as("t_trip"),
+    val tgt = nodes.select(col("id").as("t_id"),
       col("route_id").as("t_route"), col("service_id").as("t_service"),
       col("stop_id").as("n_stop"), col("dep_secs").as("t_dep"))
 
+    val sched = tgt
+      .groupBy("n_stop", "t_service", "t_route")
+      .agg(sort_array(collect_list(struct(col("t_dep"), col("t_id")))).as("deps"))
+
     val walkSecs = floor(col("distance") / speed).cast("long")
-    val candidates = s
+    val probed = s
       .join(walk, Seq("s_stop"))
-      .join(tgt, Seq("n_stop"))
+      .join(sched, Seq("n_stop"))
       .filter(col("t_service") === col("s_service") &&
-        col("t_trip") =!= col("s_trip") &&
-        col("t_route") =!= col("s_route") &&
-        col("s_arr") + walkSecs < col("t_dep"))
+        col("t_route") =!= col("s_route"))
       .withColumn("walking_time", walkSecs)
+      // one codegen'd binary-search probe per row: the earliest reachable
+      // departure in this route's schedule, plus its ties (empty → no edge)
+      .select(col("s_id"), col("s_arr"), col("t_route"), col("distance"),
+        col("walking_time"),
+        explode(graft.functions.expressions.EarliestAfterExpr(col("deps"),
+          col("s_arr") + col("walking_time"))).as("e"))
+      .select(col("s_id"), col("s_arr"), col("t_route"), col("distance"),
+        col("walking_time"), col("e.t_dep").as("t_dep"), col("e.t_id").as("t_id"))
     val earliest = Window.partitionBy("s_id", "t_route", "distance").orderBy("t_dep")
-    val changeEdges = candidates
+    val changeEdges = probed
       .withColumn("rk", rank().over(earliest))
       .filter(col("rk") === 1)
       .select(col("s_id").as("source"), col("t_id").as("target"),
