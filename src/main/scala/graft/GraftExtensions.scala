@@ -90,6 +90,9 @@ object GraftExtensions {
       classOf[QuantizeInt8Expr]) { case Seq(v) => QuantizeInt8Expr(v) },
     f("quantized_dot", "quantized_dot(a, b) — integer-MAC dot of quantize_int8 structs",
       classOf[QuantizedDotExpr]) { case Seq(a, b) => QuantizedDotExpr(a, b) },
+    f("earliest_after", "earliest_after(schedule, threshold) — earliest entry (plus ties) of a " +
+      "sorted array<struct<t_dep,t_id>> with t_dep strictly after threshold",
+      classOf[EarliestAfterExpr]) { case Seq(s, t) => EarliestAfterExpr(s, t) },
 
     // Column compositions, converted to real catalyst trees by the bridge.
     f("haversine_meters", "haversine_meters(lat1, lon1, lat2, lon2) — great-circle meters",

@@ -58,6 +58,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(qd - 1.0) < 0.02)
   }
 
+  test("earliest_after probes a sorted schedule from SQL") {
+    val e = spark.sql(
+      """SELECT earliest_after(
+        |  array(struct(10L, 1L), struct(20L, 2L), struct(20L, 3L), struct(30L, 4L)),
+        |  10L) AS e""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    // strictly after 10 → earliest dep is 20, both ties kept, 30 dropped
+    assert(e.map(x => (x.getLong(0), x.getLong(1))) == Seq((20L, 2L), (20L, 3L)))
+    val none = spark.sql(
+      "SELECT earliest_after(array(struct(10L, 1L)), 10L)").head.getSeq[Any](0)
+    assert(none.isEmpty) // threshold at the last departure → no edge
+  }
+
   test("extension class wires the same triples as register()") {
     // the SparkSessionExtensions path can't attach to a running session;
     // prove the class applies cleanly and carries the full set
