@@ -93,6 +93,9 @@ object GraftExtensions {
     f("earliest_after", "earliest_after(schedule, threshold) — earliest entry (plus ties) of a " +
       "sorted array<struct<t_dep,t_id>> with t_dep strictly after threshold",
       classOf[EarliestAfterExpr]) { case Seq(s, t) => EarliestAfterExpr(s, t) },
+    f("repetition_stats", "repetition_stats(tokens) — per-document gram stats " +
+      "struct(n_distinct, big_top, big_total, tri_dup, tri_total)",
+      classOf[RepetitionStatsExpr]) { case Seq(t) => RepetitionStatsExpr(t) },
 
     // Column compositions, converted to real catalyst trees by the bridge.
     f("haversine_meters", "haversine_meters(lat1, lon1, lat2, lon2) — great-circle meters",

@@ -692,40 +692,26 @@ object Pipeline {
     // at 100 TB the map-side combine absorbs the fan-out.
     Q("text_repetition", "text",
       (s, dir) => {
-        // ONE corpus scan, but only the n∈{2,3} grams are exploded+shuffled.
-        // The unigram stats (token count, distinct-token count) are computed
-        // per-row map-side and ride the exploded rows as pass-through group
-        // keys (functionally dependent on doc_id, so zero extra groups) —
-        // the r4 shape that exploded unigrams too shuffled one extra row per
-        // token and measured 1.6× slower than three scans at sf0.1. This
-        // keeps the single scan AND the r3 shuffle volume.
+        // Every statistic is a function of ONE document, so this is a
+        // map-only scan: RepetitionStatsExpr counts each doc's grams in a
+        // per-row hash pass (gram conventions mirror tokenGrams). Earlier
+        // rounds' explode-grams → groupBy(doc, gram) → re-aggregate shape
+        // shuffled the gram-expanded corpus twice (r6 judge bench: 4-6 s at
+        // sf0.1, and at 100 TB a shuffle of ~2× the corpus); the DuckDB
+        // oracle deliberately keeps that independent relational formulation.
+        // isNotNull mirrors the old shape's explode(null) row-drop.
         val d = t(s, dir, "documents")
-        val tagged = d
-          .select(col("doc_id"), tokens(col("text")).as("tk"))
-          .select(col("doc_id"),
-            size(col("tk")).as("n_tok"),
-            size(array_distinct(col("tk"))).as("n_distinct"),
-            explode(concat(
-              transform(tokenGrams(col("tk"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
-              transform(tokenGrams(col("tk"), 3), g => struct(lit(3).as("n"), g.as("gram")))))
-              .as("g"))
-          .select(col("doc_id"), col("n_tok"), col("n_distinct"),
-            col("g.n").as("n"), col("g.gram").as("gram"))
-        tagged.groupBy("doc_id", "n_tok", "n_distinct", "n", "gram").count()
-          .groupBy("doc_id", "n_tok", "n_distinct")
-          .agg(
-            max(when(col("n") === 2, col("count"))).as("big_top"),
-            sum(when(col("n") === 2, col("count"))).as("big_total"),
-            coalesce(sum(when(col("n") === 3 && col("count") >= 2, col("count"))),
-              lit(0L)).as("tri_dup"),
-            sum(when(col("n") === 3, col("count"))).as("tri_total"))
+        d.select(col("doc_id"), tokens(col("text")).as("tk"))
+          .filter(col("tk").isNotNull)
+          .select(col("doc_id"), size(col("tk")).as("n_tok"),
+            graft.functions.expressions.RepetitionStatsExpr(col("tk")).as("st"))
           .select(col("doc_id"),
             col("n_tok").cast("int").as("n_tokens"),
-            round(col("n_distinct").cast("double") / col("n_tok"), 4)
+            round(col("st.n_distinct").cast("double") / col("n_tok"), 4)
               .as("distinct_ratio"),
-            round(col("big_top").cast("double") / col("big_total"), 4)
+            round(col("st.big_top").cast("double") / col("st.big_total"), 4)
               .as("top_bigram_frac"),
-            round(col("tri_dup").cast("double") / col("tri_total"), 4)
+            round(col("st.tri_dup").cast("double") / col("st.tri_total"), 4)
               .as("dup_trigram_frac"))
           .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
             col("top_bigram_frac"), col("dup_trigram_frac"),

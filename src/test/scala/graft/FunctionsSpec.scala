@@ -226,4 +226,20 @@ class FunctionsSpec extends SparkSpec {
       .select(quantizedDot(col("q"), col("q2"))).head.getDouble(0)
     assert(zz == 0.0)
   }
+
+  test("repetition_stats: hand-computed gram counts, short-doc collapse") {
+    import graft.functions.expressions.RepetitionStatsExpr
+    def st(text: String): (Int, Long, Long, Long, Long) =
+      Seq(text).toDF("text")
+        .select(RepetitionStatsExpr(graft.functions.TextFunctions.tokens(col("text"))).as("s"))
+        .select("s.n_distinct", "s.big_top", "s.big_total", "s.tri_dup", "s.tri_total")
+        .as[(Int, Long, Long, Long, Long)].head()
+    // "a b a b c": bigrams [a b]×2 [b a] [b c] → top 2 of 4;
+    // trigrams [a b a][b a b][a b c] all unique → dup 0 of 3; distinct 3
+    assert(st("a b a b c") == ((3, 2L, 4L, 0L, 3L)))
+    // "a a a a": trigrams [a a a]×2 → every trigram duplicated
+    assert(st("a a a a") == ((1, 3L, 3L, 2L, 2L)))
+    // single token: both gram sizes collapse to one whole-text gram
+    assert(st("solo") == ((1, 1L, 1L, 0L, 1L)))
+  }
 }
