@@ -52,6 +52,16 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
         TimeExpandedGraph.build(gtfs, day, speed, walkTo, ssspLocalThreshold))
     }
 
+  /** Release every cache this engine owns (projections + WALK_TO) — the
+    * analog of `gds.graph.drop`. Long-lived sessions that build engines per
+    * request (Verify/Bench run the whole catalog in one JVM) call this so
+    * dead projections don't pin executor storage. */
+  def close(): Unit = synchronized {
+    projections.values.foreach(_.unpersist())
+    projections.clear()
+    walkTo.unpersist()
+  }
+
   private def day(date: String): java.sql.Date = java.sql.Date.valueOf(date)
 
   /** Stops with service on `date` within `radius` m of a point → distinct

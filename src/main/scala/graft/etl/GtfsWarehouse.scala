@@ -94,4 +94,14 @@ object GtfsWarehouse {
       stopTimes = spark.table(tableName).filter(col("day") === lit(day))
         .drop("route_id", "service_id", "day"),
       calendar = spark.read.parquet(s"$dir/calendar"))
+
+  /** Remove a scratch warehouse directory (temp-dir hygiene for the
+    * catalog queries / tools that round-trip through a throwaway layout). */
+  def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }

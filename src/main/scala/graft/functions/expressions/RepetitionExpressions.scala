@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -21,7 +21,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Pipeline.tokenGrams exactly: fewer than n tokens collapse to a single
   * whole-text gram (so totals are never zero).
   */
-case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  // SQL-surface function: a non-string token array must be an analysis
+  // error, not a getUTF8String ClassCastException at runtime.
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = RepetitionStatsExpr.schema
   override def prettyName: String = "repetition_stats"
 

@@ -1,10 +1,10 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Earliest-departure probe over a SORTED schedule array — the projection's
@@ -22,7 +22,14 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * inside whole-stage codegen.
   */
 case class EarliestAfterExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // Registered on the public SQL surface: pin the schedule layout (field 0 =
+  // t_dep LONG, field 1 = t_id LONG) and the threshold type at ANALYSIS time,
+  // so an int threshold is widened by a cast (not by codegen luck) and a
+  // wrong-shaped array is an AnalysisException instead of a misread.
+  // (no explicit Seq[AbstractDataType] annotation: that type is
+  // private[sql]; the override inherits the parent's signature)
+  override def inputTypes = Seq(ArrayType(EarliestAfterExpr.entryType), LongType)
   override def dataType: DataType = left.dataType
   override def prettyName: String = "earliest_after"
 
@@ -39,6 +46,10 @@ case class EarliestAfterExpr(left: Expression, right: Expression)
 }
 
 object EarliestAfterExpr {
+  /** The canonical schedule-entry type the expression accepts. */
+  val entryType: StructType = StructType(Seq(
+    StructField("t_dep", LongType), StructField("t_id", LongType)))
+
   /** Struct layout: field 0 = t_dep (long), field 1 = t_id (long). */
   def earliest(arr: ArrayData, thr: Long): ArrayData = {
     val n = arr.numElements()

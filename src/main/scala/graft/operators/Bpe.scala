@@ -37,9 +37,11 @@ object Bpe {
 
   /** "word" → " w  o  r  d " (double-space separators, single-space ends;
     * a trailing extra space is harmless to matching and trimmed before
-    * any split). */
+    * any split). (?s) so line terminators survive — trainLocal's code-point
+    * loop keeps them, and branch parity requires both sides see identical
+    * symbols. */
   def toSymbols(word: Column): Column =
-    concat(lit(" "), regexp_replace(word, "(.)", "$1  "))
+    concat(lit(" "), regexp_replace(word, "(?s)(.)", "$1  "))
 
   /** Symbols of a symbol string (split on the double-space separator). */
   private def symbolsOf(s: Column): Column = split(trim(s), " +")
@@ -126,8 +128,8 @@ object Bpe {
     * non-overlapping application). Naive full recount per round — at the
     * ≤2M-word scale this branch admits, a round is milliseconds, so 32k
     * merges finish in minutes where the per-round-Spark-job loop took
-    * days. Initial symbols are CODE POINTS, matching regexp "(.)" on the
-    * distributed side. */
+    * days. Initial symbols are CODE POINTS, matching regexp "(?s)(.)" on
+    * the distributed side. */
   private[operators] def trainLocal(words: Array[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
     val syms: Array[Array[String]] = words.map { case (w, _) =>

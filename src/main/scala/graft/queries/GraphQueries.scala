@@ -124,15 +124,26 @@ object GraphQueries {
     Q("gtfs_routing_bucketed", "S2,G1,G2,J8",
       (s, _) => {
         val g = graft.api.DemoGtfs.tables(s)
-        val dir = java.nio.file.Files.createTempDirectory("graft_wh_route").toString
-        graft.etl.GtfsWarehouse.write(g, dir) // dims + plain day table
-        graft.etl.GtfsWarehouse.writeBucketedByStop(
-          g, "graft_demo_day_st_bucketed", s"$dir/bucketed", buckets = 4)
-        val day = java.sql.Date.valueOf("2024-01-18")
-        val tables = graft.etl.GtfsWarehouse.loadTablesBucketed(
-          s, "graft_demo_day_st_bucketed", dir, day)
-        new graft.api.RoutingEngine(tables)
-          .routing("2024-01-18", 1.0, "14:00:00", "Alpha", "Epsilon")
+        val dirP = java.nio.file.Files.createTempDirectory("graft_wh_route")
+        // per-run table name: repeated Verify/Bench runs in one session must
+        // not collide, and the finally below leaves catalog + /tmp flat
+        val table = "graft_demo_day_st_bucketed_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        try {
+          graft.etl.GtfsWarehouse.write(g, dirP.toString) // dims + plain day table
+          graft.etl.GtfsWarehouse.writeBucketedByStop(
+            g, table, s"$dirP/bucketed", buckets = 4)
+          val day = java.sql.Date.valueOf("2024-01-18")
+          val tables = graft.etl.GtfsWarehouse.loadTablesBucketed(s, table, dirP.toString, day)
+          // the 5-row itinerary is materialized eagerly (lineage severed)
+          // BEFORE the warehouse dir is deleted underneath the lazy scan
+          new graft.api.RoutingEngine(tables)
+            .routing("2024-01-18", 1.0, "14:00:00", "Alpha", "Epsilon")
+            .localCheckpoint(true)
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          graft.etl.GtfsWarehouse.deleteRecursively(dirP)
+        }
       },
       Some("""SELECT hop, trip, departure, line, starting_stop_name, starting_stop_id,
              | CAST(start_lat AS DOUBLE) AS start_lat, CAST(start_lon AS DOUBLE) AS start_lon,
@@ -305,8 +316,8 @@ object GraphQueries {
         // PRECEDES) and stops once more via walkTo — regenerating the
         // distributed range per scan re-paid ~2 s per harness run
         val raw = graft.etl.SyntheticGtfs.modena(s)
-        val eng = new graft.api.RoutingEngine(
-          raw.copy(stopTimes = raw.stopTimes.cache(), stops = raw.stops.cache()))
+        val cached = raw.copy(stopTimes = raw.stopTimes.cache(), stops = raw.stops.cache())
+        val eng = new graft.api.RoutingEngine(cached)
         // must track SyntheticGtfs.modena's grid spacing (rowStepDeg 0.0032)
         def pt(r: Int, c: Int): (Double, Double) = (44.5 + r * 0.0032, 10.8 + c * 0.01)
         val specs = Seq(
@@ -323,7 +334,14 @@ object GraphQueries {
           val (aLat, aLon) = pt(a._1, a._2); val (bLat, bLon) = pt(b._1, b._2)
           graft.api.PerfHarness.OdPair(n, aLat, aLon, bLat, bLon)
         }
-        val ms = graft.api.PerfHarness.run(eng, "2024-01-18", "08:00:00", 1.0, 300.0, pairs)
+        val ms = try {
+          graft.api.PerfHarness.run(eng, "2024-01-18", "08:00:00", 1.0, 300.0, pairs)
+        } finally {
+          // measurements are local scalars by now — drop every cache this
+          // run pinned (repeated bench runs share one JVM)
+          eng.close()
+          cached.stopTimes.unpersist(); cached.stops.unpersist()
+        }
         graft.api.PerfHarness.toDF(s, ms).orderBy("name")
       },
       None),

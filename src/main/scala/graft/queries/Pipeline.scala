@@ -1076,7 +1076,7 @@ object Pipeline {
              |  CAST(COALESCE(list_sum(list_transform(tk, w ->
              |    len(string_split_regex(trim(
              |      replace(replace(replace(replace(replace(replace(
-             |        ' ' || regexp_replace(w, '(.)', '\1  ', 'g'),
+             |        ' ' || regexp_replace(w, '(?s)(.)', '\1  ', 'g'),
              |        ' e  s ', ' es '), ' es  t ', ' est '), ' l  o ', ' lo '),
              |        ' lo  w ', ' low '), ' e  w ', ' ew '), ' ew  est ', ' ewest ')
              |    ), ' +')))), 0) AS INTEGER) AS n_bpe_tokens
