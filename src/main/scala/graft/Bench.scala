@@ -65,7 +65,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val timings = (1 to repeats).map { _ =>
+      def runOnce(): (Double, Double) = {
         val start = System.currentTimeMillis() / 1000.0
         val t0 = System.nanoTime()
         // noop sink: forces full evaluation of every column (count() would let
@@ -78,6 +78,12 @@ object Bench {
         spark.catalog.clearCache()
         (start, dt)
       }
+      val base = (1 to repeats).map(_ => runOnce())
+      // Sub-2 s queries get a third run: their reported min is otherwise one
+      // co-tenant CPU spike away from a 2-4× phantom regression (the r7
+      // adjudication), and an extra short run costs almost nothing.
+      val timings =
+        if (base.map(_._2).min < 2.0) base :+ runOnce() else base
       (name, timings.map(_._2), timings.map(_._1))
     }
     def obj(pairs: Seq[(String, String)]): String =

@@ -143,17 +143,39 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     g
   }
 
+  /** Driver-resident footnode coordinates, built only in the walking
+    * graph's local-SSSP regime (same boundedness argument as the transit
+    * engine's LocalProjection: nodes are bounded by the sub-threshold edge
+    * count the CSR already holds on the driver). Point-to-node lookups
+    * then cost no Spark job. */
+  private lazy val localFootNodes: Option[Array[(String, Double, Double)]] =
+    if (walkingSssp.isLocal)
+      Some(footNodes.select("id", "latitude", "longitude").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))))
+    else None
+
   /** Nearest footnode to a point: (footnode_id, geodesic meters) —
-    * `prova.py:176-198` ORDER BY distance LIMIT 1. */
-  def nearestFootNode(lat: Double, lon: Double): Option[(String, Double)] = {
-    val rows = footNodes
-      .select(col("id"),
-        haversineMeters(col("latitude"), col("longitude"), lit(lat), lit(lon)).as("distance"))
-      .orderBy("distance", "id")
-      .limit(1)
-      .collect()
-    rows.headOption.map(r => (r.getString(0), r.getDouble(1)))
-  }
+    * `prova.py:176-198` ORDER BY distance LIMIT 1 (distance ties broken by
+    * id ascending on both paths; code-point order = Spark's UTF-8 sort). */
+  def nearestFootNode(lat: Double, lon: Double): Option[(String, Double)] =
+    localFootNodes match {
+      case Some(arr) =>
+        var best: (String, Double) = null
+        arr.foreach { case (id, la, lo) =>
+          val d = graft.functions.SpatialFunctions.haversineMetersScalar(la, lo, lat, lon)
+          if (best == null || d < best._2 ||
+              (d == best._2 && graft.util.Utf8Order.lt(id, best._1))) best = (id, d)
+        }
+        Option(best)
+      case None =>
+        footNodes
+          .select(col("id"),
+            haversineMeters(col("latitude"), col("longitude"), lit(lat), lit(lon)).as("distance"))
+          .orderBy("distance", "id")
+          .limit(1)
+          .collect()
+          .headOption.map(r => (r.getString(0), r.getDouble(1)))
+    }
 
   /** Walking distance in meters from a footnode to a stop across the
     * pedestrian network (`prova.py:200-226` apoc.algo.dijkstra on `length`);
@@ -197,10 +219,16 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     val srcIds = resolved.flatMap(_._1.map { case (fnId, _) => footVidLocal(fnId) }).toSet
     if (srcIds.isEmpty) return legs.map(_ => Double.PositiveInfinity)
     val targetVids = resolved.map(_._2).distinct
-    val distMap = walkingSssp.run(srcIds)
-      .filter(col("vertex_id").isin(targetVids: _*))
-      .select("source_id", "vertex_id", "dist").as[(Long, Long, Double)].collect()
-      .map { case (s, v, d) => (s, v) -> d }.toMap
+    // local regime: distances read straight from the run's arrays (no job);
+    // distributed: the target-restricted frame is tiny — collect it
+    val run = walkingSssp.runForTargets(srcIds, targetVids.toSet)
+    val distMap: Map[(Long, Long), Double] =
+      if (run.isLocal)
+        (for (s <- srcIds.toSeq; v <- targetVids; d <- run.distance(s, v))
+          yield (s, v) -> d).toMap
+      else run.distances
+        .select("source_id", "vertex_id", "dist").as[(Long, Long, Double)].collect()
+        .map { case (s, v, d) => (s, v) -> d }.toMap
     resolved.map {
       case (None, _) => Double.PositiveInfinity
       case (Some((fnId, toFn)), stopVidId) =>

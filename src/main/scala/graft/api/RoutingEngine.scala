@@ -65,57 +65,57 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
   private def day(date: String): java.sql.Date = java.sql.Date.valueOf(date)
 
   /** Stops with service on `date` within `radius` m of a point → distinct
-    * names (`main.py:62-71`). */
+    * names (`main.py:62-71`). Local regime: the few-thousand-row stop
+    * dimension is driver-resident — the exact haversine decides membership
+    * on both paths (the distributed bbox is only a superset pre-filter), so
+    * the result set is identical. */
   def findNearStops(date: String, lat: Double, lon: Double, radius: Double,
-      speed: Double = 1.0): DataFrame =
-    projected(day(date), speed).stopDim
-      // bbox + exact haversine: the box predicates prune a columnar stop
-      // store before any trig runs (identical result set)
-      .filter(graft.functions.SpatialFunctions.withinRadius(
-        col("lat"), col("lon"), lat, lon, radius))
-      .select("stop_name").distinct()
+      speed: Double = 1.0): DataFrame = {
+    val g = projected(day(date), speed)
+    g.localIndex match {
+      case Some(ix) =>
+        import spark.implicits._
+        val names = ix.stopDim.iterator.filter { case (_, la, lo) =>
+          graft.functions.SpatialFunctions.haversineMetersScalar(la, lo, lat, lon) < radius
+        }.map(_._1).toSet
+        names.toSeq.sorted.toDF("stop_name")
+      case None =>
+        g.stopDim
+          // bbox + exact haversine: the box predicates prune a columnar stop
+          // store before any trig runs (identical result set)
+          .filter(graft.functions.SpatialFunctions.withinRadius(
+            col("lat"), col("lon"), lat, lon, radius))
+          .select("stop_name").distinct()
+    }
+  }
+
+  /** Candidate endpoint of a routing call: stop-name list plus, for the
+    * point-to-point variant, the walk origin whose straight-line walking
+    * time (at the call's speed) adjusts the time predicates and the pair
+    * ordering. `walkFrom = None` ⇒ zero walks, the stop-to-stop variant. */
+  private final case class Endpoint(names: Seq[String], walkFrom: Option[(Double, Double)])
 
   /** Best stop-name-to-stop-name itinerary (`main.py:73-117`): per-route
     * earliest departures after `time` at `sourceName` stops; targets at
     * `targetName` departing within `maxDurationHours`; best pair by
-    * (target arrival, cost); returns the labeled segment rows. */
+    * (target arrival, cost) — zero walks ⇒ PairOrder reduces to
+    * (arrival_time, cost), `main.py:102`; returns the labeled segment rows. */
   def routing(date: String, speed: Double, time: String, sourceName: String,
-      targetName: String, maxDurationHours: Int = 4): DataFrame = {
-    val t0 = parseHms(time)
-    val g = projected(day(date), speed)
-    val sources = g.nodes
-      .filter(col("stop_name") === sourceName && col("dep_secs") > t0)
-    val targets = g.nodes
-      .filter(col("stop_name") === targetName &&
-        col("dep_secs") < t0 + maxDurationHours * 3600)
-      .select(col("id").as("t_id"), col("dep_secs").as("t_dep"),
-        col("arr_secs").as("t_arr"), lit(0.0).as("t_walk"))
-    // zero walks ⇒ PairOrder reduces to (arrival_time, cost) — `main.py:102`
-    route(g, sources, targets)
-  }
+      targetName: String, maxDurationHours: Int = 4): DataFrame =
+    route(day(date), speed, parseHms(time), maxDurationHours,
+      Endpoint(Seq(sourceName), None), Endpoint(Seq(targetName), None))
 
   /** Best point-to-point itinerary with walking legs (`main.py:119-176`):
     * departure/arrival adjusted by straight-line walking time to/from the
     * candidate stops (name lists from findNearStops), best by
-    * (final_time = arrival + end walk, cost incl. both walks). */
+    * (final_time = arrival + end walk, cost incl. both walks) — PairOrder
+    * with non-zero walks, `main.py:158-159`. */
   def routingBetweenTwoPoints(date: String, startLat: Double, startLon: Double,
       endLat: Double, endLon: Double, startNames: Seq[String], endNames: Seq[String],
-      speed: Double, time: String, maxDurationHours: Int = 4): DataFrame = {
-    val t0 = parseHms(time)
-    val g = projected(day(date), speed)
-    val startWalk = haversineMeters(col("lat"), col("lon"), lit(startLat), lit(startLon)) / speed
-    val endWalk = haversineMeters(col("lat"), col("lon"), lit(endLat), lit(endLon)) / speed
-    val sources = g.nodes
-      .filter(col("stop_name").isin(startNames: _*) && col("dep_secs") - startWalk > t0)
-      .withColumn("s_walk", startWalk)
-    val targets = g.nodes
-      .filter(col("stop_name").isin(endNames: _*) &&
-        col("dep_secs") + endWalk < t0 + maxDurationHours * 3600)
-      .select(col("id").as("t_id"), col("dep_secs").as("t_dep"),
-        col("arr_secs").as("t_arr"), endWalk.as("t_walk"))
-    // non-zero walks ⇒ PairOrder is (final_time, cost+walks) — `main.py:158-159`
-    route(g, sources, targets)
-  }
+      speed: Double, time: String, maxDurationHours: Int = 4): DataFrame =
+    route(day(date), speed, parseHms(time), maxDurationHours,
+      Endpoint(startNames, Some((startLat, startLon))),
+      Endpoint(endNames, Some((endLat, endLon))))
 
   /** THE best-pair ordering — one definition shared by both routing variants
     * and both execution branches (r4 advice: the local branch used to
@@ -135,76 +135,122 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
   }
 
   /** Shared routing core: per-route earliest source selection, one
-    * multi-source SSSP, candidate-pair ranking, path expansion (G6+J8). */
-  private def route(g: TimeExpandedGraph, sourceCandidates: DataFrame,
-      targets: DataFrame): DataFrame = {
-    import spark.implicits._
+    * multi-source SSSP, candidate-pair ranking, path expansion (G6+J8).
+    * Dispatches on the projection's regime: driver-side over the local
+    * index below the SSSP threshold (the reference's in-memory regime),
+    * declarative DataFrames above it. The forced-Pregel parity spec pins
+    * both branches to identical itineraries. */
+  private def route(d: java.sql.Date, speed: Double, t0: Long,
+      maxDurationHours: Int, src: Endpoint, tgt: Endpoint): DataFrame = {
+    val g = projected(d, speed)
+    g.localIndex match {
+      case Some(ix) => routeLocal(g, ix, speed, t0, maxDurationHours, src, tgt)
+      case None => routeDistributed(g, speed, t0, maxDurationHours, src, tgt)
+    }
+  }
+
+  /** Local regime: candidate selection, SSSP, pair ranking, and segment
+    * labeling all run over driver-resident state — zero Spark jobs until
+    * the final (tiny) segment DataFrame. Ranking key = PairOrder.key, the
+    * same definition the distributed branch orders by. */
+  private def routeLocal(g: TimeExpandedGraph, ix: graft.projection.LocalProjection,
+      speed: Double, t0: Long, maxDurationHours: Int,
+      src: Endpoint, tgt: Endpoint): DataFrame = {
+    import graft.projection.NodeRec
+    import graft.functions.SpatialFunctions.haversineMetersScalar
+    def walkSecs(e: Endpoint)(r: NodeRec): Double = e.walkFrom match {
+      case Some((la, lo)) => haversineMetersScalar(r.lat, r.lon, la, lo) / speed
+      case None => 0.0
+    }
+    def candidates(e: Endpoint): Seq[(NodeRec, Double)] =
+      e.names.distinct.iterator
+        .flatMap(n => ix.byName.getOrElse(n, Array.empty[NodeRec]))
+        .map(r => (r, walkSecs(e)(r))).toSeq
+
+    // source predicate: dep − s_walk > t0 (zero walk ⇒ dep > t0, `main.py:80`)
+    val srcCands = candidates(src).filter { case (r, w) => r.dep - w > t0 }
     // Per-route earliest departure; apoc.agg.minItems + `s[0]` keeps one
-    // item per route (`main.py:84-87`) — deterministic first here.
+    // item per route (`main.py:84-87`) — deterministic first, same
+    // (dep_secs, trip_id, stop_sequence) order as the distributed window.
+    val srcRows = srcCands.groupBy(_._1.routeId).values.map(_.reduceLeft { (x, y) =>
+      val c = java.lang.Long.compare(x._1.dep, y._1.dep) match {
+        case 0 => graft.util.Utf8Order.compare(x._1.tripId, y._1.tripId) match {
+          case 0 => Integer.compare(x._1.seq, y._1.seq)
+          case c2 => c2
+        }
+        case c1 => c1
+      }
+      if (c <= 0) x else y
+    }).toSeq
+    if (srcRows.isEmpty) return emptySegments
+
+    // target predicate: dep + t_walk < t0 + horizon (`main.py:91,139`)
+    val horizon = t0 + maxDurationHours * 3600L
+    val tgtRows = candidates(tgt).filter { case (r, w) => r.dep + w < horizon }
+    if (tgtRows.isEmpty) return emptySegments
+
+    // ONE multi-source SSSP replaces per-pair Dijkstras (SURVEY §7.3); the
+    // per-projection handle reuses the resolved CSR across calls.
+    val run = g.sssp.runForTargets(srcRows.map(_._1.id).toSet, tgtRows.map(_._1.id).toSet)
+    val ranked = for {
+      (s, sw) <- srcRows
+      (t, tw) <- tgtRows
+      // target must depart after its source (`main.py:93,141`)
+      if t.dep > s.dep
+      cost <- run.distance(s.id, t.id)
+    } yield (PairOrder.key(t.arr, tw, cost, sw, s.id, t.id), s.id, t.id)
+    if (ranked.isEmpty) return emptySegments
+    val (_, bestSrc, bestTgt) = ranked.minBy(_._1)
+    val path = run.path(bestSrc, bestTgt)
+    if (path.size < 2) return emptySegments
+    assembleSegments(ix.get, path)
+  }
+
+  /** Distributed regime: full distance table stays distributed; the path
+    * comes back via pointer doubling (log L self-joins), never the
+    * reachable set. */
+  private def routeDistributed(g: TimeExpandedGraph, speed: Double, t0: Long,
+      maxDurationHours: Int, src: Endpoint, tgt: Endpoint): DataFrame = {
+    def walkCol(e: Endpoint): org.apache.spark.sql.Column = e.walkFrom match {
+      case Some((la, lo)) => haversineMeters(col("lat"), col("lon"), lit(la), lit(lo)) / speed
+      case None => lit(0.0)
+    }
+    val sWalk = walkCol(src); val tWalk = walkCol(tgt)
+    val sourceCandidates = g.nodes
+      .filter(col("stop_name").isin(src.names.distinct: _*) &&
+        col("dep_secs") - sWalk > t0)
+      .withColumn("s_walk", sWalk)
+    val targets = g.nodes
+      .filter(col("stop_name").isin(tgt.names.distinct: _*) &&
+        col("dep_secs") + tWalk < t0 + maxDurationHours * 3600L)
+      .select(col("id").as("t_id"), col("dep_secs").as("t_dep"),
+        col("arr_secs").as("t_arr"), tWalk.as("t_walk"))
+
+    // Per-route earliest departure (`main.py:84-87`), distributed window.
     val perRoute = Window.partitionBy("route_id")
       .orderBy("dep_secs", "trip_id", "stop_sequence")
     val srcRows = sourceCandidates
       .withColumn("rn", row_number().over(perRoute)).filter(col("rn") === 1)
-      .select(col("id").as("s_id"), col("dep_secs").as("s_dep"),
-        (if (sourceCandidates.columns.contains("s_walk")) col("s_walk") else lit(0.0)).as("s_walk"))
+      .select(col("id").as("s_id"), col("dep_secs").as("s_dep"), col("s_walk"))
     val srcLocal = srcRows.collect() // tiny: one row per route at one stop
     if (srcLocal.isEmpty) return emptySegments
     val srcIds = srcLocal.map(_.getLong(0)).toSet
 
-    // ONE multi-source SSSP replaces per-pair Dijkstras (SURVEY §7.3);
-    // the per-projection handle reuses the resolved graph across calls.
-    def bestPair(dist: DataFrame): Option[org.apache.spark.sql.Row] = {
-      val pairs = dist
-        .join(targets, col("vertex_id") === col("t_id"))
-        .join(broadcast(srcRows.withColumnRenamed("s_id", "source_id")), Seq("source_id"))
-        // target must depart after its source (`main.py:93,141`)
-        .filter(col("t_dep") > col("s_dep"))
-        .withColumn("cost", col("dist"))
-        .withColumnRenamed("source_id", "s_id")
-      pairs.orderBy(PairOrder.columns: _*).limit(1).collect().headOption
-    }
-
-    if (g.sssp.isLocal) {
-      // In-memory graph (the reference's own regime): distances only at the
-      // candidate targets, path reconstructed from the run's own arrays — no
-      // full (vertex × source) table ever crosses into Spark. The candidate
-      // pair ranking runs driver-side too: sources, targets and distances
-      // are all driver-resident (one-stop candidate sets), so the bestPair
-      // join would only add scheduling overhead. Ranking key = PairOrder.key,
-      // the same definition the distributed branch orders by; the
-      // forced-Pregel parity spec pins both branches equal.
-      val tgtLocal = targets.collect() // tiny: candidate stoptimes at one stop
-      if (tgtLocal.isEmpty) return emptySegments
-      def secs(r: org.apache.spark.sql.Row, i: Int): Long =
-        r.get(i).asInstanceOf[Number].longValue
-      val run = g.sssp.runForTargets(srcIds, tgtLocal.map(_.getLong(0)).toSet)
-      val ranked = (for {
-        s <- srcLocal
-        t <- tgtLocal
-        // target must depart after its source (`main.py:93,141`)
-        if secs(t, 1) > secs(s, 1)
-        cost <- run.distance(s.getLong(0), t.getLong(0))
-      } yield {
-        (PairOrder.key(secs(t, 2), t.getDouble(3), cost, s.getDouble(2),
-          s.getLong(0), t.getLong(0)), s.getLong(0), t.getLong(0))
-      }).toSeq
-      if (ranked.isEmpty) return emptySegments
-      val (_, bestSrc, bestTgt) = ranked.minBy(_._1)
-      val path = run.path(bestSrc, bestTgt)
-      if (path.size < 2) return emptySegments
-      segments(g, path)
-    } else {
-      // Distributed regime: full distance table stays distributed; the path
-      // comes back via pointer doubling (log L self-joins), never the
-      // reachable set.
-      val dist = g.sssp.run(srcIds).cache()
-      val row = bestPair(dist).getOrElse { dist.unpersist(); return emptySegments }
-      val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
-      val path = ShortestPaths.pathDistributed(dist, bestSrc, bestTgt)
-      dist.unpersist()
-      if (path.size < 2) return emptySegments
-      segments(g, path)
-    }
+    val dist = g.sssp.run(srcIds).cache()
+    val pairs = dist
+      .join(targets, col("vertex_id") === col("t_id"))
+      .join(broadcast(srcRows.withColumnRenamed("s_id", "source_id")), Seq("source_id"))
+      // target must depart after its source (`main.py:93,141`)
+      .filter(col("t_dep") > col("s_dep"))
+      .withColumn("cost", col("dist"))
+      .withColumnRenamed("source_id", "s_id")
+    val row = pairs.orderBy(PairOrder.columns: _*).limit(1).collect().headOption
+      .getOrElse { dist.unpersist(); return emptySegments }
+    val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
+    val path = ShortestPaths.pathDistributed(dist, bestSrc, bestTgt)
+    dist.unpersist()
+    if (path.size < 2) return emptySegments
+    segments(g, path)
   }
 
   /** Path → labeled segment rows (G6 + the J8 label joins, `main.py:103-114`):
@@ -213,28 +259,30 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     * list at `main.py:112` flattened) — driver-facing outputs carry no array
     * columns. */
   private def segments(g: TimeExpandedGraph, path: List[Long]): DataFrame = {
-    import spark.implicits._
     // ONE job: collect only the path's own node rows (≤ hops+1 — tens of
     // rows; the isin filter prunes the cached node scan) and assemble the
     // labeled segment rows driver-side. The previous form ran the J8 label
     // joins as two broadcast joins — several Spark jobs per routing call
-    // to label a ~20-row result, the dominant per-pair overhead in the
-    // 9-OD harness. Semantics unchanged (GtfsEngineSpec goldens +
-    // gtfs_routing_golden / gtfs_point_routing_golden hash oracles).
-    val byId = g.nodes.filter(col("id").isin(path: _*))
-      .select(col("id"), col("trip_id"), col("route_id"), col("stop_name"),
-        col("stop_id"), col("lat"), col("lon"), col("arr_secs"), col("dep_secs"))
-      .collect()
-      .map(r => r.getLong(0) -> r).toMap
+    // to label a ~20-row result. Semantics unchanged (GtfsEngineSpec
+    // goldens + gtfs_routing_golden / gtfs_point_routing_golden oracles).
+    val byId = graft.projection.LocalProjection.recsOf(
+      g.nodes.filter(col("id").isin(path: _*)))
+      .map(r => r.id -> r).toMap
+    assembleSegments(byId.get, path)
+  }
+
+  /** Path → labeled segment tuples from any id→node resolver (local index
+    * or a bounded per-path collect). */
+  private def assembleSegments(byId: Long => Option[graft.projection.NodeRec],
+      path: List[Long]): DataFrame = {
+    import spark.implicits._
     val hms = graft.functions.TimeFunctions.formatHms _
-    def secsOf(r: org.apache.spark.sql.Row, i: Int): Int =
-      r.get(i).asInstanceOf[Number].intValue
     val rows = path.zip(path.tail).zipWithIndex.flatMap { case ((a, b), i) =>
-      for (ra <- byId.get(a); rb <- byId.get(b)) yield
-        (i + 1, ra.getString(1), hms(secsOf(ra, 8)), ra.getString(2),
-          ra.getString(3), ra.getString(4), ra.getDouble(5), ra.getDouble(6),
-          rb.getString(1), rb.getString(3), rb.getString(4),
-          rb.getDouble(5), rb.getDouble(6), rb.getString(2), hms(secsOf(rb, 7)))
+      for (ra <- byId(a); rb <- byId(b)) yield
+        (i + 1, ra.tripId, hms(ra.dep.toInt), ra.routeId,
+          ra.stopName, ra.stopId, ra.lat, ra.lon,
+          rb.tripId, rb.stopName, rb.stopId,
+          rb.lat, rb.lon, rb.routeId, hms(rb.arr.toInt))
     }
     spark.createDataset(rows)
       .toDF("hop", "trip", "departure", "line", "starting_stop_name",
@@ -306,6 +354,13 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       endLat: Double, endLon: Double, speed: Double, time: String,
       radius: Double = 300.0, footway: Option[FootwayEngine] = None,
       maxDurationHours: Int = 4): Option[JourneySummary] = {
+    // The footway graph's one-time warm-up (NEAR edges, walking CSR, node
+    // index) is independent of the transit phase — overlap the two fixed
+    // stacks instead of paying them back to back (engine lazy state is
+    // synchronized; Spark schedules concurrent jobs fine).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fwWarm = footway.map(fw => Future { fw.nearestFootNode(startLat, startLon) })
     val startNames = findNearStops(date, startLat, startLon, radius, speed)
       .collect().map(_.getString(0)).toSeq
     val endNames = findNearStops(date, endLat, endLon, radius, speed)
@@ -317,6 +372,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     if (rows.isEmpty) return None
     val firstStop = rows.head.getAs[String]("starting_stop_id")
     val lastStop = rows.last.getAs[String]("next_stop_id")
+    fwWarm.foreach(f => Await.result(f, scala.concurrent.duration.Duration.Inf))
     // Both walking legs out of ONE multi-source SSSP over the footway graph
     // (straight-line fallback when the network doesn't reach the stop).
     val Seq(startWalk, endWalk) = footway match {
@@ -332,7 +388,11 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     }
     val dep = graft.functions.TimeFunctions.parseHms(rows.head.getAs[String]("departure"))
     val arr = graft.functions.TimeFunctions.parseHms(rows.last.getAs[String]("arrival"))
-    Some(JourneySummary(segs, changeCount(segs), startWalk, endWalk,
+    // change count from the already-collected rows (same predicate as
+    // changeCount, minus one Spark job)
+    val changes = rows.count(r =>
+      r.getAs[String]("trip") != r.getAs[String]("next_trip")).toLong
+    Some(JourneySummary(segs, changes, startWalk, endWalk,
       (arr - dep) + (startWalk + endWalk) / speed))
   }
 

@@ -68,59 +68,85 @@ object Bpe {
     else trainDistributed(w, numMerges)
   }
 
-  /** One distributed round per merge: pair-count aggregation + 1-row argmax.
-    * The regime for vocabularies whose unique-word table exceeds driver
-    * heap; per-round latency is a full Spark job, so this is only the
-    * right branch when the data genuinely doesn't fit. */
+  /** Adjacent-pair weighted counts of a symbol table. */
+  private def pairCounts(syms: DataFrame): DataFrame = {
+    val arr = symbolsOf(col("s"))
+    syms
+      .select(explode(zip_with(
+        slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("count"))
+      .groupBy("p.a", "p.b").agg(sum("count").as("n"))
+  }
+
+  /** Distributed rounds with DELTA pair recounting: the full explode +
+    * aggregation over every word runs ONCE; after each merge (a, b), pair
+    * counts change only inside words whose symbol string contains the
+    * merge site `" a  b "`, so each round re-aggregates just those words
+    * (before and after the replace) and folds the difference into the
+    * running count table. Counts stay bit-identical to a full recount
+    * (long arithmetic, exact deltas), so merges — argmax with the same
+    * (n desc, a, b) UTF-8 tie-break — are unchanged; BpeSpec forces this
+    * branch and compares it to the local trainer. Per-round input drops
+    * from |words| to |words containing the merged pair| — orders of
+    * magnitude at real vocabulary scale, where late-round pairs touch a
+    * sliver of the table. The regime for vocabularies whose unique-word
+    * table exceeds driver heap; below that [[trainLocal]] takes over. */
   private def trainDistributed(words: DataFrame,
       numMerges: Int): Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // Eager localCheckpoint, not cache: each round's counts plan references
+    // the previous round's syms plan TWICE (before/after aggregation), so
+    // chained caches grow the logical plan quadratically — a 100-round run
+    // dies building plan strings. Checkpointing pins the rows and resets
+    // the plan to a constant-size LogicalRDD; superseded checkpoint blocks
+    // are reclaimed by the ContextCleaner once the old frames go
+    // unreachable. Single-JVM lineage loss is irrelevant (local mode;
+    // a lost-executor cluster run restarts the training job).
     var syms = words.select(toSymbols(col("word")).as("s"),
-      col("count").cast("long").as("count")).cache()
+      col("count").cast("long").as("count")).localCheckpoint(true)
+    var counts = pairCounts(syms).localCheckpoint(true) // the one full aggregation
     var rounds = 0
     var exhausted = false
     while (rounds < numMerges && !exhausted) {
-      val arr = symbolsOf(col("s"))
-      val top = syms
-        .select(explode(zip_with(
-          slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("count"))
-        .groupBy("p.a", "p.b").agg(sum("count").as("n"))
-        .orderBy(desc("n"), asc("a"), asc("b")).limit(1)
+      val top = counts.orderBy(desc("n"), asc("a"), asc("b")).limit(1)
         .as[(String, String, Long)].collect()
       top.headOption match {
         case Some((a, b, _)) =>
           merges += ((a, b))
-          val next = syms.select(applyMerge(col("s"), a, b).as("s"),
-            col("count")).cache()
-          next.count() // materialize before dropping the parent cache
-          syms.unpersist()
-          syms = next
-        case None => exhausted = true // every word is one symbol
+          val needle = s" $a  $b "
+          val affected = syms.filter(col("s").contains(lit(needle)))
+          val merged = affected.select(applyMerge(col("s"), a, b).as("s"),
+            col("count"))
+          // net pair-count change inside the affected words only
+          val delta = pairCounts(merged).withColumnRenamed("n", "after")
+            .join(pairCounts(affected).withColumnRenamed("n", "before"),
+              Seq("a", "b"), "full_outer")
+            .select(col("a"), col("b"),
+              (coalesce(col("after"), lit(0L)) - coalesce(col("before"), lit(0L))).as("d"))
+            .filter(col("d") =!= 0L)
+          val nextCounts = counts.join(delta, Seq("a", "b"), "full_outer")
+            .select(col("a"), col("b"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
+            .filter(col("n") > 0L) // a fully-consumed pair must disappear
+            .localCheckpoint(true) // materialized while old syms still live
+          val nextSyms = syms.select(
+            when(col("s").contains(lit(needle)), applyMerge(col("s"), a, b))
+              .otherwise(col("s")).as("s"),
+            col("count")).localCheckpoint(true)
+          counts = nextCounts; syms = nextSyms
+        case None => exhausted = true // no pair co-occurs anywhere
       }
       rounds += 1
     }
-    syms.unpersist()
     merges.toSeq
   }
 
-  /** Spark orders strings by UTF-8 byte comparison (unsigned), which
-    * differs from String.compareTo (UTF-16 code units) above the BMP —
-    * the local tie-break must match the distributed sort exactly. */
-  private def utf8Lt(x: String, y: String): Boolean = {
-    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val c = (a(i) & 0xff) - (b(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    a.length < b.length
-  }
+  /** Spark orders strings by UTF-8 bytes = code-point order — the local
+    * tie-break must match the distributed sort exactly (shared helper). */
+  private def utf8Lt(x: String, y: String): Boolean =
+    graft.util.Utf8Order.lt(x, y)
 
   /** In-heap trainer: identical merges to the distributed rounds (every
     * adjacent pair occurrence counts, weighted by word count; argmax with

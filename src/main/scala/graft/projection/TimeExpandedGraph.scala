@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.GtfsTables
-import graft.etl.GraphBuilder
 
 /** The day-specific **time-expanded routing graph** — our analog of the
   * reference's GDS projection `graph_walk` (`main.py:13-22`).
@@ -51,6 +50,12 @@ final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame,
   lazy val sssp: graft.graph.ShortestPaths.Sssp =
     new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold)
 
+  /** Driver-resident node attributes, local-SSSP regime only (see
+    * [[LocalProjection]]) — None in the distributed regime, where callers
+    * stay on the declarative DataFrame path. */
+  lazy val localIndex: Option[LocalProjection] =
+    if (sssp.isLocal) Some(LocalProjection.from(nodes)) else None
+
   def unpersist(): Unit = {
     if (stopDimForced) stopDim.unpersist()
     nodes.unpersist(); edges.unpersist()
@@ -90,15 +95,23 @@ object TimeExpandedGraph {
         col("stop_sequence"), col("arr_secs"), col("dep_secs"))
       .cache()
 
-    // PRECEDES edges restricted to day-valid trips; weight was computed at
-    // ETL (next.arrival − this.departure, `new_dbSetup.py:72-74`).
-    val precedesDay = GraphBuilder.precedes(g.stopTimes)
-      .join(broadcast(dayTrips.select("trip_id")), Seq("trip_id"))
+    // PRECEDES edges restricted to day-valid trips; weight = next.arrival −
+    // this.departure (`new_dbSetup.py:72-74`). Derived from the cached node
+    // set rather than a second pass over raw stoptimes: the day filter and
+    // id hash are already paid, and service validity is per-trip, so the
+    // within-trip lead is unaffected by the day restriction. One window
+    // shuffle on trip_id — same as GraphBuilder.precedes — minus the raw
+    // scan and the dayTrips re-join.
+    val wTrip = Window.partitionBy("trip_id").orderBy("stop_sequence")
+    val precedesDay = nodes
+      .withColumn("target", lead("id", 1).over(wTrip))
+      .withColumn("dst_arr", lead("arr_secs", 1).over(wTrip))
+      .filter(col("target").isNotNull)
       .select(
-        nodeId(col("trip_id"), col("src_seq")).as("source"),
-        nodeId(col("trip_id"), col("dst_seq")).as("target"),
+        col("id").as("source"),
+        col("target"),
         lit("PRECEDES").as("type"),
-        col("waiting_time"),
+        (col("dst_arr") - col("dep_secs")).cast("long").as("waiting_time"),
         lit(0L).as("walking_time"))
 
     // CHANGE edges (`main.py:17`): from stoptime `s`, walk to a neighboring
@@ -136,28 +149,39 @@ object TimeExpandedGraph {
       .groupBy("n_stop", "t_service", "t_route")
       .agg(sort_array(collect_list(struct(col("t_dep"), col("t_id")))).as("deps"))
 
+    // Fold the walk dimension in BEFORE the big-side join: per (source stop,
+    // walking distance, service, route) the sorted UNION of all equidistant
+    // neighbors' schedules. The old rank() window existed only to resolve
+    // EQUIDISTANT neighbor stops sharing a route; merging their schedules
+    // into one array makes cross-stop ties ordinary within-array ties, which
+    // the probe already returns — so the window (a full shuffle + sort of
+    // the probed candidate set) disappears. min over per-stop minima = min
+    // over their union, and the probe keeps ALL entries tied at that min,
+    // so the edge set is unchanged (ProjectionParitySpec pins this against
+    // the naive one-stage formulation). This join+agg touches only
+    // dimension-sized data: |sched| rows ≈ stops × routes-at-stop.
+    val schedAt = sched
+      .join(walk, Seq("n_stop"))
+      .groupBy("s_stop", "distance", "t_service", "t_route")
+      .agg(sort_array(flatten(collect_list(col("deps")))).as("deps"))
+
+    // One equi-join on s_stop carries the whole CHANGE generation: shuffle
+    // the stoptime side once on its stop key (co-located for free under the
+    // stop-bucketed layout; AQE turns it into a broadcast join when schedAt
+    // is small), then one codegen'd binary-search probe per candidate row —
+    // the earliest reachable departure plus its ties (empty → no edge).
     val walkSecs = floor(col("distance") / speed).cast("long")
-    val probed = s
-      .join(walk, Seq("s_stop"))
-      .join(sched, Seq("n_stop"))
+    val changeEdges = s
+      .join(schedAt, Seq("s_stop"))
       .filter(col("t_service") === col("s_service") &&
         col("t_route") =!= col("s_route"))
       .withColumn("walking_time", walkSecs)
-      // one codegen'd binary-search probe per row: the earliest reachable
-      // departure in this route's schedule, plus its ties (empty → no edge)
-      .select(col("s_id"), col("s_arr"), col("t_route"), col("distance"),
-        col("walking_time"),
+      .select(col("s_id"), col("s_arr"), col("walking_time"),
         explode(graft.functions.expressions.EarliestAfterExpr(col("deps"),
           col("s_arr") + col("walking_time"))).as("e"))
-      .select(col("s_id"), col("s_arr"), col("t_route"), col("distance"),
-        col("walking_time"), col("e.t_dep").as("t_dep"), col("e.t_id").as("t_id"))
-    val earliest = Window.partitionBy("s_id", "t_route", "distance").orderBy("t_dep")
-    val changeEdges = probed
-      .withColumn("rk", rank().over(earliest))
-      .filter(col("rk") === 1)
-      .select(col("s_id").as("source"), col("t_id").as("target"),
+      .select(col("s_id").as("source"), col("e.t_id").as("target"),
         lit("CHANGE").as("type"),
-        (col("t_dep") - col("s_arr") + col("walking_time")).cast("long").as("waiting_time"),
+        (col("e.t_dep") - col("s_arr") + col("walking_time")).cast("long").as("waiting_time"),
         col("walking_time"))
 
     // U1: the projected edge list is CHANGE ∪ PRECEDES (`main.py:17`).

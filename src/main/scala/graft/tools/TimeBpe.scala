@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: per-round cost of the forced-distributed BPE trainer (the
+  * >LocalTrainMaxWords regime) — evidence for the delta-recount rewrite.
+  * Word table: the sf0.1 documents' whitespace vocabulary (~100k unique
+  * words), forced onto the distributed branch with localMaxWords = 0. */
+object TimeBpe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "100").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // the sf documents draw from a ~30-word vocabulary — too small to
+    // exercise the distributed regime; generate a deterministic 300k-word
+    // table instead (md5-hex "words" of varied length, Zipf-ish counts)
+    val n = sys.env.getOrElse("SPARK_GRAFT_BPE_WORDS", "300000").toLong
+    val words = spark.range(n)
+      .select(
+        expr("substring(md5(cast(id as string)), 1, 4 + cast(id % 20 as int))").as("word"),
+        expr("greatest(1L, 1000000L div (id + 1))").as("count"))
+      .cache()
+    println(s"unique words: ${words.count()}")
+    val t0 = System.nanoTime()
+    val merges = graft.operators.Bpe.train(words, nMerges, localMaxWords = 0L)
+    val total = (System.nanoTime() - t0) / 1e9
+    println(f"$nMerges merges (forced distributed): $total%.1f s total, " +
+      f"${total / math.max(1, merges.size)}%.3f s/round, learned ${merges.size}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve probe for the flagship projection path: build + route the
+  * synthetic Modena network at 1×/3×/10× its stoptime cardinality
+  * (SPARK_GRAFT_SCALES to override, e.g. "1,3" while iterating).
+  *
+  * Scaling dimension: NETWORK SIZE (grid rows/cols), not schedule density —
+  * trips-per-route and headways stay at the Modena preset's values, so
+  * per-(stop, route) schedule arrays keep ~25 entries and the probe
+  * isolates how build cost grows with |stoptimes|. The schedule-probe
+  * CHANGE generator claims ~linear growth (candidate volume is
+  * |stoptimes| + one probe per (source × neighbor × route), no
+  * ×departures-per-stop product term); this measures it.
+  *
+  * Grids: 1× = 50×50 (250,000 stoptimes — the Modena preset), 3× = 87×87
+  * (756,900), 10× = 158×158 (2,496,400). Routing stays on the in-memory
+  * CSR regime via a raised ssspLocalThreshold (the 10× projection is ~10M
+  * edges ≈ 240 MB of CSR — still trivially driver-resident; the default
+  * 2M-edge threshold would switch to Pregel at 3×, which is the right
+  * production default but would measure a different algorithm). Run with
+  * SPARK_DRIVER_MEM=24g for the 10× point.
+  */
+object TimeScale {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).repartition(4).count() // scheduler warm-up
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val dims = Map(1 -> 50, 3 -> 87, 10 -> 158)
+
+    // JIT/codegen warm-up at the smallest size so the 1× row doesn't carry
+    // first-compile cost the larger rows then amortize (TimeBuild showed a
+    // 2× cold-vs-warm gap on identical plans).
+    locally {
+      val g = graft.etl.SyntheticGtfs.grid(spark, 20, 20, 5, directions = 2,
+        rowStepDeg = 0.0032)
+      val eng = new graft.api.RoutingEngine(g, ssspLocalThreshold = 100000000L)
+      eng.routing("2024-01-18", 1.0, "08:00:00", "Stop 0/0", "Stop 19/19").collect()
+      eng.close()
+    }
+
+    println(f"${"scale"}%-6s ${"stoptimes"}%10s ${"edges"}%10s ${"walkTo_s"}%9s " +
+      f"${"build_s"}%8s ${"csr_s"}%6s ${"index_s"}%8s ${"route_s/pair"}%13s")
+    for (sc <- scales) {
+      val n = dims(sc)
+      val raw = graft.etl.SyntheticGtfs.grid(spark, n, n, 25,
+        baseSecs = 5 * 3600, headwaySecs = 2300, hopSecs = 90, directions = 2,
+        rowStepDeg = 0.0032)
+      val g = raw.copy(stopTimes = raw.stopTimes.cache(), stops = raw.stops.cache())
+      val nStoptimes = g.stopTimes.count(); g.stops.count()
+      val eng = new graft.api.RoutingEngine(g, ssspLocalThreshold = 100000000L)
+      val (_, walkSec) = timed { eng.walkTo.count() }
+      val day = java.sql.Date.valueOf("2024-01-18")
+      val (proj, buildSec) = timed {
+        val p = eng.projected(day, 1.0); p.edges.count(); p
+      }
+      val edges = proj.edges.count()
+      val (_, csrSec) = timed { proj.sssp.isLocal }
+      val (_, idxSec) = timed { proj.localIndex.foreach(ix => { ix.byName; ix.stopDim }) }
+      // three FIXED-SPAN OD name pairs (≈20 grid hops each, one transfer):
+      // travel time stays inside the 4 h routing horizon at every scale, so
+      // the probe measures per-call cost against graph size, not trip length
+      val pairs = Seq(
+        ("Stop 0/0", "Stop 10/10"),
+        (s"Stop ${n / 2}/${n / 2}", s"Stop ${n / 2 + 10}/${n / 2 + 10}"),
+        (s"Stop ${n / 4}/${n / 4}", s"Stop ${n / 4 + 5}/${n / 4 + 5}"))
+      val routeSecs = pairs.map { case (a, b) =>
+        val (rows, s) = timed {
+          eng.routing("2024-01-18", 1.0, "08:00:00", a, b).collect()
+        }
+        if (rows.isEmpty) println(s"WARN: no itinerary $a -> $b at scale $sc")
+        s
+      }
+      println(f"$sc%-6d $nStoptimes%10d $edges%10d $walkSec%9.2f $buildSec%8.2f " +
+        f"$csrSec%6.2f $idxSec%8.2f ${routeSecs.map(s => f"$s%.2f").mkString("/")}%13s")
+      eng.close()
+      g.stopTimes.unpersist(); g.stops.unpersist()
+    }
+    spark.stop()
+  }
+}
