@@ -24,6 +24,10 @@ import graft.model.GtfsTables
   * only per (day, speed), which RoutingEngine keys its cache on.
   */
 final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame,
+    /** Persisted per-(stop, distance, service, route) schedule dimension
+      * feeding the CHANGE probe join — held so `edges` (cached lazily) can
+      * materialize from it without recomputation, released in unpersist(). */
+    schedCache: Option[DataFrame],
     ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges) {
   def nodeCount: Long = nodes.count()
   def edgeCount: Long = edges.count()
@@ -58,11 +62,19 @@ final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame,
 
   def unpersist(): Unit = {
     if (stopDimForced) stopDim.unpersist()
+    schedCache.foreach(_.unpersist())
     nodes.unpersist(); edges.unpersist()
   }
 }
 
 object TimeExpandedGraph {
+
+  /** Broadcast the CHANGE schedule dimension when its measured payload is
+    * under this bound (estimate: 16 B per schedule entry + 64 B row
+    * overhead). City-scale feeds are a few MB and broadcast; a national-
+    * scale dimension exceeds the bound and falls back to the shuffled
+    * equi-join, which the stop-bucketed layout co-locates for free. */
+  val BroadcastSchedMaxBytes: Long = 64L << 20
 
   /** Stable node id for a stoptime. */
   def nodeId(tripId: org.apache.spark.sql.Column, seq: org.apache.spark.sql.Column) =
@@ -165,14 +177,28 @@ object TimeExpandedGraph {
       .groupBy("s_stop", "distance", "t_service", "t_route")
       .agg(sort_array(flatten(collect_list(col("deps")))).as("deps"))
 
-    // One equi-join on s_stop carries the whole CHANGE generation: shuffle
-    // the stoptime side once on its stop key (co-located for free under the
-    // stop-bucketed layout; AQE turns it into a broadcast join when schedAt
-    // is small), then one codegen'd binary-search probe per candidate row —
-    // the earliest reachable departure plus its ties (empty → no edge).
+    // One equi-join on s_stop carries the whole CHANGE generation, then one
+    // codegen'd binary-search probe per candidate row — the earliest
+    // reachable departure plus its ties (empty → no edge). AQE does NOT
+    // reliably convert this to a broadcast join (Catalyst's size estimate
+    // for the post-aggregation array column is wildly inflated, measured
+    // 9.6 s SMJ vs 2.5 s broadcast at Modena cardinality), so gate an
+    // explicit hint on the MEASURED payload: persist the dimension, sum its
+    // array lengths (one dimension-sized job), broadcast under the bound.
+    // Oversized dimensions keep the shuffled equi-join, co-located for free
+    // under the stop-bucketed layout.
+    val schedAtCached = schedAt.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schedBytes = schedAtCached
+      .agg(coalesce(sum(size(col("deps")).cast("long") * 16L + 64L), lit(0L)))
+      .collect()(0).getLong(0)
+    val schedSide =
+      if (schedBytes <= BroadcastSchedMaxBytes) broadcast(schedAtCached)
+      else schedAtCached
+
     val walkSecs = floor(col("distance") / speed).cast("long")
     val changeEdges = s
-      .join(schedAt, Seq("s_stop"))
+      .join(schedSide, Seq("s_stop"))
       .filter(col("t_service") === col("s_service") &&
         col("t_route") =!= col("s_route"))
       .withColumn("walking_time", walkSecs)
@@ -186,6 +212,6 @@ object TimeExpandedGraph {
 
     // U1: the projected edge list is CHANGE ∪ PRECEDES (`main.py:17`).
     val edges = changeEdges.unionByName(precedesDay).cache()
-    TimeExpandedGraph(nodes, edges, ssspLocalThreshold)
+    TimeExpandedGraph(nodes, edges, Some(schedAtCached), ssspLocalThreshold)
   }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev-only: sub-phase timing inside TimeExpandedGraph.build at Modena
-  * cardinality (temporary probe). */
+  * cardinality (temporary probe; inline block mirrors the CURRENT build()
+  * shape — re-sync it whenever the projection pipeline changes). */
 object TimeBuild {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,7 +19,7 @@ object TimeBuild {
 
     def phase[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"  $name%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      println(f"  $name%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
     val g = phase("modena gen (lazy frames)") { graft.etl.SyntheticGtfs.modena(spark) }
@@ -45,7 +46,8 @@ object TimeBuild {
     }
     proj2.unpersist()
 
-    // inline reconstruction of build() internals, each stage counted alone
+    // inline reconstruction of build() internals (schedAt single-join
+    // shape), each stage counted alone
     {
       import graft.projection.TimeExpandedGraph.nodeId
       val speed = 1.0
@@ -63,11 +65,15 @@ object TimeBuild {
           col("stop_sequence"), col("arr_secs"), col("dep_secs"))
         .cache()
       phase("  nodes cache+count") { nodes.count() }
-      val precedesDay = graft.etl.GraphBuilder.precedes(gc.stopTimes)
-        .join(broadcast(dayTrips.select("trip_id")), Seq("trip_id"))
-        .select(nodeId(col("trip_id"), col("src_seq")).as("source"),
-          nodeId(col("trip_id"), col("dst_seq")).as("target"),
-          lit("PRECEDES").as("type"), col("waiting_time"),
+      val wTrip = org.apache.spark.sql.expressions.Window
+        .partitionBy("trip_id").orderBy("stop_sequence")
+      val precedesDay = nodes
+        .withColumn("target", lead("id", 1).over(wTrip))
+        .withColumn("dst_arr", lead("arr_secs", 1).over(wTrip))
+        .filter(col("target").isNotNull)
+        .select(col("id").as("source"), col("target"),
+          lit("PRECEDES").as("type"),
+          (col("dst_arr") - col("dep_secs")).cast("long").as("waiting_time"),
           lit(0L).as("walking_time"))
       phase("  precedesDay.count") { precedesDay.count() }
       val s = nodes.select(col("id").as("s_id"), col("trip_id").as("s_trip"),
@@ -81,46 +87,42 @@ object TimeBuild {
       val sched = tgt.groupBy("n_stop", "t_service", "t_route")
         .agg(sort_array(collect_list(struct(col("t_dep"), col("t_id")))).as("deps"))
       phase("  sched.count") { sched.count() }
+      val schedAt = sched
+        .join(w, Seq("n_stop"))
+        .groupBy("s_stop", "distance", "t_service", "t_route")
+        .agg(sort_array(flatten(collect_list(col("deps")))).as("deps"))
+      phase("  schedAt.count") { schedAt.count() }
+      phase("  schedAt bytes (collect-side est)") {
+        val sz = schedAt.select(
+          sum(size(col("deps")) * 16 + 64)).collect()(0).getLong(0)
+        println(f"    ~${sz / 1e6}%.1f MB"); sz
+      }
       val walkSecs = floor(col("distance") / speed).cast("long")
-      val probed = s.join(w, Seq("s_stop")).join(sched, Seq("n_stop"))
+      def change(sa: org.apache.spark.sql.DataFrame) = s
+        .join(sa, Seq("s_stop"))
         .filter(col("t_service") === col("s_service") &&
           col("t_route") =!= col("s_route"))
         .withColumn("walking_time", walkSecs)
-        .withColumn("reachable", filter(col("deps"),
-          d => d.getField("t_dep") > col("s_arr") + col("walking_time")))
-        .withColumn("min_dep", get(col("reachable"), lit(0)).getField("t_dep"))
-        .select(col("s_id"), col("s_arr"), col("t_route"), col("distance"),
-          col("walking_time"),
-          explode(filter(col("reachable"),
-            d => d.getField("t_dep") === col("min_dep"))).as("e"))
-        .select(col("s_id"), col("s_arr"), col("t_route"), col("distance"),
-          col("walking_time"), col("e.t_dep").as("t_dep"), col("e.t_id").as("t_id"))
-      phase("  probed.count") { probed.count() }
-      val joined0 = s.join(w, Seq("s_stop")).join(sched, Seq("n_stop"))
-        .filter(col("t_service") === col("s_service") &&
-          col("t_route") =!= col("s_route"))
-      phase("  join only (no lambdas)") { joined0.count() }
-      phase("  join bcast (no lambdas)") {
-        s.join(broadcast(w), Seq("s_stop")).join(broadcast(sched), Seq("n_stop"))
-          .filter(col("t_service") === col("s_service") &&
-            col("t_route") =!= col("s_route")).count() }
-      phase("  + reachable filter only") {
-        joined0.withColumn("walking_time", walkSecs)
-          .withColumn("reachable", filter(col("deps"),
-            d => d.getField("t_dep") > col("s_arr") + col("walking_time")))
-          .select(col("s_id"), size(col("reachable")).as("k")).count() }
-      val earliest = org.apache.spark.sql.expressions.Window
-        .partitionBy("s_id", "t_route", "distance").orderBy("t_dep")
-      val changeEdges = probed.withColumn("rk", rank().over(earliest))
-        .filter(col("rk") === 1)
-        .select(col("s_id").as("source"), col("t_id").as("target"),
+        .select(col("s_id"), col("s_arr"), col("walking_time"),
+          explode(graft.functions.expressions.EarliestAfterExpr(col("deps"),
+            col("s_arr") + col("walking_time"))).as("e"))
+        .select(col("s_id").as("source"), col("e.t_id").as("target"),
           lit("CHANGE").as("type"),
-          (col("t_dep") - col("s_arr") + col("walking_time")).cast("long")
+          (col("e.t_dep") - col("s_arr") + col("walking_time")).cast("long")
             .as("waiting_time"), col("walking_time"))
-      phase("  changeEdges.count") { changeEdges.count() }
+      val changeEdges = change(schedAt)
+      phase("  changeEdges.count (AQE default)") { changeEdges.count() }
+      phase("  changeEdges.count (bcast schedAt)") { change(broadcast(schedAt)).count() }
       phase("  union.count (uncached)") { changeEdges.unionByName(precedesDay).count() }
       phase("  union.cache.count") {
         changeEdges.unionByName(precedesDay).cache().count() }
+      println("  final AQE plan of the probe join:")
+      val df = changeEdges
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      println(plan.linesIterator.filter(l =>
+        l.contains("Join") || l.contains("Exchange") || l.contains("Broadcast"))
+        .map("    " + _.trim).mkString("\n"))
       nodes.unpersist()
     }
     spark.stop()

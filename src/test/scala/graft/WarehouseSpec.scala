@@ -141,4 +141,28 @@ class WarehouseSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS day_st_proj")
     }
   }
+
+  test("projection build broadcasts the measured-small schedule dimension") {
+    // build() gates an explicit broadcast() hint on the MEASURED payload of
+    // the CHANGE schedule dimension (AQE's own estimate for the post-agg
+    // array column is inflated and never converts the join). The fixture's
+    // dimension is a few KB, far under the 64 MB bound, so the hint must
+    // fire even with auto-broadcast disabled — this pins the gate so a
+    // lost hint (back to sort-merge) fails loudly.
+    val gtfs = GtfsLoader.load(spark, fixtureDir)
+    val walk = graft.etl.GraphBuilder.walkTo(gtfs.stops, 300.0).localCheckpoint()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val g = graft.projection.TimeExpandedGraph
+        .build(gtfs, java.sql.Date.valueOf("2024-01-18"), 1.0, walk)
+      try {
+        assert(g.edgeCount > 0)
+        val plan = g.edges.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"), plan)
+        assert(g.schedCache.exists(_.storageLevel.useMemory),
+          "schedule dimension should stay persisted until unpersist()")
+      } finally g.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
