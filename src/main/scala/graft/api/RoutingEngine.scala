@@ -72,7 +72,10 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
   def findNearStops(date: String, lat: Double, lon: Double, radius: Double,
       speed: Double = 1.0): DataFrame = {
     val g = projected(day(date), speed)
-    g.localIndex match {
+    // Peek, don't force: the local-index gate needs the edge count, and a
+    // stop scan must not pay the whole CHANGE build on a fresh projection.
+    // After any routing call has resolved the regime, this is an array scan.
+    g.localIndexIfBuilt match {
       case Some(ix) =>
         import spark.implicits._
         val names = ix.stopDim.iterator.filter { case (_, la, lo) =>

@@ -23,12 +23,27 @@ import graft.model.GtfsTables
   * in memory and reuses it across routing calls; re-projection is needed
   * only per (day, speed), which RoutingEngine keys its cache on.
   */
-final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame,
-    /** Persisted per-(stop, distance, service, route) schedule dimension
-      * feeding the CHANGE probe join — held so `edges` (cached lazily) can
-      * materialize from it without recomputation, released in unpersist(). */
-    schedCache: Option[DataFrame],
-    ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges) {
+final class TimeExpandedGraph(val nodes: DataFrame,
+    /** Deferred CHANGE∪PRECEDES construction → (edges, schedule dimension).
+      * Edge generation ends in a measured-size broadcast decision (one
+      * dimension-sized Spark job), so it must NOT run at build() time:
+      * interactive calls that need only the node side (near-stop search on a
+      * fresh projection) would pay the whole CHANGE pipeline for a stop
+      * scan. First `edges`/`schedCache` access evaluates the thunk once. */
+    buildEdges: () => (DataFrame, Option[DataFrame]),
+    val ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges) {
+
+  private var edgesForced = false
+  private lazy val edgesAndSched: (DataFrame, Option[DataFrame]) = {
+    edgesForced = true
+    buildEdges()
+  }
+  def edges: DataFrame = edgesAndSched._1
+  /** Persisted per-(stop, distance, service, route) schedule dimension
+    * feeding the CHANGE probe join — held so `edges` (cached lazily) can
+    * materialize from it without recomputation, released in unpersist(). */
+  def schedCache: Option[DataFrame] = edgesAndSched._2
+
   def nodeCount: Long = nodes.count()
   def edgeCount: Long = edges.count()
 
@@ -57,13 +72,24 @@ final case class TimeExpandedGraph(nodes: DataFrame, edges: DataFrame,
   /** Driver-resident node attributes, local-SSSP regime only (see
     * [[LocalProjection]]) — None in the distributed regime, where callers
     * stay on the declarative DataFrame path. */
-  lazy val localIndex: Option[LocalProjection] =
+  lazy val localIndex: Option[LocalProjection] = {
+    localIndexForced = true
     if (sssp.isLocal) Some(LocalProjection.from(nodes)) else None
+  }
+  private var localIndexForced = false
+
+  /** The local index if a routing call already materialized it, None
+    * otherwise — WITHOUT forcing it. The regime gate (`sssp.isLocal`) needs
+    * an edge count, i.e. the full CHANGE build; a node-only caller
+    * (near-stop search) peeks so a fresh projection answers from the
+    * distributed stop dimension instead of paying that build. */
+  def localIndexIfBuilt: Option[LocalProjection] =
+    if (localIndexForced) localIndex else None
 
   def unpersist(): Unit = {
     if (stopDimForced) stopDim.unpersist()
-    schedCache.foreach(_.unpersist())
-    nodes.unpersist(); edges.unpersist()
+    if (edgesForced) { schedCache.foreach(_.unpersist()); edges.unpersist() }
+    nodes.unpersist()
   }
 }
 
@@ -107,6 +133,10 @@ object TimeExpandedGraph {
         col("stop_sequence"), col("arr_secs"), col("dep_secs"))
       .cache()
 
+    // Everything below (PRECEDES window, CHANGE schedule aggregation +
+    // probe, measured broadcast decision) is deferred: the closure runs on
+    // first `edges` access. Node-only callers never trigger it.
+    def edgesAndSched(): (DataFrame, Option[DataFrame]) = {
     // PRECEDES edges restricted to day-valid trips; weight = next.arrival −
     // this.departure (`new_dbSetup.py:72-74`). Derived from the cached node
     // set rather than a second pass over raw stoptimes: the day filter and
@@ -211,7 +241,9 @@ object TimeExpandedGraph {
         col("walking_time"))
 
     // U1: the projected edge list is CHANGE ∪ PRECEDES (`main.py:17`).
-    val edges = changeEdges.unionByName(precedesDay).cache()
-    TimeExpandedGraph(nodes, edges, Some(schedAtCached), ssspLocalThreshold)
+    (changeEdges.unionByName(precedesDay).cache(), Some(schedAtCached))
+    }
+
+    new TimeExpandedGraph(nodes, () => edgesAndSched(), ssspLocalThreshold)
   }
 }
