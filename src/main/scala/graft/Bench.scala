@@ -7,12 +7,13 @@ import org.apache.spark.sql.SparkSession
   * followed by a compact FINAL line sized for a consumer that keeps only the
   * last 2000 chars of stdout (see `qmsLine`).
   *
-  * Each query runs `BENCH_REPEATS` times (default 2) and `queries` reports the
-  * MIN across runs: a co-tenant CPU spike during one window poisons a single
-  * run, not the reported number. `starts` carries the wall-clock epoch seconds
-  * of every run so a contended window is identifiable post-hoc from the JSON
-  * alone (a contiguous block of inflated first-runs with normal second-runs is
-  * the contention signature; BENCH_r03 was unreadable without this).
+  * Each query runs `BENCH_REPEATS`+1 times (default 2+1 = 3) and `queries`
+  * reports the MIN across runs: a co-tenant CPU spike during one window
+  * poisons a single run, not the reported number. `starts` carries the
+  * wall-clock epoch seconds of every run so a contended window is
+  * identifiable post-hoc from the JSON alone, and the final qms line carries
+  * per-query spread percent (see `qmsLine`) so even a tail-truncated log
+  * flags contention mechanically.
   */
 object Bench {
 
@@ -25,18 +26,29 @@ object Bench {
     * MILLISECONDS in a name-sorted array (`v(i)` belongs to the i-th
     * element of `SparkEntry.queries.keys.toSeq.sorted` — a consumer must
     * sort the names itself; Map iteration order is unspecified).
-    * Integer ms and no names keep the line ~600 chars for 86 queries
-    * (r3-r5's name-keyed line was 2877 chars and was cut mid-line by the
-    * consumer's 2000-char tail window every round — BenchReportSpec pins
-    * the budget so it can't regress). `n` must equal the full catalog size
-    * for the positional mapping to hold: a SPARK_GRAFT_BENCH_ONLY subset
-    * run (local iteration only; driver runs leave it unset) shifts the
-    * array, and n != catalog size is the consumer's detection signal.
+    * Integer ms and no names keep the line well under budget for 89
+    * queries (r3-r5's name-keyed line was 2877 chars and was cut mid-line
+    * by the consumer's 2000-char tail window every round — BenchReportSpec
+    * pins the budget so it can't regress). `n` must equal the full catalog
+    * size for the positional mapping to hold: a SPARK_GRAFT_BENCH_ONLY
+    * subset run (local iteration only; driver runs leave it unset) shifts
+    * the array, and n != catalog size is the consumer's detection signal.
+    *
+    * `spr(i)` is the matching per-query CONTENTION SIGNAL: integer percent
+    * spread across that query's repeats, (max−min)/min × 100, capped at
+    * 999. Idle-box repeats of an unchanged query sit within ~0-40%; a
+    * co-tenant load inflates some runs 2-4× (spread 100-300+) — so a round
+    * whose spr values are broadly large was measured under contention and
+    * its v(i) minima are upper bounds, not steady-state numbers (the r8
+    * adjudication re-ran half the catalog idle to establish exactly this).
     */
-  def qmsLine(totalSec: Double, sfDir: String, minsSecNameSorted: Seq[Double]): String = {
+  def qmsLine(totalSec: Double, sfDir: String, minsSecNameSorted: Seq[Double],
+      spreadPctNameSorted: Seq[Int] = Nil): String = {
     val ms = minsSecNameSorted.map(s => math.round(s * 1000)).mkString("[", ",", "]")
+    val spr = spreadPctNameSorted.map(p => math.min(999, math.max(0, p)))
+      .mkString("[", ",", "]")
     val tot = math.round(totalSec * 1000) / 1000.0
-    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":${jsonStr(sfDir)},"n":${minsSecNameSorted.size},"v":$ms}"""
+    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":${jsonStr(sfDir)},"n":${minsSecNameSorted.size},"spr":$spr,"v":$ms}"""
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,11 +91,15 @@ object Bench {
         (start, dt)
       }
       val base = (1 to repeats).map(_ => runOnce())
-      // Sub-2 s queries get a third run: their reported min is otherwise one
-      // co-tenant CPU spike away from a 2-4× phantom regression (the r7
-      // adjudication), and an extra short run costs almost nothing.
-      val timings =
-        if (base.map(_._2).min < 2.0) base :+ runOnce() else base
+      // Every query gets a third run (r8: sub-2 s only). min-of-2 is one
+      // co-tenant CPU spike away from a 2-4× phantom regression, and r8's
+      // SUSTAINED contention defeated even min-of-3 on the slow queries —
+      // the extra repeat plus the qms line's per-query spread signal lets a
+      // consumer adjudicate contended rounds from the JSON alone. NOTE for
+      // cross-round comparison: run counts changed r7→r8→r9 (2 → 3-for-fast
+      // → 3-for-all); minima bias slightly down as repeats rise, so the
+      // "runs" object carries the actual per-query run count.
+      val timings = base :+ runOnce()
       (name, timings.map(_._2), timings.map(_._1))
     }
     def obj(pairs: Seq[(String, String)]): String =
@@ -100,7 +116,11 @@ object Bench {
     // the compact name-free summary, guaranteed (BenchReportSpec) to fit a
     // 2000-char tail window together with the truncated remains of the
     // full line, so the last complete line always parses with every number.
-    println(qmsLine(total, sfDir, results.map(_._2.min)))
+    println(qmsLine(total, sfDir, results.map(_._2.min),
+      results.map { case (_, runs, _) =>
+        val mn = runs.min
+        if (mn <= 0.0) 0 else math.round((runs.max - mn) / mn * 100).toInt
+      }))
     spark.stop()
   }
 }

@@ -357,25 +357,42 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       endLat: Double, endLon: Double, speed: Double, time: String,
       radius: Double = 300.0, footway: Option[FootwayEngine] = None,
       maxDurationHours: Int = 4): Option[JourneySummary] = {
-    // The footway graph's one-time warm-up (NEAR edges, walking CSR, node
-    // index) is independent of the transit phase — overlap the two fixed
-    // stacks instead of paying them back to back (engine lazy state is
-    // synchronized; Spark schedules concurrent jobs fine).
-    import scala.concurrent.{Await, Future}
+    // Three independent one-time stacks overlap instead of running back to
+    // back: (1) the footway warm-up (NEAR edges, walking CSR, node index),
+    // (2) the transit projection's edge/CSR/node-index build — journey KNOWS
+    // routing follows, so it forces g.localIndex concurrently while (3) the
+    // two near-stop scans answer from the non-blocking distributed stop
+    // dimension (localIndexIfBuilt reads "not built" until the build
+    // finishes). Engine lazy state is synchronized; Spark schedules
+    // concurrent jobs fine.
+    import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val g = projected(day(date), speed)
+    val idxWarm = Future { g.localIndex.foreach { ix => ix.byName; ix.stopDim } }
     val fwWarm = footway.map(fw => Future { fw.nearestFootNode(startLat, startLon) })
+    // Every exit path drains the warm-ups (bounded — a hung build must fail
+    // loudly, not hang the call forever or bleed jobs into the caller's next
+    // query); Await.ready, not result: a warm-up failure surfaces on the
+    // phase that actually needs the state.
+    def drainWarm(): Unit =
+      (idxWarm :: fwWarm.toList).foreach { f =>
+        try Await.ready(f, 10.minutes)
+        catch { case _: TimeoutException => throw new TimeoutException(
+          "journey(): projection/footway warm-up did not finish within 10 minutes") }
+      }
     val startNames = findNearStops(date, startLat, startLon, radius, speed)
       .collect().map(_.getString(0)).toSeq
     val endNames = findNearStops(date, endLat, endLon, radius, speed)
       .collect().map(_.getString(0)).toSeq
-    if (startNames.isEmpty || endNames.isEmpty) return None
+    if (startNames.isEmpty || endNames.isEmpty) { drainWarm(); return None }
     val segs = routingBetweenTwoPoints(date, startLat, startLon, endLat, endLon,
       startNames, endNames, speed, time, maxDurationHours)
     val rows = segs.orderBy("hop").collect()
-    if (rows.isEmpty) return None
+    if (rows.isEmpty) { drainWarm(); return None }
     val firstStop = rows.head.getAs[String]("starting_stop_id")
     val lastStop = rows.last.getAs[String]("next_stop_id")
-    fwWarm.foreach(f => Await.result(f, scala.concurrent.duration.Duration.Inf))
+    drainWarm()
     // Both walking legs out of ONE multi-source SSSP over the footway graph
     // (straight-line fallback when the network doesn't reach the stop).
     val Seq(startWalk, endWalk) = footway match {
@@ -391,10 +408,14 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     }
     val dep = graft.functions.TimeFunctions.parseHms(rows.head.getAs[String]("departure"))
     val arr = graft.functions.TimeFunctions.parseHms(rows.last.getAs[String]("arrival"))
-    // change count from the already-collected rows (same predicate as
-    // changeCount, minus one Spark job)
-    val changes = rows.count(r =>
-      r.getAs[String]("trip") != r.getAs[String]("next_trip")).toLong
+    // change count from the already-collected rows — same predicate as
+    // changeCount, minus one Spark job. NULL semantics must match =!=
+    // exactly: a null trip on either side is NOT a change (the Column form's
+    // null comparison filters out), where bare Scala != would count it.
+    val changes = rows.count { r =>
+      val a = r.getAs[String]("trip"); val b = r.getAs[String]("next_trip")
+      a != null && b != null && a != b
+    }.toLong
     Some(JourneySummary(segs, changes, startWalk, endWalk,
       (arr - dep) + (startWalk + endWalk) / speed))
   }

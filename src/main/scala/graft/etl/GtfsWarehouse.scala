@@ -100,8 +100,10 @@ object GtfsWarehouse {
   def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file._
     if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
     }
   }
 }

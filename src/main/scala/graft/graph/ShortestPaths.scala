@@ -141,8 +141,17 @@ object ShortestPaths {
     * decision once and, when local, collects + indexes the adjacency once —
     * so repeated routing calls against the same projection (the 9-OD-pair
     * perf harness, the journey API) don't re-count and re-collect the edge
-    * list per call. */
-  final class Sssp(edges: DataFrame, localThreshold: Long = LocalDijkstraMaxEdges) {
+    * list per call.
+    *
+    * `distributedRunner` replaces the generic Pregel branch with a
+    * structure-aware algorithm producing the same (vertex_id, source_id,
+    * dist, pred) contract — the time-expanded projection plugs in
+    * [[TransitSssp]], whose iteration count is transfer-bounded instead of
+    * hop-bounded (generic Pregel measured >10 min per routing call at 3×
+    * Modena; the trip-collapse runs the same query in seconds). The local
+    * CSR branch and its threshold gate are unchanged. */
+  final class Sssp(edges: DataFrame, localThreshold: Long = LocalDijkstraMaxEdges,
+      distributedRunner: Option[Set[Long] => DataFrame] = None) {
     private val spark = edges.sparkSession
     private val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double"))
@@ -164,9 +173,12 @@ object ShortestPaths {
     }
     def run(sources: Set[Long]): DataFrame = localCsr match {
       case Some(g) => localDijkstraDF(spark, g, sources)
-      case None =>
-        val edgeRdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-        distancesDF(spark, multiSource(edgeRdd, sources))
+      case None => distributedRunner match {
+        case Some(f) => f(sources)
+        case None =>
+          val edgeRdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+          distancesDF(spark, multiSource(edgeRdd, sources))
+      }
     }
 
     def isLocal: Boolean = localCsr.isDefined

@@ -1,0 +1,152 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed SSSP specialized to the TIME-EXPANDED transit graph — the
+  * production (>2M-edge) routing regime.
+  *
+  * Generic Pregel relaxes one edge hop per superstep, so its round count is
+  * the graph's longest relaxation chain — and a time-expanded day is DEEP:
+  * riding a trip end to end is one PRECEDES hop per stoptime, giving ~600+
+  * supersteps at 3× Modena (measured >10 min per routing call at local[32];
+  * each superstep is a full graph shuffle). But the depth is almost all
+  * WITHIN-TRIP: a trip's PRECEDES chain v→…→u has cost A(u) − A(v) for a
+  * per-trip cumulative prefix A (hop weights arr_next − dep_cur, dwells
+  * included), so one window prefix-min per iteration relaxes EVERY ride of
+  * every trip at once:
+  *
+  *   dist_ride(u) = min(dist(u), min over earlier trip rows v of
+  *                      (dist(v) − A(v)) + A(u))
+  *
+  * followed by one equi-join through the CHANGE edges. An iteration is
+  * therefore ride* ∘ change, and the iteration count is bounded by the
+  * maximum number of LINE CHANGES on any optimal path (single digits for
+  * transit) instead of the hop depth — ~2 shuffles per iteration, both
+  * partitioned on keys a trip-bucketed layout co-locates. This is the
+  * standard round-based structure transit engines (RAPTOR-family) exploit,
+  * re-expressed as Catalyst window + join so it scales with the cluster.
+  *
+  * Exactness: label-correcting Bellman-Ford over the (ride-closure, change)
+  * operator — monotone improvements to a unique fixpoint = Dijkstra's
+  * distances (weights ≥ 0). All weights are integer-valued doubles, so the
+  * fixpoint equality tests in the predecessor pass are exact. Predecessors
+  * are resolved AFTER convergence in one pass (stale mid-iteration preds
+  * can dangle): a vertex's pred is any in-edge satisfying
+  * dist(u) = dist(v) + w(v,u) at the fixpoint — for ride-optimal vertices
+  * the immediate trip predecessor satisfies it (telescoping), for
+  * change-optimal vertices the CHANGE source does; ties resolve
+  * deterministically (seeds first, then smallest pred id). The output
+  * contract matches ShortestPaths.distancesDF: (vertex_id, source_id,
+  * dist, pred), pred = -1 at sources, only reached vertices present —
+  * ShortestPaths.pathDistributed walks it unchanged. GtfsEngineSpec's
+  * forced-distributed parity test pins itineraries equal to the CSR
+  * branch; TransitSsspSpec pins distances equal to generic Pregel.
+  */
+object TransitSssp {
+
+  /** nodes: (id, trip_id, stop_sequence, arr_secs, dep_secs, …);
+    * changeEdges: (source, target, waiting_time) — the CHANGE slice of the
+    * projected edge list; sources: seed vertex ids (dist 0, pred −1). */
+  def run(nodes: DataFrame, changeEdges: DataFrame, sources: Set[Long],
+      maxIterations: Int = 1000): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    if (sources.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("vertex_id", "source_id", "dist", "pred")
+
+    val wTrip = Window.partitionBy("trip_id").orderBy("stop_sequence")
+    val wSrcTrip = Window.partitionBy("src", "trip_id").orderBy("stop_sequence")
+    val pref = wSrcTrip.rowsBetween(Window.unboundedPreceding, -1)
+
+    // Static per-trip ride-cost prefix: A(first) = 0,
+    // A(u) = A(u−1) + (arr(u) − dep(u−1)) — so chain cost v→u = A(u) − A(v)
+    // equals the sum of the PRECEDES hop weights including intermediate
+    // dwells. Checkpointed once; every iteration reads the pinned rows.
+    val prepared = nodes
+      .select(col("id"), col("trip_id"), col("stop_sequence"),
+        col("arr_secs"), col("dep_secs"))
+      .withColumn("hop_w",
+        (col("arr_secs") - lag("dep_secs", 1).over(wTrip)).cast("double"))
+      .withColumn("acum", coalesce(
+        sum("hop_w").over(wTrip.rowsBetween(Window.unboundedPreceding, 0)),
+        lit(0.0)))
+      .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
+      .localCheckpoint(true)
+
+    val change = changeEdges.select(col("source").as("e_src"),
+      col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
+
+    // (src, v, dist) — grows monotonically toward the reachable set.
+    var d = sources.toSeq.sorted.toDF("v")
+      .select(col("v").as("src"), col("v"), lit(0.0).as("dist"))
+      .localCheckpoint(true)
+
+    // One iteration's ride closure over the trips any reached vertex sits
+    // on: all their rows enter the window so unreached stoptimes receive.
+    def ridePass(dCur: DataFrame): DataFrame = {
+      val touched = dCur.join(prepared, dCur("v") === prepared("id"))
+        .select(col("src"), col("trip_id")).distinct()
+      val dv = dCur.select(col("src"), col("v").as("id"), col("dist"))
+      prepared.join(touched, Seq("trip_id"))
+        .join(dv, Seq("src", "id"), "left")
+        .withColumn("rdist", least(col("dist"),
+          min(col("dist") - col("acum")).over(pref) + col("acum")))
+        .filter(col("rdist").isNotNull)
+    }
+
+    var it = 0
+    var converged = false
+    while (it < maxIterations && !converged) {
+      val ride = ridePass(d)
+        .select(col("src"), col("id").as("v"), col("rdist").as("dist"))
+      val cand = ride.join(change, ride("v") === col("e_src"))
+        .select(ride("src"), col("e_dst").as("v"),
+          (ride("dist") + col("w")).as("dist"))
+      val dNext = ride.unionByName(cand).unionByName(d)
+        .groupBy("src", "v").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      converged = dNext.as("n")
+        .join(d.as("o"), col("n.src") === col("o.src") && col("n.v") === col("o.v"), "left")
+        .filter(col("o.dist").isNull || col("n.dist") < col("o.dist"))
+        .isEmpty
+      d = dNext
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"TransitSssp did not converge in $maxIterations iterations — " +
+        "optimal paths deeper than the bound (raise maxIterations)")
+
+    // Predecessor resolution against the CONVERGED distances: candidates
+    // are (a) trip predecessor where the single-hop fixpoint equality
+    // holds, (b) CHANGE sources where dist(dst) = dist(src) + w, (c) the
+    // seeds themselves (pred −1, always preferred). All arithmetic is on
+    // integer-valued doubles — equality is exact.
+    val ride = ridePass(d)
+    val rideCand = ride
+      .withColumn("p_id", lag("id", 1).over(wSrcTrip))
+      .withColumn("p_rdist", lag("rdist", 1).over(wSrcTrip))
+      .withColumn("p_acum", lag("acum", 1).over(wSrcTrip))
+      .filter(col("p_rdist").isNotNull &&
+        col("rdist") === col("p_rdist") + (col("acum") - col("p_acum")))
+      .select(col("src"), col("id").as("v"), col("rdist").as("dist"),
+        col("p_id").as("pred"), lit(1).as("prio"))
+    val dv = d.select(col("src"), col("v").as("e_src"), col("dist").as("s_dist"))
+    val dt = d.select(col("src"), col("v").as("e_dst"), col("dist").as("t_dist"))
+    val changeCand = change
+      .join(dv, Seq("e_src")).join(dt, Seq("e_dst", "src"))
+      .filter(col("t_dist") === col("s_dist") + col("w"))
+      .select(col("src"), col("e_dst").as("v"), col("t_dist").as("dist"),
+        col("e_src").as("pred"), lit(1).as("prio"))
+    val seedCand = sources.toSeq.sorted.toDF("v")
+      .select(col("v").as("src"), col("v"), lit(0.0).as("dist"),
+        lit(-1L).as("pred"), lit(0).as("prio"))
+    val wPick = Window.partitionBy("src", "v").orderBy(col("prio"), col("pred"))
+    rideCand.unionByName(changeCand).unionByName(seedCand)
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("v").as("vertex_id"), col("src").as("source_id"),
+        col("dist"), col("pred"))
+  }
+}

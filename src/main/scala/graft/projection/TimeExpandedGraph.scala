@@ -33,10 +33,17 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     buildEdges: () => (DataFrame, Option[DataFrame]),
     val ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges) {
 
-  private var edgesForced = false
+  // Forced-flags are written inside lazy-val initializers and read from
+  // other threads (journey() warms the index concurrently with near-stop
+  // scans): @volatile for visibility, and set AFTER the build completes so
+  // localIndexIfBuilt peeks from a concurrent reader see "not built yet"
+  // (→ the non-blocking distributed path) instead of blocking on the
+  // initializer's monitor for the whole edge build.
+  @volatile private var edgesForced = false
   private lazy val edgesAndSched: (DataFrame, Option[DataFrame]) = {
+    val r = buildEdges()
     edgesForced = true
-    buildEdges()
+    r
   }
   def edges: DataFrame = edgesAndSched._1
   /** Persisted per-(stop, distance, service, route) schedule dimension
@@ -57,26 +64,34 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     * needs this few-thousand-row table, not the full stoptime node set
     * (249k rows at Modena cardinality); built once per projection, cached. */
   lazy val stopDim: DataFrame = {
+    val d = nodes.select("stop_name", "lat", "lon").distinct().cache()
     stopDimForced = true
-    nodes.select("stop_name", "lat", "lon").distinct().cache()
+    d
   }
-  private var stopDimForced = false
+  @volatile private var stopDimForced = false
 
-  /** Per-projection SSSP handle: the local-vs-Pregel decision and (when
-    * local) the adjacency index happen once, shared by every routing call
-    * against this projection — the reference holds one in-memory CSR per
-    * projection the same way. */
+  /** Per-projection SSSP handle: the local-vs-distributed decision and
+    * (when local) the adjacency index happen once, shared by every routing
+    * call against this projection — the reference holds one in-memory CSR
+    * per projection the same way. The distributed branch is the
+    * transit-structured [[graft.graph.TransitSssp]] (trip-collapse rounds,
+    * transfer-bounded) rather than generic hop-bounded Pregel — the
+    * time-expanded day is deep in PRECEDES hops, and this projection knows
+    * its own trip structure. */
   lazy val sssp: graft.graph.ShortestPaths.Sssp =
-    new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold)
+    new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold,
+      distributedRunner = Some(srcs => graft.graph.TransitSssp.run(
+        nodes, edges.filter(col("type") === "CHANGE"), srcs)))
 
   /** Driver-resident node attributes, local-SSSP regime only (see
     * [[LocalProjection]]) — None in the distributed regime, where callers
     * stay on the declarative DataFrame path. */
   lazy val localIndex: Option[LocalProjection] = {
+    val r = if (sssp.isLocal) Some(LocalProjection.from(nodes)) else None
     localIndexForced = true
-    if (sssp.isLocal) Some(LocalProjection.from(nodes)) else None
+    r
   }
-  private var localIndexForced = false
+  @volatile private var localIndexForced = false
 
   /** The local index if a routing call already materialized it, None
     * otherwise — WITHOUT forcing it. The regime gate (`sssp.isLocal`) needs

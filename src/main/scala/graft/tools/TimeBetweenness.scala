@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: sampled-Brandes betweenness at the reference's graph
+  * cardinality — the one diagnostic operator whose catalog oracle runs only
+  * at fixture scale (`gtfs_betweenness`, 16 nodes). Builds the synthetic
+  * Modena projection (250k stoptime nodes / ~973k edges), runs
+  * `Betweenness.ofProjection` with its default source policy (256
+  * hash-sampled pivots → the distributed level-synchronous branch; the edge
+  * count is far above LocalBrandesMaxEdges), and reports wall time plus the
+  * top rows. SPARK_GRAFT_BW_SOURCES overrides the pivot count. */
+object TimeBetweenness {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).repartition(4).count()
+
+    val raw = graft.etl.SyntheticGtfs.modena(spark)
+    val g = raw.copy(stopTimes = raw.stopTimes.cache(), stops = raw.stops.cache())
+    val eng = new graft.api.RoutingEngine(g)
+    val proj = eng.projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+    val (nodes, edges) = (proj.nodeCount, proj.edgeCount)
+    println(s"projection: $nodes nodes / $edges edges")
+
+    val nSrc = sys.env.get("SPARK_GRAFT_BW_SOURCES").map(_.toInt)
+    val sources = nSrc.map { k =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      proj.nodes.select(col("id")).orderBy(xxhash64(col("id"), lit(42L)))
+        .limit(k).as[Long].collect().toSeq
+    }
+    val t0 = System.nanoTime()
+    val top = graft.graph.Betweenness.ofProjection(proj, sources = sources)
+      .limit(5).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"sampled Brandes (${nSrc.getOrElse(graft.graph.Betweenness.DefaultSampleSources)}%d pivots): $sec%.1f s")
+    top.foreach(r => println(s"  $r"))
+    eng.close()
+    spark.stop()
+  }
+}

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scaling-curve probe for the flagship projection path: build + route the
   * synthetic Modena network at 1×/3×/10× its stoptime cardinality
@@ -15,12 +16,22 @@ import org.apache.spark.sql.SparkSession
   * ×departures-per-stop product term); this measures it.
   *
   * Grids: 1× = 50×50 (250,000 stoptimes — the Modena preset), 3× = 87×87
-  * (756,900), 10× = 158×158 (2,496,400). Routing stays on the in-memory
-  * CSR regime via a raised ssspLocalThreshold (the 10× projection is ~10M
-  * edges ≈ 240 MB of CSR — still trivially driver-resident; the default
-  * 2M-edge threshold would switch to Pregel at 3×, which is the right
-  * production default but would measure a different algorithm). Run with
-  * SPARK_DRIVER_MEM=24g for the 10× point.
+  * (756,900), 10× = 158×158 (2,496,400).
+  *
+  * SPARK_GRAFT_SCALE_REGIME picks the ROUTING branch being measured:
+  *  - "csr" (default): ssspLocalThreshold raised to 100M edges so every
+  *    size routes on the in-memory CSR — isolates build cost against one
+  *    algorithm (the 10× projection is ~10M edges ≈ 240 MB of CSR, still
+  *    trivially driver-resident). Run with SPARK_DRIVER_MEM=24g at 10×.
+  *  - "distributed": the DEFAULT 2M-edge threshold, so 3×/10× route via
+  *    Pregel multi-source SSSP + pointer-doubling path extraction
+  *    (graph.ShortestPaths) — the branch that actually runs above the
+  *    production threshold, i.e. at 100 TB. Extra columns split one pair's
+  *    cost into the Pregel traversal (sssp.run) and the path extraction
+  *    (pathDistributed); at the smallest measured scale the probe also
+  *    routes one pair on a raised-threshold CSR twin and asserts the
+  *    itineraries are IDENTICAL (branch parity at scale, not just at the
+  *    fixture size of the forced-Pregel spec).
   */
 object TimeScale {
   def main(args: Array[String]): Unit = {
@@ -40,6 +51,11 @@ object TimeScale {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
     val dims = Map(1 -> 50, 3 -> 87, 10 -> 158)
+    val regime = sys.env.getOrElse("SPARK_GRAFT_SCALE_REGIME", "csr")
+    val threshold = regime match {
+      case "distributed" => graft.graph.ShortestPaths.LocalDijkstraMaxEdges
+      case _ => 100000000L
+    }
 
     // JIT/codegen warm-up at the smallest size so the 1× row doesn't carry
     // first-compile cost the larger rows then amortize (TimeBuild showed a
@@ -47,11 +63,13 @@ object TimeScale {
     locally {
       val g = graft.etl.SyntheticGtfs.grid(spark, 20, 20, 5, directions = 2,
         rowStepDeg = 0.0032)
-      val eng = new graft.api.RoutingEngine(g, ssspLocalThreshold = 100000000L)
+      val eng = new graft.api.RoutingEngine(g, ssspLocalThreshold = threshold)
       eng.routing("2024-01-18", 1.0, "08:00:00", "Stop 0/0", "Stop 19/19").collect()
       eng.close()
     }
 
+    println(s"regime: $regime (ssspLocalThreshold = $threshold)")
+    var parityDone = false // once, at the smallest distributed-regime scale
     println(f"${"scale"}%-6s ${"stoptimes"}%10s ${"edges"}%10s ${"walkTo_s"}%9s " +
       f"${"build_s"}%8s ${"csr_s"}%6s ${"index_s"}%8s ${"route_s/pair"}%13s")
     for (sc <- scales) {
@@ -61,14 +79,14 @@ object TimeScale {
         rowStepDeg = 0.0032)
       val g = raw.copy(stopTimes = raw.stopTimes.cache(), stops = raw.stops.cache())
       val nStoptimes = g.stopTimes.count(); g.stops.count()
-      val eng = new graft.api.RoutingEngine(g, ssspLocalThreshold = 100000000L)
+      val eng = new graft.api.RoutingEngine(g, ssspLocalThreshold = threshold)
       val (_, walkSec) = timed { eng.walkTo.count() }
       val day = java.sql.Date.valueOf("2024-01-18")
       val (proj, buildSec) = timed {
         val p = eng.projected(day, 1.0); p.edges.count(); p
       }
       val edges = proj.edges.count()
-      val (_, csrSec) = timed { proj.sssp.isLocal }
+      val (isLocal, csrSec) = timed { proj.sssp.isLocal }
       val (_, idxSec) = timed { proj.localIndex.foreach(ix => { ix.byName; ix.stopDim }) }
       // three FIXED-SPAN OD name pairs (≈20 grid hops each, one transfer):
       // travel time stays inside the 4 h routing horizon at every scale, so
@@ -85,7 +103,47 @@ object TimeScale {
         s
       }
       println(f"$sc%-6d $nStoptimes%10d $edges%10d $walkSec%9.2f $buildSec%8.2f " +
-        f"$csrSec%6.2f $idxSec%8.2f ${routeSecs.map(s => f"$s%.2f").mkString("/")}%13s")
+        f"$csrSec%6.2f $idxSec%8.2f ${routeSecs.map(s => f"$s%.2f").mkString("/")}%13s " +
+        (if (isLocal) "[csr]" else "[pregel]"))
+
+      if (regime == "distributed" && !isLocal) {
+        // Split one traversal's cost: Pregel relaxation vs pointer-doubling
+        // path extraction. Source = the earliest departure after 08:00 at
+        // the first pair's origin; target = the farthest vertex that source
+        // reaches (worst-case path length for the extraction step).
+        val src = proj.nodes
+          .filter(col("stop_name") === pairs.head._1 && col("dep_secs") > 8 * 3600)
+          .orderBy("dep_secs").limit(1).select("id").collect()(0).getLong(0)
+        val (dist, pregelSec) = timed {
+          val d = proj.sssp.run(Set(src)).cache(); d.count(); d
+        }
+        val far = dist.orderBy(desc("dist")).limit(1)
+          .select("vertex_id").collect()(0).getLong(0)
+        val (path, pathSec) = timed {
+          graft.graph.ShortestPaths.pathDistributed(dist, src, far)
+        }
+        dist.unpersist()
+        println(f"  scale $sc%d pregel probe: sssp.run $pregelSec%.2f s, " +
+          f"pathDistributed $pathSec%.2f s (${path.size}%d hops)")
+
+        if (!parityDone) {
+          parityDone = true
+          // Branch parity at scale, once, at the smallest distributed size:
+          // a raised-threshold twin engine routes the same OD pair on the
+          // CSR; itineraries must match row for row.
+          val twin = new graft.api.RoutingEngine(g, ssspLocalThreshold = 100000000L)
+          val (a, b) = pairs.head
+          val viaPregel = eng.routing("2024-01-18", 1.0, "08:00:00", a, b)
+            .collect().map(_.toString).toSeq
+          val viaCsr = twin.routing("2024-01-18", 1.0, "08:00:00", a, b)
+            .collect().map(_.toString).toSeq
+          require(viaPregel == viaCsr,
+            s"PARITY FAILURE at scale $sc: pregel=$viaPregel csr=$viaCsr")
+          println(s"  scale $sc parity: pregel itinerary == csr itinerary " +
+            s"(${viaPregel.size} segment rows)")
+          twin.close()
+        }
+      }
       eng.close()
       g.stopTimes.unpersist(); g.stops.unpersist()
     }

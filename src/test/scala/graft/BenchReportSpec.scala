@@ -13,11 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchReportSpec extends AnyFunSuite {
 
   private val names = queries.Catalog.all.map(_.name).sorted
-  // Worst-case magnitudes: every query at 100+ seconds (6-digit ms).
+  // Worst-case magnitudes: every query at 100+ seconds (6-digit ms) with
+  // the spread signal saturated at its 999 cap.
   private val slow = names.map(_ => 123.456789)
+  private val spreads = names.map(_ => 999)
 
   test("qms line fits the 2000-char tail window with headroom") {
-    val line = Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow)
+    val line = Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow, spreads)
     assert(line.length < 1200,
       s"qms line is ${line.length} chars for ${names.size} queries — " +
         "must stay well under the consumer's 2000-char tail window")
@@ -25,7 +27,7 @@ class BenchReportSpec extends AnyFunSuite {
 
   test("qms line is the last complete line of a tail -c 2000 cut") {
     val full = "{\"metric\":\"total\"," + "x" * 8000 + "}" // stand-in for the detail line
-    val out = full + "\n" + Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow) + "\n"
+    val out = full + "\n" + Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow, spreads) + "\n"
     val tail = out.takeRight(2000)
     val lastComplete = tail.split("\n").filter(_.nonEmpty).last
     assert(lastComplete.startsWith("{\"metric\":\"qms\""))
@@ -37,9 +39,12 @@ class BenchReportSpec extends AnyFunSuite {
   }
 
   test("qms values are integer milliseconds in name-sorted order") {
-    val line = Bench.qmsLine(0.3, "sf", Seq(0.1, 0.2))
+    val line = Bench.qmsLine(0.3, "sf", Seq(0.1, 0.2), Seq(5, 1400))
     assert(line.contains("\"n\":2"))
     assert(line.contains("\"v\":[100,200]"))
     assert(line.contains("\"value\":0.3"))
+    // spread percent is capped at 999 so a pathological run can't blow the
+    // line budget
+    assert(line.contains("\"spr\":[5,999]"))
   }
 }

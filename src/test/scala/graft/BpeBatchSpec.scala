@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Pins the distributed trainer's EXACT merge batching (Bpe.selectBatch +
+  * the batched delta rounds) to sequential BPE on the fixtures that break
+  * naive batching: self-pairs whose merges spawn high-count new pairs,
+  * concat collisions (two factorizations of one symbol string), tie
+  * cascades, and a randomized vocabulary. The batched-distributed branch
+  * must reproduce the sequential local trainer merge for merge — batching
+  * is a latency optimization, never an approximation. */
+class BpeBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parity(words: Seq[(String, Long)], n: Int): Unit = {
+    val df = words.toDF("word", "count")
+    val local = Bpe.train(df, n) // sequential in-heap reference
+    val batched = Bpe.train(df, n, localMaxWords = 0L) // forced distributed
+    assert(batched == local,
+      s"batched-distributed merges diverge from sequential:\n" +
+        s"  local:   $local\n  batched: $batched")
+  }
+
+  test("self-pair merges are never batched past their new-pair shadow") {
+    // (a,a) = 400 dominates; its merge creates (aa,a) = 200 which must win
+    // round 2 over the disjoint (c,d) = 150 — a naive disjoint-prefix batch
+    // {(a,a),(c,d)} would reorder the sequence.
+    parity(Seq(("aaa", 200L), ("cd", 150L), ("ef", 100L)), 6)
+  }
+
+  test("concat collision: a previously-created symbol string re-formed") {
+    // "abc" forms via (a,b)+(ab,c) on one stem and (b,c)+(a,bc) pressure on
+    // the other; pairs over the colliding symbol must not ride a batch.
+    parity(Seq(("abcabc", 50L), ("abd", 40L), ("xbc", 35L), ("abc", 30L),
+      ("bc", 20L), ("ab", 20L)), 8)
+  }
+
+  test("tie cascade: equal counts resolve in UTF-8 order, batched or not") {
+    parity(Seq(("ab", 10L), ("cd", 10L), ("ef", 10L), ("gh", 10L),
+      ("abcd", 10L), ("efgh", 10L)), 8)
+  }
+
+  test("randomized vocabulary parity over many rounds") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefg" // small alphabet → heavy overlap + ties
+    val words = Seq.tabulate(60) { i =>
+      val w = Array.fill(4 + rnd.nextInt(8))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      (w, (rnd.nextInt(20) + 1).toLong)
+    }.distinct
+    parity(words, 40)
+  }
+
+  test("selectBatch truncates to counts strictly above the first conflict") {
+    // p1=(a,b) 100 and p2=(c,d) 90 are disjoint; (b,e) 80 conflicts on b →
+    // stopCount 80 keeps both. With (c,d) at 80 instead, the tie with the
+    // conflict truncates the batch to p1 alone.
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 100L), ("c", "d", 90L), ("b", "e", 80L)), Set.empty) ==
+      Seq(("a", "b"), ("c", "d")))
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 100L), ("c", "d", 80L), ("b", "e", 80L)), Set.empty) ==
+      Seq(("a", "b")))
+    // probe floor: with no conflict in the window, the last row's count is
+    // the floor (unseen pairs may tie it)
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 100L), ("c", "d", 90L)), Set.empty) == Seq(("a", "b")))
+    // self-pair: legal alone, a hard stop otherwise
+    assert(Bpe.selectBatch(Seq(("a", "a", 100L), ("c", "d", 90L)), Set.empty) ==
+      Seq(("a", "a")))
+    assert(Bpe.selectBatch(
+      Seq(("x", "y", 100L), ("a", "a", 90L), ("c", "d", 80L)), Set.empty) ==
+      Seq(("x", "y")))
+    // prior-symbol concat collision is a conflict
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 100L), ("c", "d", 90L)), Set("cd")) == Seq(("a", "b")))
+  }
+}

@@ -105,9 +105,10 @@ class GtfsEngineSpec extends SparkSpec {
     assert(engine.changeCount(engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon")) == 1)
   }
 
-  test("routing through the forced-Pregel branch equals the local branch") {
+  test("routing through the forced-distributed branch equals the local branch") {
     // same golden query, but the engine is constructed with localThreshold 0,
-    // forcing the distributed Pregel + pointer-doubling-path branch
+    // forcing the distributed branch: TransitSssp trip-collapse rounds +
+    // pointer-doubling path extraction
     val engD = new graft.api.RoutingEngine(graft.api.DemoGtfs.tables(spark),
       ssspLocalThreshold = 0L)
     val segD = engD.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon").collect()

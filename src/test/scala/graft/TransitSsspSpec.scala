@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{ShortestPaths, TransitSssp}
+
+/** Pins the transit-structured distributed SSSP (trip-collapse rounds) to
+  * the generic engines on the demo projection: distances must equal the
+  * hop-by-hop Pregel and the local CSR Dijkstra EXACTLY, and the resolved
+  * predecessor chain must be a valid shortest-path tree (every non-seed's
+  * pred is reached, monotone in dist, and pathDistributed walks it to the
+  * source). GtfsEngineSpec's forced-distributed routing test additionally
+  * pins full itineraries through this branch. */
+class TransitSsspSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val g = {
+    val gtfs = graft.api.DemoGtfs.tables(spark)
+    val walk = graft.etl.GraphBuilder.walkTo(gtfs.stops, 300.0)
+    graft.projection.TimeExpandedGraph.build(
+      gtfs, java.sql.Date.valueOf("2024-01-18"), 1.0, walk)
+  }
+
+  private def changeEdges = g.edges.filter(col("type") === "CHANGE")
+
+  test("distances equal generic Pregel and local Dijkstra, multi-source") {
+    val sources = g.nodes.orderBy("id").limit(3).select("id")
+      .as[Long].collect().toSet
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vertex_id", "source_id", "dist")
+        .as[(Long, Long, Double)].collect().toSet
+    val transit = TransitSssp.run(g.nodes, changeEdges, sources)
+    val pregel = ShortestPaths.fromDF(g.weightedEdges, sources, localThreshold = 0)
+    val local = ShortestPaths.fromDF(g.weightedEdges, sources,
+      localThreshold = Long.MaxValue)
+    assert(key(transit) == key(pregel))
+    assert(key(transit) == key(local))
+  }
+
+  test("pred chain is a valid shortest-path tree pathDistributed can walk") {
+    val src = g.nodes.orderBy("id").limit(1).select("id").as[Long].head()
+    val dist = TransitSssp.run(g.nodes, changeEdges, Set(src)).cache()
+    try {
+      val rows = dist.select("vertex_id", "dist", "pred")
+        .as[(Long, Double, Long)].collect()
+      val byId = rows.map(r => r._1 -> r).toMap
+      rows.foreach { case (v, d, p) =>
+        if (v == src) assert(p == -1L && d == 0.0)
+        else {
+          assert(p != -1L, s"non-seed $v lost its pred")
+          val (_, pd, _) = byId(p)
+          assert(pd <= d, s"pred of $v is farther than it: $pd > $d")
+        }
+      }
+      // the farthest vertex walks back to the source
+      val far = rows.maxBy(_._2)._1
+      val path = ShortestPaths.pathDistributed(dist, src, far)
+      assert(path.headOption.contains(src) && path.lastOption.contains(far))
+      assert(path.toSet.subsetOf(rows.map(_._1).toSet))
+    } finally dist.unpersist()
+  }
+
+  test("empty sources and unreachable seeds degrade gracefully") {
+    assert(TransitSssp.run(g.nodes, changeEdges, Set.empty).isEmpty)
+    // a seed absent from the projection still reports itself at dist 0
+    val out = TransitSssp.run(g.nodes, changeEdges, Set(-42L))
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq((-42L, -42L, 0.0, -1L)))
+  }
+}

@@ -159,7 +159,18 @@ class WarehouseSpec extends SparkSpec {
       try {
         assert(g.edgeCount > 0)
         val plan = g.edges.queryExecution.executedPlan.toString
-        assert(plan.contains("BroadcastHashJoin"), plan)
+        // The SPECIFIC join that must broadcast is the CHANGE probe join on
+        // s_stop (the big-side join the measured gate hints). The plan also
+        // carries other broadcasts (dayTrips/stops dims), so a bare
+        // contains("BroadcastHashJoin") could pass with the schedule hint
+        // lost — assert on the s_stop join's own operator lines instead.
+        val sStopJoins = plan.linesIterator
+          .filter(l => l.contains("Join") && l.contains("s_stop")).toSeq
+        assert(sStopJoins.nonEmpty, s"no join on s_stop found in plan:\n$plan")
+        assert(sStopJoins.exists(_.contains("BroadcastHashJoin")),
+          s"s_stop probe join is not broadcast:\n${sStopJoins.mkString("\n")}")
+        assert(!sStopJoins.exists(_.contains("SortMergeJoin")),
+          s"s_stop probe join fell back to sort-merge:\n${sStopJoins.mkString("\n")}")
         assert(g.schedCache.exists(_.storageLevel.useMemory),
           "schedule dimension should stay persisted until unpersist()")
       } finally g.unpersist()
