@@ -369,6 +369,11 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
     val g = projected(day(date), speed)
+    // WALK_TO is day-independent and feeds the CHANGE build's first job —
+    // materializing its cache in its own concurrent job takes the spatial
+    // join off the edge chain's critical path (a racing double-compute of
+    // the tiny dimension is harmless; the cache keeps one).
+    val walkWarm = Future { walkTo.count() }
     val idxWarm = Future { g.localIndex.foreach { ix => ix.byName; ix.stopDim } }
     val fwWarm = footway.map(fw => Future { fw.nearestFootNode(startLat, startLon) })
     // Every exit path drains the warm-ups (bounded — a hung build must fail
@@ -376,15 +381,19 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     // query); Await.ready, not result: a warm-up failure surfaces on the
     // phase that actually needs the state.
     def drainWarm(): Unit =
-      (idxWarm :: fwWarm.toList).foreach { f =>
+      (walkWarm :: idxWarm :: fwWarm.toList).foreach { f =>
         try Await.ready(f, 10.minutes)
         catch { case _: TimeoutException => throw new TimeoutException(
           "journey(): projection/footway warm-up did not finish within 10 minutes") }
       }
+    // the two endpoint scans are independent — overlap them too
+    val endNamesF = Future {
+      findNearStops(date, endLat, endLon, radius, speed)
+        .collect().map(_.getString(0)).toSeq
+    }
     val startNames = findNearStops(date, startLat, startLon, radius, speed)
       .collect().map(_.getString(0)).toSeq
-    val endNames = findNearStops(date, endLat, endLon, radius, speed)
-      .collect().map(_.getString(0)).toSeq
+    val endNames = Await.result(endNamesF, 10.minutes)
     if (startNames.isEmpty || endNames.isEmpty) { drainWarm(); return None }
     val segs = routingBetweenTwoPoints(date, startLat, startLon, endLat, endLon,
       startNames, endNames, speed, time, maxDurationHours)

@@ -155,20 +155,24 @@ object ShortestPaths {
     private val spark = edges.sparkSession
     private val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double"))
+    // Overflow pre-gate: a plain parallel count() answers "is the graph
+    // local?" without moving a single edge row — per-partition counts
+    // combine map-side. (The previous head(cap+1) probe collected up to
+    // threshold+1 tuples, ~100-200 MB, to the driver even when the
+    // answer was "distributed regime, discard"; a limit(cap+1).count()
+    // probe would be no better, gathering the rows into one partition
+    // for the GlobalLimit.) Separate from the collect so a caller can
+    // resolve the regime first and overlap its own bounded collects with
+    // the CSR build (TimeExpandedGraph.localIndex does).
+    private[graft] lazy val isUnderCap: Boolean = {
+      val cap = math.min(localThreshold, (Int.MaxValue - 2).toLong)
+      e.count() <= cap
+    }
     private lazy val localCsr: Option[Csr] = {
       import spark.implicits._
-      // Overflow pre-gate: a plain parallel count() answers "is the graph
-      // local?" without moving a single edge row — per-partition counts
-      // combine map-side. (The previous head(cap+1) probe collected up to
-      // threshold+1 tuples, ~100-200 MB, to the driver even when the
-      // answer was "distributed regime, discard"; a limit(cap+1).count()
-      // probe would be no better, gathering the rows into one partition
-      // for the GlobalLimit.) The collect below runs only when the count
-      // proves every edge fits — and reads the projection's cache, which
-      // the count itself just populated.
-      val cap = math.min(localThreshold, (Int.MaxValue - 2).toLong).toInt
-      if (e.count() <= cap)
-        Some(buildCsr(e.as[(Long, Long, Double)].collect()))
+      // The collect runs only when the count proves every edge fits — and
+      // reads the projection's cache, which the count itself populated.
+      if (isUnderCap) Some(buildCsr(e.as[(Long, Long, Double)].collect()))
       else None
     }
     def run(sources: Set[Long]): DataFrame = localCsr match {

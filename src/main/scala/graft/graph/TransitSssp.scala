@@ -76,21 +76,31 @@ object TransitSssp {
       .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
       .localCheckpoint(true)
 
+    // CHANGE slice pinned once — iterations must not re-derive it from the
+    // projected union per round.
     val change = changeEdges.select(col("source").as("e_src"),
       col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
-
-    // (src, v, dist) — grows monotonically toward the reachable set.
-    var d = sources.toSeq.sorted.toDF("v")
-      .select(col("v").as("src"), col("v"), lit(0.0).as("dist"))
       .localCheckpoint(true)
 
-    // One iteration's ride closure over the trips any reached vertex sits
-    // on: all their rows enter the window so unreached stoptimes receive.
+    val seedRows = sources.toSeq.sorted.toDF("v")
+      .select(col("v").as("src"), col("v"), lit(0.0).as("dist"))
+
+    // (src, v, dist) — grows monotonically toward the reachable set.
+    var d = seedRows.localCheckpoint(true)
+
+    // The ride window's input — every (source, stoptime) cell — is STATIC:
+    // pin it once instead of re-joining a touched-trip filter per
+    // iteration (routing source sets are small, so |sources| × |nodes|
+    // rows is the same order as the edge list; unreached rows carry null
+    // dist and drop out after the window).
+    val srcDim = sources.toSeq.sorted.toDF("src")
+    val tripRows = prepared.crossJoin(broadcast(srcDim)).localCheckpoint(true)
+
+    // Ride closure: one prefix-min window relaxes every within-trip chain;
+    // output = all reached (source, stoptime) rows with merged dists.
     def ridePass(dCur: DataFrame): DataFrame = {
-      val touched = dCur.join(prepared, dCur("v") === prepared("id"))
-        .select(col("src"), col("trip_id")).distinct()
       val dv = dCur.select(col("src"), col("v").as("id"), col("dist"))
-      prepared.join(touched, Seq("trip_id"))
+      tripRows
         .join(dv, Seq("src", "id"), "left")
         .withColumn("rdist", least(col("dist"),
           min(col("dist") - col("acum")).over(pref) + col("acum")))
@@ -99,19 +109,25 @@ object TransitSssp {
 
     var it = 0
     var converged = false
+    var lastSig = (0L, 0.0)
     while (it < maxIterations && !converged) {
       val ride = ridePass(d)
         .select(col("src"), col("id").as("v"), col("rdist").as("dist"))
       val cand = ride.join(change, ride("v") === col("e_src"))
         .select(ride("src"), col("e_dst").as("v"),
           (ride("dist") + col("w")).as("dist"))
-      val dNext = ride.unionByName(cand).unionByName(d)
+      // seeds re-unioned each round (a seed outside the node set has no
+      // tripRows row to preserve it); reached in-graph rows all flow
+      // through the ride output, so the previous table need not be.
+      val dNext = ride.unionByName(cand).unionByName(seedRows)
         .groupBy("src", "v").agg(min("dist").as("dist"))
         .localCheckpoint(true)
-      converged = dNext.as("n")
-        .join(d.as("o"), col("n.src") === col("o.src") && col("n.v") === col("o.v"), "left")
-        .filter(col("o.dist").isNull || col("n.dist") < col("o.dist"))
-        .isEmpty
+      // Convergence without a self-join: dists are integer-valued doubles
+      // (exact parallel sums), only ever decrease, and rows only appear —
+      // so (row count, total dist) is a fixpoint signature.
+      val sig = dNext.agg(count(lit(1)), sum("dist")).as[(Long, Double)].head()
+      converged = it > 0 && sig == lastSig
+      lastSig = sig
       d = dNext
       it += 1
     }

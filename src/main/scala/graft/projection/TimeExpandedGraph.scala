@@ -87,7 +87,17 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     * [[LocalProjection]]) — None in the distributed regime, where callers
     * stay on the declarative DataFrame path. */
   lazy val localIndex: Option[LocalProjection] = {
-    val r = if (sssp.isLocal) Some(LocalProjection.from(nodes)) else None
+    // Resolve the regime with the count-only gate, then run the two
+    // bounded cache reads — the CSR's edge collect and the node-attribute
+    // collect — concurrently instead of back to back (they are the tail of
+    // every fresh projection's first routing call).
+    val r = if (sssp.isUnderCap) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val nodesF = Future { LocalProjection.from(nodes) }
+      sssp.isLocal // builds the CSR while the node collect runs
+      Some(Await.result(nodesF, scala.concurrent.duration.Duration(10, "min")))
+    } else None
     localIndexForced = true
     r
   }

@@ -33,7 +33,7 @@ object TimeBpe {
     val merges = graft.operators.Bpe.train(words, nMerges, localMaxWords = 0L)
     val total = (System.nanoTime() - t0) / 1e9
     println(f"$nMerges merges (forced distributed): $total%.1f s total, " +
-      f"${total / math.max(1, merges.size)}%.3f s/round, learned ${merges.size}")
+      f"${total / math.max(1, merges.size)}%.3f s/merge, learned ${merges.size}")
     spark.stop()
   }
 }

@@ -104,7 +104,7 @@ object TimeScale {
       }
       println(f"$sc%-6d $nStoptimes%10d $edges%10d $walkSec%9.2f $buildSec%8.2f " +
         f"$csrSec%6.2f $idxSec%8.2f ${routeSecs.map(s => f"$s%.2f").mkString("/")}%13s " +
-        (if (isLocal) "[csr]" else "[pregel]"))
+        (if (isLocal) "[csr]" else "[transit-distributed]"))
 
       if (regime == "distributed" && !isLocal) {
         // Split one traversal's cost: Pregel relaxation vs pointer-doubling
@@ -123,7 +123,7 @@ object TimeScale {
           graft.graph.ShortestPaths.pathDistributed(dist, src, far)
         }
         dist.unpersist()
-        println(f"  scale $sc%d pregel probe: sssp.run $pregelSec%.2f s, " +
+        println(f"  scale $sc%d distributed probe: sssp.run $pregelSec%.2f s, " +
           f"pathDistributed $pathSec%.2f s (${path.size}%d hops)")
 
         if (!parityDone) {
