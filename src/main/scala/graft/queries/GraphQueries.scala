@@ -114,6 +114,33 @@ object GraphQueries {
              |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
              |ORDER BY hop""".stripMargin)),
 
+    // The production DISTRIBUTED-REGIME path under the hash gate: the same
+    // golden itinerary, but the engine is forced past the local threshold
+    // (ssspLocalThreshold = 0), so the route runs TransitSssp trip-collapse
+    // rounds + pointer-doubling path extraction — the branch a >2M-edge
+    // (100 TB-scale) projection takes. The oracle being the IDENTICAL
+    // golden VALUES proves regime choice never changes answers, re-checked
+    // by DuckDB every round (specs force this branch too, but this row
+    // puts it under the driver's own hash gate).
+    Q("gtfs_routing_distributed", "G2,G6,J8",
+      (s, _) => new graft.api.RoutingEngine(graft.api.DemoGtfs.tables(s),
+          ssspLocalThreshold = 0L)
+        .routing("2024-01-18", 1.0, "14:00:00", "Alpha", "Epsilon"),
+      Some("""SELECT hop, trip, departure, line, starting_stop_name, starting_stop_id,
+             | CAST(start_lat AS DOUBLE) AS start_lat, CAST(start_lon AS DOUBLE) AS start_lon,
+             | next_trip, next_stop, next_stop_id,
+             | CAST(next_lat AS DOUBLE) AS next_lat, CAST(next_lon AS DOUBLE) AS next_lon,
+             | next_line, arrival
+             |FROM (VALUES
+             | (1,'T1','14:01:00','R1','Alpha','SA',44.6,10.9,'T1','Beta','SB',44.61,10.9,'R1','14:05:00'),
+             | (2,'T1','14:06:00','R1','Beta','SB',44.61,10.9,'T1','Gamma','SC',44.62,10.9,'R1','14:10:00'),
+             | (3,'T1','14:11:00','R1','Gamma','SC',44.62,10.9,'T3','Gamma Due','SC2',44.62015,10.9,'R2','14:15:00'),
+             | (4,'T3','14:15:00','R2','Gamma Due','SC2',44.62015,10.9,'T3','Delta','SD1',44.63,10.91,'R2','14:25:00'),
+             | (5,'T3','14:26:00','R2','Delta','SD1',44.63,10.91,'T3','Epsilon','SE',44.64,10.92,'R2','14:40:00'))
+             | AS t(hop, trip, departure, line, starting_stop_name, starting_stop_id, start_lat, start_lon,
+             |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
+             |ORDER BY hop""".stripMargin)),
+
     // The production STORAGE path under the hash gate: the same routing
     // flow as gtfs_routing_golden, but the stoptime table goes through the
     // bucketed warehouse round-trip first — written day-partitioned +
