@@ -227,8 +227,20 @@ object TimeExpandedGraph {
     // so the edge set is unchanged (ProjectionParitySpec pins this against
     // the naive one-stage formulation). This join+agg touches only
     // dimension-sized data: |sched| rows ≈ stops × routes-at-stop.
+    // WALK_TO is a stop-pair dimension (|stops| × few-neighbors rows) —
+    // broadcast it when its KNOWN size allows, killing the n_stop
+    // sort-merge's two Exchanges (AQE cannot convert this join itself: it
+    // sits inside the cached-plan fragment, where runtime re-planning is
+    // off). The gate reads Catalyst stats, not a job: for a materialized
+    // cache that is the exact byte size (the engine caches WALK_TO and
+    // journey/harness flows materialize it early); for an unmaterialized
+    // plan the estimate is inflated and the hint simply stays off — the
+    // status-quo shuffled join, never a wrong plan.
+    val walkStatsBytes = walkToEdges.queryExecution.optimizedPlan.stats.sizeInBytes
+    val walkSide =
+      if (walkStatsBytes <= BroadcastSchedMaxBytes) broadcast(walk) else walk
     val schedAt = sched
-      .join(walk, Seq("n_stop"))
+      .join(walkSide, Seq("n_stop"))
       .groupBy("s_stop", "distance", "t_service", "t_route")
       .agg(sort_array(flatten(collect_list(col("deps")))).as("deps"))
 

@@ -196,6 +196,28 @@ class GtfsEngineSpec extends SparkSpec {
     assert(math.abs(j.totalSeconds - expectedTotal) < 1e-6)
   }
 
+  test("concurrent journey calls on one engine return the golden summary") {
+    // journey() itself forks warm-up futures (edge/CSR build, WALK_TO,
+    // footway, the second near-stop scan) — two overlapping calls on a
+    // SHARED fresh engine exercise every lazy initializer from multiple
+    // threads at once; both must still compose the exact golden summary.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val eng = new graft.api.RoutingEngine(graft.api.DemoGtfs.tables(spark))
+    val fw = graft.api.FootwayEngine.load(spark, fixtureDir, gtfs.stops)
+    def call() = Future {
+      eng.journey(Day, 44.5998, 10.9000, 44.6400, 10.9200,
+        speed = 1.0, time = "14:00:00", footway = Some(fw)).map(j =>
+        (j.changes, math.round(j.totalSeconds * 100) / 100.0))
+    }
+    val (a, b) = (call(), call())
+    val ra = Await.result(a, 120.seconds)
+    val rb = Await.result(b, 120.seconds)
+    assert(ra.isDefined && ra == rb)
+    assert(ra.get._1 == 1L)
+  }
+
   test("Sssp locality probe decides the distributed regime without collecting rows") {
     // A distributed-scale edge set containing a row that CANNOT be
     // deserialized to the driver (null src into a primitive Long): the
