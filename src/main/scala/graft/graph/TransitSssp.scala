@@ -82,53 +82,52 @@ object TransitSssp {
       col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
       .localCheckpoint(true)
 
-    val seedRows = sources.toSeq.sorted.toDF("v")
-      .select(col("v").as("src"), col("v"), lit(0.0).as("dist"))
-
-    // (src, v, dist) — grows monotonically toward the reachable set.
-    var d = seedRows.localCheckpoint(true)
-
-    // The ride window's input — every (source, stoptime) cell — is STATIC:
-    // pin it once instead of re-joining a touched-trip filter per
-    // iteration (routing source sets are small, so |sources| × |nodes|
-    // rows is the same order as the edge list; unreached rows carry null
-    // dist and drop out after the window).
+    // The iteration STATE is the full (source × stoptime) grid with a
+    // nullable dist and a `fresh` flag (dist arrived via a CHANGE merge
+    // last round, so this row's own out-edges have not fired yet — seeds
+    // start fresh). Carrying the grid itself — instead of a separate
+    // reached-set joined back in every round — matters for the plan:
+    // localCheckpoint preserves the physical partitioning/ordering, so
+    // after the first round the prefix-min window plans with NO Exchange
+    // and NO Sort, and the candidate merge is a broadcast join once the
+    // frontier shrinks (AQE decides from runtime sizes). Late iterations
+    // therefore run shuffle-free over the pinned grid.
     val srcDim = sources.toSeq.sorted.toDF("src")
-    val tripRows = prepared.crossJoin(broadcast(srcDim)).localCheckpoint(true)
+    var state = prepared.crossJoin(broadcast(srcDim))
+      .withColumn("dist", when(col("id") === col("src"), lit(0.0)))
+      .withColumn("fresh", col("dist").isNotNull)
 
-    // Ride closure: one prefix-min window relaxes every within-trip chain;
-    // output = all reached (source, stoptime) rows with merged dists.
-    def ridePass(dCur: DataFrame): DataFrame = {
-      val dv = dCur.select(col("src"), col("v").as("id"), col("dist"))
-      tripRows
-        .join(dv, Seq("src", "id"), "left")
-        .withColumn("rdist", least(col("dist"),
-          min(col("dist") - col("acum")).over(pref) + col("acum")))
-        .filter(col("rdist").isNotNull)
-    }
+    val rideCol = least(col("dist"),
+      min(col("dist") - col("acum")).over(pref) + col("acum"))
 
     var it = 0
     var converged = false
-    var lastSig = (0L, 0.0)
     while (it < maxIterations && !converged) {
-      val ride = ridePass(d)
-        .select(col("src"), col("id").as("v"), col("rdist").as("dist"))
-      val cand = ride.join(change, ride("v") === col("e_src"))
-        .select(ride("src"), col("e_dst").as("v"),
-          (ride("dist") + col("w")).as("dist"))
-      // seeds re-unioned each round (a seed outside the node set has no
-      // tripRows row to preserve it); reached in-graph rows all flow
-      // through the ride output, so the previous table need not be.
-      val dNext = ride.unionByName(cand).unionByName(seedRows)
-        .groupBy("src", "v").agg(min("dist").as("dist"))
+      val ride = state.withColumn("rdist", rideCol)
+      // Delta frontier: only rows whose value is new since their out-edges
+      // last fired can improve a neighbor — ride improvements this round,
+      // plus rows merged from candidates last round (`fresh`).
+      val changed = ride.filter(col("rdist").isNotNull &&
+        (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
+      val candMin = changed
+        .select(col("src"), col("id"), col("rdist"))
+        .join(change, col("id") === col("e_src"))
+        .groupBy(col("src"), col("e_dst"))
+        .agg(min(col("rdist") + col("w")).as("cdist"))
+        .withColumnRenamed("e_dst", "id")
+      val merged = ride.join(candMin, Seq("src", "id"), "left")
+        .withColumn("ndist", least(col("rdist"), col("cdist")))
+      val newState = merged.select(col("src"), col("id"), col("trip_id"),
+          col("stop_sequence"), col("acum"),
+          col("ndist").as("dist"),
+          (col("cdist").isNotNull && (col("rdist").isNull ||
+            col("cdist") < col("rdist"))).as("fresh"),
+          (col("ndist").isNotNull && (col("dist").isNull ||
+            col("ndist") < col("dist"))).cast("long").as("improved"))
         .localCheckpoint(true)
-      // Convergence without a self-join: dists are integer-valued doubles
-      // (exact parallel sums), only ever decrease, and rows only appear —
-      // so (row count, total dist) is a fixpoint signature.
-      val sig = dNext.agg(count(lit(1)), sum("dist")).as[(Long, Double)].head()
-      converged = it > 0 && sig == lastSig
-      lastSig = sig
-      d = dNext
+      converged = newState.agg(coalesce(sum("improved"), lit(0L)))
+        .as[Long].head() == 0L
+      state = newState.drop("improved")
       it += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -140,15 +139,16 @@ object TransitSssp {
     // holds, (b) CHANGE sources where dist(dst) = dist(src) + w, (c) the
     // seeds themselves (pred −1, always preferred). All arithmetic is on
     // integer-valued doubles — equality is exact.
-    val ride = ridePass(d)
-    val rideCand = ride
+    val rideCand = state
       .withColumn("p_id", lag("id", 1).over(wSrcTrip))
-      .withColumn("p_rdist", lag("rdist", 1).over(wSrcTrip))
+      .withColumn("p_dist", lag("dist", 1).over(wSrcTrip))
       .withColumn("p_acum", lag("acum", 1).over(wSrcTrip))
-      .filter(col("p_rdist").isNotNull &&
-        col("rdist") === col("p_rdist") + (col("acum") - col("p_acum")))
-      .select(col("src"), col("id").as("v"), col("rdist").as("dist"),
+      .filter(col("dist").isNotNull && col("p_dist").isNotNull &&
+        col("dist") === col("p_dist") + (col("acum") - col("p_acum")))
+      .select(col("src"), col("id").as("v"), col("dist"),
         col("p_id").as("pred"), lit(1).as("prio"))
+    val d = state.filter(col("dist").isNotNull)
+      .select(col("src"), col("id").as("v"), col("dist"))
     val dv = d.select(col("src"), col("v").as("e_src"), col("dist").as("s_dist"))
     val dt = d.select(col("src"), col("v").as("e_dst"), col("dist").as("t_dist"))
     val changeCand = change
