@@ -23,10 +23,14 @@ import org.apache.spark.sql.expressions.Window
   * followed by one equi-join through the CHANGE edges. An iteration is
   * therefore ride* ∘ change, and the iteration count is bounded by the
   * maximum number of LINE CHANGES on any optimal path (single digits for
-  * transit) instead of the hop depth — ~2 shuffles per iteration, both
-  * partitioned on keys a trip-bucketed layout co-locates. This is the
-  * standard round-based structure transit engines (RAPTOR-family) exploit,
-  * re-expressed as Catalyst window + join so it scales with the cluster.
+  * transit) instead of the hop depth. The state is the pinned
+  * (source × stoptime) grid: checkpointing preserves its physical
+  * partitioning/ordering, so after round one the window plans with no
+  * Exchange/Sort, only the delta frontier feeds the CHANGE join, and the
+  * candidate merge broadcasts once the frontier shrinks — late rounds run
+  * shuffle-free. This is the standard round-based structure transit
+  * engines (RAPTOR-family) exploit, re-expressed as Catalyst window +
+  * join so it scales with the cluster.
   *
   * Exactness: label-correcting Bellman-Ford over the (ride-closure, change)
   * operator — monotone improvements to a unique fixpoint = Dijkstra's
