@@ -49,42 +49,55 @@ import org.apache.spark.sql.expressions.Window
   * branch; TransitSsspSpec pins distances equal to generic Pregel.
   */
 object TransitSssp {
-
-  /** nodes: (id, trip_id, stop_sequence, arr_secs, dep_secs, …);
-    * changeEdges: (source, target, waiting_time) — the CHANGE slice of the
-    * projected edge list; sources: seed vertex ids (dist 0, pred −1). */
+  /** One-shot convenience over [[TransitSssp]] — for repeated calls against
+    * one projection hold an instance (the per-projection Sssp handle does),
+    * so the static trip-prefix and CHANGE frames are pinned once, not per
+    * routing call. */
   def run(nodes: DataFrame, changeEdges: DataFrame, sources: Set[Long],
-      maxIterations: Int = 1000): DataFrame = {
-    val spark = nodes.sparkSession
+      maxIterations: Int = 1000): DataFrame =
+    new TransitSssp(nodes, changeEdges).run(sources, maxIterations)
+}
+
+/** See the companion's scaladoc above for the algorithm. Instances hold the
+  * call-invariant state: the per-trip ride-cost prefix and the CHANGE edge
+  * slice, both checkpointed lazily on first use and shared by every run. */
+final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
+
+  private val spark = nodes.sparkSession
+
+  private val wTrip = Window.partitionBy("trip_id").orderBy("stop_sequence")
+  private val wSrcTrip =
+    Window.partitionBy("src", "trip_id").orderBy("stop_sequence")
+  private val pref = wSrcTrip.rowsBetween(Window.unboundedPreceding, -1)
+
+  // Static per-trip ride-cost prefix: A(first) = 0,
+  // A(u) = A(u−1) + (arr(u) − dep(u−1)) — so chain cost v→u = A(u) − A(v)
+  // equals the sum of the PRECEDES hop weights including intermediate
+  // dwells. Checkpointed once per projection; every call reads the pins.
+  private lazy val prepared = nodes
+    .select(col("id"), col("trip_id"), col("stop_sequence"),
+      col("arr_secs"), col("dep_secs"))
+    .withColumn("hop_w",
+      (col("arr_secs") - lag("dep_secs", 1).over(wTrip)).cast("double"))
+    .withColumn("acum", coalesce(
+      sum("hop_w").over(wTrip.rowsBetween(Window.unboundedPreceding, 0)),
+      lit(0.0)))
+    .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
+    .localCheckpoint(true)
+
+  // CHANGE slice pinned once — iterations must not re-derive it from the
+  // projected union per round.
+  private lazy val change = changeEdges.select(col("source").as("e_src"),
+    col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
+    .localCheckpoint(true)
+
+  /** sources: seed vertex ids (dist 0, pred −1). Output matches
+    * ShortestPaths.distancesDF: (vertex_id, source_id, dist, pred). */
+  def run(sources: Set[Long], maxIterations: Int = 1000): DataFrame = {
     import spark.implicits._
     if (sources.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("vertex_id", "source_id", "dist", "pred")
-
-    val wTrip = Window.partitionBy("trip_id").orderBy("stop_sequence")
-    val wSrcTrip = Window.partitionBy("src", "trip_id").orderBy("stop_sequence")
-    val pref = wSrcTrip.rowsBetween(Window.unboundedPreceding, -1)
-
-    // Static per-trip ride-cost prefix: A(first) = 0,
-    // A(u) = A(u−1) + (arr(u) − dep(u−1)) — so chain cost v→u = A(u) − A(v)
-    // equals the sum of the PRECEDES hop weights including intermediate
-    // dwells. Checkpointed once; every iteration reads the pinned rows.
-    val prepared = nodes
-      .select(col("id"), col("trip_id"), col("stop_sequence"),
-        col("arr_secs"), col("dep_secs"))
-      .withColumn("hop_w",
-        (col("arr_secs") - lag("dep_secs", 1).over(wTrip)).cast("double"))
-      .withColumn("acum", coalesce(
-        sum("hop_w").over(wTrip.rowsBetween(Window.unboundedPreceding, 0)),
-        lit(0.0)))
-      .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
-      .localCheckpoint(true)
-
-    // CHANGE slice pinned once — iterations must not re-derive it from the
-    // projected union per round.
-    val change = changeEdges.select(col("source").as("e_src"),
-      col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
-      .localCheckpoint(true)
 
     // The iteration STATE is the full (source × stoptime) grid with a
     // nullable dist and a `fresh` flag (dist arrived via a CHANGE merge

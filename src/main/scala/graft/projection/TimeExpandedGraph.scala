@@ -78,10 +78,15 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     * transfer-bounded) rather than generic hop-bounded Pregel — the
     * time-expanded day is deep in PRECEDES hops, and this projection knows
     * its own trip structure. */
-  lazy val sssp: graft.graph.ShortestPaths.Sssp =
+  lazy val sssp: graft.graph.ShortestPaths.Sssp = {
+    // one transit runner per projection: its trip-prefix and CHANGE frames
+    // are call-invariant and pinned on first use, shared across calls —
+    // the distributed twin of the local regime's held CSR
+    lazy val transit = new graft.graph.TransitSssp(
+      nodes, edges.filter(col("type") === "CHANGE"))
     new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold,
-      distributedRunner = Some(srcs => graft.graph.TransitSssp.run(
-        nodes, edges.filter(col("type") === "CHANGE"), srcs)))
+      distributedRunner = Some(srcs => transit.run(srcs)))
+  }
 
   /** Driver-resident node attributes, local-SSSP regime only (see
     * [[LocalProjection]]) — None in the distributed regime, where callers
