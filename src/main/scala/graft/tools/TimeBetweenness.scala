@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
   * at fixture scale (`gtfs_betweenness`, 16 nodes). Builds the synthetic
   * Modena projection (250k stoptime nodes / ~973k edges), runs
   * `Betweenness.ofProjection` with its default source policy (256
-  * hash-sampled pivots → the distributed level-synchronous branch; the edge
-  * count is far above LocalBrandesMaxEdges), and reports wall time plus the
+  * hash-sampled pivots → the pivot-parallel broadcast-CSR branch; the edge
+  * count sits under CsrBrandesMaxEdges), and reports wall time plus the
   * top rows. SPARK_GRAFT_BW_SOURCES overrides the pivot count. */
 object TimeBetweenness {
   def main(args: Array[String]): Unit = {

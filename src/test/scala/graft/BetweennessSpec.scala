@@ -9,7 +9,7 @@ class BetweennessSpec extends SparkSpec {
   test("path graph: interior vertices score the pair counts through them (both paths)") {
     // a(1)→b(2)→c(3)→d(4): b lies on (a,c),(a,d) → 2; c on (a,d),(b,d) → 2
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
-    for (threshold <- Seq(0L, Betweenness.LocalBrandesMaxEdges)) {
+    for (threshold <- Seq(0L, Betweenness.CsrBrandesMaxEdges)) {
       val scores = Betweenness.run(edges, Seq(1L, 2L, 3L, 4L), threshold)
         .as[(Long, Double)].collect().toMap
       assert(scores.getOrElse(1L, 0.0) == 0.0)
@@ -23,7 +23,7 @@ class BetweennessSpec extends SparkSpec {
     // a(1)→b1(2), a→b2(3), b1→c(4), b2→c, c→d(5):
     // sigma(a→c)=2 → each b gets 0.5+0.5; c gets (a,d)+(b1,d)+(b2,d)=3
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
-    for (threshold <- Seq(0L, Betweenness.LocalBrandesMaxEdges)) {
+    for (threshold <- Seq(0L, Betweenness.CsrBrandesMaxEdges)) {
       val scores = Betweenness.run(edges, Seq(1L, 2L, 3L, 4L, 5L), threshold)
         .as[(Long, Double)].collect().toMap
       assert(scores(2L) == 1.0)
@@ -75,6 +75,23 @@ class BetweennessSpec extends SparkSpec {
     approx.toSeq.sortBy(-_._2).take(5).foreach { case (v, _) =>
       assert(exactTop.contains(v), s"approx top-5 vertex $v not in exact top half")
     }
+  }
+
+  test("pivot-parallel CSR Brandes matches the oracle, row set included") {
+    // Bigger random graph than the level-sync parity test, pivots spread
+    // across several partitions; the CSR branch must reproduce runLocal's
+    // exact ROW SET too (every visited non-pivot vertex appears, zero-score
+    // rows included — the catalog query inner-joins scores to nodes).
+    val rng = new scala.util.Random(13)
+    val edges = Seq.fill(600)((rng.nextInt(90).toLong, rng.nextInt(90).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = (0L until 90L).filter(_ % 3 != 1) // pivot subset, id gaps
+    val csr = Betweenness.run(edges.toDF("src", "dst"), sources,
+        localThreshold = Betweenness.CsrBrandesMaxEdges)
+      .as[(Long, Double)].collect().toMap
+    val local = Betweenness.runLocal(edges.toArray, sources)
+    assert(csr.keySet == local.keySet)
+    csr.foreach { case (k, v) => assert(math.abs(v - local(k)) < 1e-9, s"vertex $k") }
   }
 
   test("betweenness of the projected routing graph ranks transfer stoptimes") {
