@@ -134,17 +134,23 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         .withColumnRenamed("e_dst", "id")
       val merged = ride.join(candMin, Seq("src", "id"), "left")
         .withColumn("ndist", least(col("rdist"), col("cdist")))
-      val newState = merged.select(col("src"), col("id"), col("trip_id"),
+      // The convergence test rides INSIDE the checkpoint job: observe()
+      // plants a CollectMetrics node whose aggregate is computed by the
+      // same tasks that materialize the grid, so an iteration is ONE Spark
+      // job, not checkpoint + a second agg scan over the cached state.
+      val obs = org.apache.spark.sql.Observation(s"transit-sssp-round-$it")
+      val newState = merged
+        .observe(obs, coalesce(sum((col("ndist").isNotNull &&
+          (col("dist").isNull || col("ndist") < col("dist"))).cast("long")),
+          lit(0L)).as("improved"))
+        .select(col("src"), col("id"), col("trip_id"),
           col("stop_sequence"), col("acum"),
           col("ndist").as("dist"),
           (col("cdist").isNotNull && (col("rdist").isNull ||
-            col("cdist") < col("rdist"))).as("fresh"),
-          (col("ndist").isNotNull && (col("dist").isNull ||
-            col("ndist") < col("dist"))).cast("long").as("improved"))
+            col("cdist") < col("rdist"))).as("fresh"))
         .localCheckpoint(true)
-      converged = newState.agg(coalesce(sum("improved"), lit(0L)))
-        .as[Long].head() == 0L
-      state = newState.drop("improved")
+      converged = obs.get("improved").asInstanceOf[Long] == 0L
+      state = newState
       it += 1
     }
     if (!converged) throw new IllegalStateException(
