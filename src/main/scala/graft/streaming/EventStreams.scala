@@ -173,11 +173,20 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
-  /** Read the static events parquet back as a timestamped DataFrame (its
-    * `ts` column arrives as long nanos — see Catalog.t). */
+  /** Read the static events parquet back as a timestamped DataFrame.
+    * `ts` lands as a proper TimestampType whatever the file's physical
+    * type: long nanos (legacy TIMESTAMP(NANOS) via nanosAsLong — truncate
+    * to micros), TIMESTAMP(MICROS) as timestamp_ntz (wall time read as
+    * UTC — the session timezone every entrypoint pins), or already a
+    * timestamp. */
   def eventsWithTimestamp(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }
