@@ -49,6 +49,9 @@ import org.apache.spark.sql.expressions.Window
   * branch; TransitSsspSpec pins distances equal to generic Pregel.
   */
 object TransitSssp {
+  /** Session-unique run counter for observation names (see run()). */
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One-shot convenience over [[TransitSssp]] — for repeated calls against
     * one projection hold an instance (the per-projection Sssp handle does),
     * so the static trip-prefix and CHANGE frames are pinned once, not per
@@ -138,7 +141,13 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // plants a CollectMetrics node whose aggregate is computed by the
       // same tasks that materialize the grid, so an iteration is ONE Spark
       // job, not checkpoint + a second agg scan over the cached state.
-      val obs = org.apache.spark.sql.Observation(s"transit-sssp-round-$it")
+      // The name must be unique across CONCURRENT runs, not just rounds:
+      // the observation listener matches by metric name over every query
+      // execution in the session, so two simultaneous routing calls both
+      // emitting "round-0" could cross-read each other's improvement count
+      // and converge early on the wrong run.
+      val obs = org.apache.spark.sql.Observation(
+        s"transit-sssp-${TransitSssp.runSeq.incrementAndGet()}-round-$it")
       val newState = merged
         .observe(obs, coalesce(sum((col("ndist").isNotNull &&
           (col("dist").isNull || col("ndist") < col("dist"))).cast("long")),
