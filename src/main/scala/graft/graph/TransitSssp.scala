@@ -52,6 +52,12 @@ object TransitSssp {
   /** Session-unique run counter for observation names (see run()). */
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** SPARK_GRAFT_SSSP_TRACE=1 prints one line per iteration (round index,
+    * improved-row count, wall seconds) plus the one-time pin cost — dev
+    * diagnostics for decomposing a routing call's cost; off by default. */
+  private val trace: Boolean = sys.env.get("SPARK_GRAFT_SSSP_TRACE").contains("1")
+  private def tlog(msg: => String): Unit = if (trace) println(s"[transit-sssp] $msg")
+
   /** One-shot convenience over [[TransitSssp]] — for repeated calls against
     * one projection hold an instance (the per-projection Sssp handle does),
     * so the static trip-prefix and CHANGE frames are pinned once, not per
@@ -77,22 +83,32 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   // A(u) = A(u−1) + (arr(u) − dep(u−1)) — so chain cost v→u = A(u) − A(v)
   // equals the sum of the PRECEDES hop weights including intermediate
   // dwells. Checkpointed once per projection; every call reads the pins.
-  private lazy val prepared = nodes
-    .select(col("id"), col("trip_id"), col("stop_sequence"),
-      col("arr_secs"), col("dep_secs"))
-    .withColumn("hop_w",
-      (col("arr_secs") - lag("dep_secs", 1).over(wTrip)).cast("double"))
-    .withColumn("acum", coalesce(
-      sum("hop_w").over(wTrip.rowsBetween(Window.unboundedPreceding, 0)),
-      lit(0.0)))
-    .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
-    .localCheckpoint(true)
+  private lazy val prepared = {
+    val t0 = System.nanoTime()
+    val p = nodes
+      .select(col("id"), col("trip_id"), col("stop_sequence"),
+        col("arr_secs"), col("dep_secs"))
+      .withColumn("hop_w",
+        (col("arr_secs") - lag("dep_secs", 1).over(wTrip)).cast("double"))
+      .withColumn("acum", coalesce(
+        sum("hop_w").over(wTrip.rowsBetween(Window.unboundedPreceding, 0)),
+        lit(0.0)))
+      .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
+      .localCheckpoint(true)
+    TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    p
+  }
 
   // CHANGE slice pinned once — iterations must not re-derive it from the
   // projected union per round.
-  private lazy val change = changeEdges.select(col("source").as("e_src"),
-    col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
-    .localCheckpoint(true)
+  private lazy val change = {
+    val t0 = System.nanoTime()
+    val c = changeEdges.select(col("source").as("e_src"),
+      col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
+      .localCheckpoint(true)
+    TransitSssp.tlog(f"change-slice pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    c
+  }
 
   /** sources: seed vertex ids (dist 0, pred −1). Output matches
     * ShortestPaths.distancesDF: (vertex_id, source_id, dist, pred). */
@@ -123,6 +139,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     var it = 0
     var converged = false
     while (it < maxIterations && !converged) {
+      val itT0 = System.nanoTime()
       val ride = state.withColumn("rdist", rideCol)
       // Delta frontier: only rows whose value is new since their out-edges
       // last fired can improve a neighbor — ride improvements this round,
@@ -158,7 +175,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           (col("cdist").isNotNull && (col("rdist").isNull ||
             col("cdist") < col("rdist"))).as("fresh"))
         .localCheckpoint(true)
-      converged = obs.get("improved").asInstanceOf[Long] == 0L
+      val improved = obs.get("improved").asInstanceOf[Long]
+      converged = improved == 0L
+      TransitSssp.tlog(f"round $it%d improved=$improved%d " +
+        f"${(System.nanoTime() - itT0) / 1e9}%.2f s")
       state = newState
       it += 1
     }
