@@ -112,6 +112,7 @@ object ShortestPaths {
       .localCheckpoint(true)
     if (dist.filter(col("source_id") === source && col("vertex_id") === target).isEmpty)
       return Nil
+    val release = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
     val jumps = scala.collection.mutable.ArrayBuffer(chain0)
     while (!jumps.last.isEmpty) {
       val jk = jumps.last
@@ -123,9 +124,15 @@ object ShortestPaths {
     for (k <- (jumps.size - 1) to 0 by -1) {
       val added = pos.join(jumps(k), Seq("v"))
         .select(col("p").as("v"), (col("idx") + (1L << k)).as("idx"))
-      pos = pos.unionByName(added).localCheckpoint(true)
+      val next = pos.unionByName(added).localCheckpoint(true)
+      release(pos) // next is materialized; the superseded accumulator is dead
+      pos = next
     }
-    pos.orderBy(col("idx").desc).select("v").as[Long].collect().toList
+    val path = pos.orderBy(col("idx").desc).select("v").as[Long].collect().toList
+    // every jump table (chain-sized each) is dead once the descent finishes
+    jumps.foreach(release)
+    release(pos)
+    path
   }
 
   /** Edge-count threshold below which SSSP runs as a driver-local Dijkstra

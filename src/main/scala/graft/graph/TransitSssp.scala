@@ -179,6 +179,14 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       converged = improved == 0L
       TransitSssp.tlog(f"round $it%d improved=$improved%d " +
         f"${(System.nanoTime() - itT0) / 1e9}%.2f s")
+      // newState is materialized (eager checkpoint), so the superseded
+      // grid's blocks are dead — release them NOW instead of waiting for
+      // the ContextCleaner's GC-driven pass. Without this, a 10×-Modena
+      // route keeps ~15 superseded ~600 MB grids alive and later rounds
+      // slow down under block-store pressure (measured in COVERAGE.md's
+      // distributed scale section). Live checkpoint state is now bounded
+      // by TWO grids per run regardless of round count.
+      org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(state)
       state = newState
       it += 1
     }

@@ -1,0 +1,24 @@
+// Lives under org.apache.spark.sql to reach execution.LogicalRDD — the
+// node a localCheckpoint()ed Dataset's plan bottoms out in. Iterative
+// operators (graft.graph.TransitSssp) checkpoint a superseded state every
+// round; the blocks belong to the checkpoint's backing RDD, which
+// Dataset.unpersist (CacheManager-scoped) never touches, so without an
+// explicit release a long run keeps every round's grid alive until the
+// ContextCleaner's GC-driven reclamation catches up — measured as
+// progressively slower rounds at the 10×-Modena scale (COVERAGE.md,
+// distributed scale section).
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+object CheckpointBridge {
+  /** Release the storage of a `localCheckpoint(true)` result the caller has
+    * finished with (every downstream consumer already materialized). No-op
+    * on non-checkpoint Datasets. Non-blocking. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}
