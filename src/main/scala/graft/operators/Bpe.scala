@@ -221,6 +221,12 @@ object Bpe {
         val nextSyms = syms.select(
           when(containsAny, replaceAll(col("s"))).otherwise(col("s")).as("s"),
           col("count")).localCheckpoint(true)
+        // both successors are materialized (eager checkpoints) — release
+        // the superseded round's blocks now instead of waiting for the
+        // ContextCleaner, so a thousands-of-rounds training run holds two
+        // checkpoints, not its whole history (same fix as TransitSssp).
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(counts)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(syms)
         counts = nextCounts; syms = nextSyms
       }
     }
