@@ -77,8 +77,14 @@ object Betweenness {
       frontierSize = next.count()
       level += 1
       if (frontierSize > 0) {
-        visited = visited.unionByName(next.withColumn("dist", lit(level)))
+        val grown = visited.unionByName(next.withColumn("dist", lit(level)))
           .localCheckpoint(true)
+        // the superseded visited copy (a near-full clone per level — the
+        // biggest accumulating state in this loop) is only ever read by
+        // the anti-join, which now uses `grown`; the backward sweep reads
+        // `levels`/deltas, never visited — release it immediately.
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(visited)
+        visited = grown
         levels += next
       }
       frontier = next
