@@ -239,7 +239,14 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     if (srcLocal.isEmpty) return emptySegments
     val srcIds = srcLocal.map(_.getLong(0)).toSet
 
-    val dist = g.sssp.run(srcIds).cache()
+    // Staged run: ranking needs only DISTANCES at the candidate targets —
+    // none of the predecessor-resolution windows/joins run for it — and
+    // the path needs predecessors for the ONE winning source (exact:
+    // resolution is per-(source, vertex) independent). The k-sources
+    // resolution this replaces was a measurable slice of every
+    // distributed routing call (COVERAGE.md, distributed scale section).
+    val staged = g.sssp.runStaged(srcIds)
+    val dist = staged.distances.cache()
     val pairs = dist
       .join(targets, col("vertex_id") === col("t_id"))
       .join(broadcast(srcRows.withColumnRenamed("s_id", "source_id")), Seq("source_id"))
@@ -248,10 +255,14 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       .withColumn("cost", col("dist"))
       .withColumnRenamed("source_id", "s_id")
     val row = pairs.orderBy(PairOrder.columns: _*).limit(1).collect().headOption
-      .getOrElse { dist.unpersist(); return emptySegments }
+      .getOrElse { dist.unpersist(); staged.release(); return emptySegments }
     val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
-    val path = ShortestPaths.pathDistributed(dist, bestSrc, bestTgt)
+    val predOne = staged.resolve(bestSrc).cache()
+    val path = ShortestPaths.pathDistributed(predOne, bestSrc, bestTgt)
+    // path ids are collected; every remaining consumer is driver-side
+    predOne.unpersist()
     dist.unpersist()
+    staged.release()
     if (path.size < 2) return emptySegments
     segments(g, path)
   }

@@ -157,8 +157,21 @@ object ShortestPaths {
     * hop-bounded (generic Pregel measured >10 min per routing call at 3×
     * Modena; the trip-collapse runs the same query in seconds). The local
     * CSR branch and its threshold gate are unchanged. */
+  /** A distributed run staged for rank-then-path callers: `distances` is
+    * the (vertex_id, source_id, dist) table with NO predecessor-resolution
+    * work behind it, `resolve(source)` yields the full
+    * (vertex_id, source_id, dist, pred) contract for ONE source (what
+    * pathDistributed needs), and `release()` frees any retained state once
+    * every derived frame is consumed. */
+  final class DistRun(val distances: DataFrame,
+      resolveFn: Long => DataFrame, releaseFn: () => Unit = () => ()) {
+    def resolve(source: Long): DataFrame = resolveFn(source)
+    def release(): Unit = releaseFn()
+  }
+
   final class Sssp(edges: DataFrame, localThreshold: Long = LocalDijkstraMaxEdges,
-      distributedRunner: Option[Set[Long] => DataFrame] = None) {
+      distributedRunner: Option[Set[Long] => DataFrame] = None,
+      distributedStaged: Option[Set[Long] => DistRun] = None) {
     private val spark = edges.sparkSession
     private val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double"))
@@ -193,6 +206,18 @@ object ShortestPaths {
     }
 
     def isLocal: Boolean = localCsr.isDefined
+
+    /** Staged run for rank-then-path callers (see [[DistRun]]). With a
+      * structure-aware staged runner (the transit projection) the ranking
+      * phase skips predecessor resolution entirely; otherwise both frames
+      * derive from the ordinary full run. */
+    def runStaged(sources: Set[Long]): DistRun = distributedStaged match {
+      case Some(f) if !isLocal => f(sources)
+      case _ =>
+        val full = run(sources)
+        new DistRun(full.select("vertex_id", "source_id", "dist"),
+          s => full.filter(col("source_id") === s))
+    }
 
     private def computeLocal(g: Csr, sources: Set[Long]): Map[Long, (Array[Double], Array[Int])] = {
       import scala.concurrent.{Await, Future}

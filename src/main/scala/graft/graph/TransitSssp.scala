@@ -117,7 +117,37 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     if (sources.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("vertex_id", "source_id", "dist", "pred")
+    resolveState(converge(sources, maxIterations), sources.toSeq.sorted)
+  }
 
+  /** Converged-state handle for callers that rank BEFORE they need a path
+    * (the routing engine): `distances` is a plain projection of the grid —
+    * none of the predecessor-resolution windows/joins run — and
+    * `resolve(source)` runs the resolution for ONE chosen source (exact:
+    * resolution is per-(src, v) independent, so single-source output equals
+    * the all-sources output filtered). `release()` frees the converged grid
+    * once every derived frame has been consumed. */
+  final class Staged private[TransitSssp] (state: DataFrame, sources: Seq[Long]) {
+    def distances: DataFrame = state.filter(col("dist").isNotNull)
+      .select(col("id").as("vertex_id"), col("src").as("source_id"), col("dist"))
+    def resolve(source: Long): DataFrame = {
+      require(sources.contains(source), s"$source is not a seed of this run")
+      resolveState(state.filter(col("src") === source), Seq(source))
+    }
+    def release(): Unit =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(state)
+  }
+
+  /** See [[Staged]]. `sources` must be non-empty. */
+  def staged(sources: Set[Long], maxIterations: Int = 1000): Staged = {
+    require(sources.nonEmpty, "staged() needs at least one seed")
+    new Staged(converge(sources, maxIterations), sources.toSeq.sorted)
+  }
+
+  /** Label-correcting iteration to the fixpoint; returns the converged
+    * grid (src, id, trip_id, stop_sequence, acum, dist, fresh). */
+  private def converge(sources: Set[Long], maxIterations: Int): DataFrame = {
+    import spark.implicits._
     // The iteration STATE is the full (source × stoptime) grid with a
     // nullable dist and a `fresh` flag (dist arrived via a CHANGE merge
     // last round, so this row's own out-edges have not fired yet — seeds
@@ -193,12 +223,17 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
         "optimal paths deeper than the bound (raise maxIterations)")
+    state
+  }
 
-    // Predecessor resolution against the CONVERGED distances: candidates
-    // are (a) trip predecessor where the single-hop fixpoint equality
-    // holds, (b) CHANGE sources where dist(dst) = dist(src) + w, (c) the
-    // seeds themselves (pred −1, always preferred). All arithmetic is on
-    // integer-valued doubles — equality is exact.
+  /** Predecessor resolution against the CONVERGED distances: candidates
+    * are (a) trip predecessor where the single-hop fixpoint equality
+    * holds, (b) CHANGE sources where dist(dst) = dist(src) + w, (c) the
+    * seeds themselves (pred −1, always preferred). All arithmetic is on
+    * integer-valued doubles — equality is exact. Per-(src, v) independent,
+    * so it may run over a source-filtered grid slice (Staged.resolve). */
+  private def resolveState(state: DataFrame, sources: Seq[Long]): DataFrame = {
+    import spark.implicits._
     val rideCand = state
       .withColumn("p_id", lag("id", 1).over(wSrcTrip))
       .withColumn("p_dist", lag("dist", 1).over(wSrcTrip))
@@ -216,7 +251,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .filter(col("t_dist") === col("s_dist") + col("w"))
       .select(col("src"), col("e_dst").as("v"), col("t_dist").as("dist"),
         col("e_src").as("pred"), lit(1).as("prio"))
-    val seedCand = sources.toSeq.sorted.toDF("v")
+    val seedCand = sources.sorted.toDF("v")
       .select(col("v").as("src"), col("v"), lit(0.0).as("dist"),
         lit(-1L).as("pred"), lit(0).as("prio"))
     val wPick = Window.partitionBy("src", "v").orderBy(col("prio"), col("pred"))

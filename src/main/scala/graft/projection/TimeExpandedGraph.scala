@@ -85,7 +85,12 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     lazy val transit = new graft.graph.TransitSssp(
       nodes, edges.filter(col("type") === "CHANGE"))
     new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold,
-      distributedRunner = Some(srcs => transit.run(srcs)))
+      distributedRunner = Some(srcs => transit.run(srcs)),
+      distributedStaged = Some { srcs =>
+        val st = transit.staged(srcs)
+        new graft.graph.ShortestPaths.DistRun(
+          st.distances, s => st.resolve(s), () => st.release())
+      })
   }
 
   /** Driver-resident node attributes, local-SSSP regime only (see
