@@ -33,7 +33,12 @@ final case class JourneySummary(segments: DataFrame, changes: Long,
   * (each pair's optimal cost is still exact), N× less traversal work.
   */
 class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
-    ssspLocalThreshold: Long = ShortestPaths.LocalDijkstraMaxEdges) {
+    ssspLocalThreshold: Long = ShortestPaths.LocalDijkstraMaxEdges,
+    /** Chain-size bound for the distributed branch's exact driver-walk
+      * path extraction; 0 forces pointer doubling (the 100 TB evidence
+      * path — `gtfs_routing_distributed` runs with 0 so the per-round
+      * oracle keeps exercising it). */
+    pathDriverWalkMaxRows: Long = ShortestPaths.DriverWalkMaxChainRows) {
 
   private val spark: SparkSession = gtfs.stops.sparkSession
 
@@ -247,24 +252,33 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     // distributed routing call (COVERAGE.md, distributed scale section).
     val staged = g.sssp.runStaged(srcIds)
     val dist = staged.distances.cache()
-    val pairs = dist
-      .join(targets, col("vertex_id") === col("t_id"))
-      .join(broadcast(srcRows.withColumnRenamed("s_id", "source_id")), Seq("source_id"))
-      // target must depart after its source (`main.py:93,141`)
-      .filter(col("t_dep") > col("s_dep"))
-      .withColumn("cost", col("dist"))
-      .withColumnRenamed("source_id", "s_id")
-    val row = pairs.orderBy(PairOrder.columns: _*).limit(1).collect().headOption
-      .getOrElse { dist.unpersist(); staged.release(); return emptySegments }
-    val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
-    val predOne = staged.resolve(bestSrc).cache()
-    val path = ShortestPaths.pathDistributed(predOne, bestSrc, bestTgt)
-    // path ids are collected; every remaining consumer is driver-side
-    predOne.unpersist()
-    dist.unpersist()
-    staged.release()
-    if (path.size < 2) return emptySegments
-    segments(g, path)
+    var predOne: DataFrame = null
+    // try/finally, not happy-path cleanup: a throw (or early return) out of
+    // ranking/resolution/path extraction must still release the staged
+    // run's converged grid — at 10× Modena that is ~600 MB of checkpoint
+    // blocks per round that would otherwise wait for the ContextCleaner.
+    try {
+      val pairs = dist
+        .join(targets, col("vertex_id") === col("t_id"))
+        .join(broadcast(srcRows.withColumnRenamed("s_id", "source_id")), Seq("source_id"))
+        // target must depart after its source (`main.py:93,141`)
+        .filter(col("t_dep") > col("s_dep"))
+        .withColumn("cost", col("dist"))
+        .withColumnRenamed("source_id", "s_id")
+      val row = pairs.orderBy(PairOrder.columns: _*).limit(1).collect().headOption
+        .getOrElse(return emptySegments)
+      val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
+      predOne = staged.resolve(bestSrc).cache()
+      val path = ShortestPaths.pathDistributed(predOne, bestSrc, bestTgt,
+        pathDriverWalkMaxRows)
+      // path ids are collected; every remaining consumer is driver-side
+      if (path.size < 2) return emptySegments
+      segments(g, path)
+    } finally {
+      if (predOne != null) predOne.unpersist()
+      dist.unpersist()
+      staged.release()
+    }
   }
 
   /** Path → labeled segment rows (G6 + the J8 label joins, `main.py:103-114`):

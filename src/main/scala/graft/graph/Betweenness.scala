@@ -271,9 +271,19 @@ object Betweenness {
     * Default source policy: exact below `ExactSourcesMaxVertices` vertices,
     * sampled above (never an all-vertex collect on a big graph — the pivot
     * set reaches the driver via a TakeOrdered of `DefaultSampleSources`
-    * ids, O(sample) not O(V)). */
+    * ids, O(sample) not O(V)).
+    *
+    * Regime: ≤ `localThreshold` edges the graph broadcasts and Brandes
+    * runs pivot-parallel over the CSR (via [[run]]); above it — the only
+    * branch possible at 100 TB — the projection's trip structure routes to
+    * [[TransitBetweenness]], whose three phases pay line-change depth, not
+    * the ~600-hop ride depth the generic level-synchronous loop pays
+    * (1255 s vs CSR's 6.7 s at Modena cardinality; TransitBetweenness is
+    * the distributed branch that closes that gap — BetweennessSpec pins
+    * all regimes to runLocal). */
   def ofProjection(g: graft.projection.TimeExpandedGraph,
-      sources: Option[Seq[Long]] = None, seed: Long = 42L): DataFrame = {
+      sources: Option[Seq[Long]] = None, seed: Long = 42L,
+      localThreshold: Long = CsrBrandesMaxEdges): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val (srcs, scale) = sources match {
@@ -289,7 +299,13 @@ object Betweenness {
           (sample, nVerts.toDouble / sample.size)
         }
     }
-    val scores = run(g.edges.select(col("source").as("src"), col("target").as("dst")), srcs)
+    val scores =
+      if (g.edgeCount > localThreshold)
+        TransitBetweenness.run(g.nodes,
+          g.edges.filter(col("type") === "CHANGE"), srcs)
+      else
+        run(g.edges.select(col("source").as("src"), col("target").as("dst")),
+          srcs, localThreshold)
     g.nodes.join(scores, g.nodes("id") === scores("vertex_id"))
       .select(col("stop_name"), col("dep_secs"), col("lat"), col("lon"),
         (col("score") * scale).as("score"))

@@ -96,43 +96,84 @@ object ShortestPaths {
     walk(target, Nil)
   }
 
-  /** Distributed path reconstruction by pointer doubling over the
-    * predecessor chain — the 100 TB regime, where collecting even one
-    * source's reachable set (the local shortcut) would flood the driver.
-    * Builds jump tables J_k(v) = pred^(2^k)(v) with log(pathLen) self-joins,
-    * then accumulates the positions 0..L walking high power to low (each
-    * partial sum stays on the true path, so every jump is defined). Only the
-    * final path (L rows) reaches the driver. `dist` is run()/fromDF output;
-    * returns source-first vertex ids, Nil when unreachable. */
-  def pathDistributed(dist: DataFrame, source: Long, target: Long): List[Long] = {
+  /** One-source chain-row count under which pathDistributed collects the
+    * (v, pred) chain and walks it on the driver instead of building jump
+    * tables. 16 B/row → ≤128 MB at the bound — the same driver-heap
+    * posture as [[LocalDijkstraMaxEdges]] (and deliberately looser: the
+    * chain rows are two longs, a third the CSR row's width). The common
+    * case this serves: a converged 10×-Modena source reaches ~2.5M
+    * vertices, and the log-depth jump tables cost 13.9–17.1 s to extract
+    * a ~20-hop itinerary from it — the bounded walk is one filter-collect.
+    * A 100 TB chain (billions of rows) exceeds the bound and takes the
+    * pointer-doubling branch, whose driver traffic is the final path only. */
+  val DriverWalkMaxChainRows: Long = 8000000L
+
+  /** Distributed path reconstruction — the 100 TB regime, where collecting
+    * even one source's reachable set may flood the driver. Two branches,
+    * gated on the MEASURED chain size (the count reads the chain's own
+    * checkpoint):
+    *
+    *  - chain ≤ `driverWalkMaxRows`: collect the (v, pred) rows and walk
+    *    predecessors on the driver — exact, and O(chain) bytes moved once
+    *    instead of O(chain × log chain) through the jump-table self-joins.
+    *  - above the bound (or `driverWalkMaxRows = 0`, the forced-100 TB
+    *    evidence path): pointer doubling — jump tables
+    *    J_k(v) = pred^(2^k)(v) built with log(pathLen) self-joins, then
+    *    the positions 0..L accumulate walking high power to low (each
+    *    partial sum stays on the true path, so every jump is defined).
+    *    Only the final path (L rows) reaches the driver.
+    *
+    * TransitSsspSpec pins branch equality over every reachable target of
+    * one converged run. `dist` is run()/fromDF output; returns
+    * source-first vertex ids, Nil when unreachable. */
+  def pathDistributed(dist: DataFrame, source: Long, target: Long,
+      driverWalkMaxRows: Long = DriverWalkMaxChainRows): List[Long] = {
     val spark = dist.sparkSession
     import spark.implicits._
     val chain0 = dist.filter(col("source_id") === source && col("pred") =!= -1L)
       .select(col("vertex_id").as("v"), col("pred").as("p"))
       .localCheckpoint(true)
-    if (dist.filter(col("source_id") === source && col("vertex_id") === target).isEmpty)
-      return Nil
     val release = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-    val jumps = scala.collection.mutable.ArrayBuffer(chain0)
-    while (!jumps.last.isEmpty) {
-      val jk = jumps.last
-      jumps += jk.as("a").join(jk.as("b"), col("a.p") === col("b.v"))
-        .select(col("a.v").as("v"), col("b.p").as("p"))
-        .localCheckpoint(true)
-    }
-    var pos = Seq((target, 0L)).toDF("v", "idx").localCheckpoint(true)
-    for (k <- (jumps.size - 1) to 0 by -1) {
-      val added = pos.join(jumps(k), Seq("v"))
-        .select(col("p").as("v"), (col("idx") + (1L << k)).as("idx"))
-      val next = pos.unionByName(added).localCheckpoint(true)
-      release(pos) // next is materialized; the superseded accumulator is dead
-      pos = next
-    }
-    val path = pos.orderBy(col("idx").desc).select("v").as[Long].collect().toList
-    // every jump table (chain-sized each) is dead once the descent finishes
-    jumps.foreach(release)
-    release(pos)
-    path
+    try {
+      if (dist.filter(col("source_id") === source && col("vertex_id") === target).isEmpty)
+        return Nil
+      if (chain0.count() <= driverWalkMaxRows) {
+        // Bounded driver walk — identical output to the doubling branch:
+        // both walk the same converged predecessor function from target
+        // to source; this one resolves it from a collected map.
+        val chain = chain0.as[(Long, Long)].collect().toMap
+        @annotation.tailrec
+        def walk(v: Long, acc: List[Long]): List[Long] =
+          if (v == source) v :: acc
+          else chain.get(v) match {
+            case Some(p) => walk(p, v :: acc)
+            case None => v :: acc // seed row (pred −1) was filtered out
+          }
+        return walk(target, Nil)
+      }
+      val jumps = scala.collection.mutable.ArrayBuffer(chain0)
+      while (!jumps.last.isEmpty) {
+        val jk = jumps.last
+        jumps += jk.as("a").join(jk.as("b"), col("a.p") === col("b.v"))
+          .select(col("a.v").as("v"), col("b.p").as("p"))
+          .localCheckpoint(true)
+      }
+      var pos = Seq((target, 0L)).toDF("v", "idx").localCheckpoint(true)
+      for (k <- (jumps.size - 1) to 0 by -1) {
+        val added = pos.join(jumps(k), Seq("v"))
+          .select(col("p").as("v"), (col("idx") + (1L << k)).as("idx"))
+        val next = pos.unionByName(added).localCheckpoint(true)
+        release(pos) // next is materialized; the superseded accumulator is dead
+        pos = next
+      }
+      val path = pos.orderBy(col("idx").desc).select("v").as[Long].collect().toList
+      // jump tables (chain-sized each) are dead once the descent finishes;
+      // jumps(0) == chain0 gets its release in the finally (double-release
+      // is a no-op, the guard below skips tail tables only)
+      jumps.drop(1).foreach(release)
+      release(pos)
+      path
+    } finally release(chain0)
   }
 
   /** Edge-count threshold below which SSSP runs as a driver-local Dijkstra
@@ -214,9 +255,14 @@ object ShortestPaths {
     def runStaged(sources: Set[Long]): DistRun = distributedStaged match {
       case Some(f) if !isLocal => f(sources)
       case _ =>
-        val full = run(sources)
+        // Cache the one full run: without it, ranking (distances) and path
+        // resolution would each re-execute the whole SSSP — a latent 2×
+        // regression for any non-staged distributed caller (the local
+        // branch is driver-cheap either way). Released via release().
+        val full = run(sources).cache()
         new DistRun(full.select("vertex_id", "source_id", "dist"),
-          s => full.filter(col("source_id") === s))
+          s => full.filter(col("source_id") === s),
+          () => { full.unpersist(); () })
     }
 
     private def computeLocal(g: Csr, sources: Set[Long]): Map[Long, (Array[Double], Array[Int])] = {

@@ -25,10 +25,15 @@ import org.apache.spark.sql.expressions.Window
   * maximum number of LINE CHANGES on any optimal path (single digits for
   * transit) instead of the hop depth. The state is the pinned
   * (source × stoptime) grid: checkpointing preserves its physical
-  * partitioning/ordering, so after round one the window plans with no
-  * Exchange/Sort, only the delta frontier feeds the CHANGE join, and the
-  * candidate merge broadcasts once the frontier shrinks — late rounds run
-  * shuffle-free. This is the standard round-based structure transit
+  * partitioning/ordering — hash(trip_id)-compatible, sorted
+  * (src, trip_id, stop_sequence) — and BOTH per-round operations are
+  * expressed against exactly that layout: the prefix-min window plans
+  * with no Exchange/Sort, and the candidate merge joins on
+  * (src, trip_id, stop_sequence) (the target's primary key, carried on
+  * the pinned CHANGE slice) so the grid satisfies the join's
+  * distribution by the subset rule and only the frontier-sized candidate
+  * table ever shuffles. The grid itself never moves after the seed
+  * round, flood or tail. This is the standard round-based structure transit
   * engines (RAPTOR-family) exploit, re-expressed as Catalyst window +
   * join so it scales with the cluster.
   *
@@ -83,6 +88,9 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   // A(u) = A(u−1) + (arr(u) − dep(u−1)) — so chain cost v→u = A(u) − A(v)
   // equals the sum of the PRECEDES hop weights including intermediate
   // dwells. Checkpointed once per projection; every call reads the pins.
+  @volatile private var preparedForced = false
+  @volatile private var changeForced = false
+
   private lazy val prepared = {
     val t0 = System.nanoTime()
     val p = nodes
@@ -96,17 +104,27 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
       .localCheckpoint(true)
     TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    preparedForced = true
     p
   }
 
   // CHANGE slice pinned once — iterations must not re-derive it from the
-  // projected union per round.
+  // projected union per round. Each edge also carries its TARGET's
+  // (trip_id, stop_sequence): the candidate merge joins the grid on
+  // (src, trip_id, stop_sequence) — a superset of the grid's checkpoint-
+  // preserved hash(trip_id) partitioning — instead of (src, id), so the
+  // grid never re-Exchanges mid-flood (see converge()). Every CHANGE
+  // target is a node, so the position join loses nothing.
   private lazy val change = {
     val t0 = System.nanoTime()
+    val tgtPos = nodes.select(col("id").as("e_dst"),
+      col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"))
     val c = changeEdges.select(col("source").as("e_src"),
       col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
+      .join(tgtPos, Seq("e_dst"))
       .localCheckpoint(true)
     TransitSssp.tlog(f"change-slice pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    changeForced = true
     c
   }
 
@@ -145,8 +163,19 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   }
 
   /** Label-correcting iteration to the fixpoint; returns the converged
-    * grid (src, id, trip_id, stop_sequence, acum, dist, fresh). */
-  private def converge(sources: Set[Long], maxIterations: Int): DataFrame = {
+    * grid (src, id, trip_id, stop_sequence, acum, dist, fresh). Package
+    * access: [[TransitBetweenness]] runs its forward hop-BFS through this
+    * (ride weight = Δposition, change weight = 1 — same operator), then
+    * derives sigma/delta from the grid. */
+  private[graph] def converge(sources: Set[Long], maxIterations: Int = 1000): DataFrame =
+    convergeCounted(sources, maxIterations)._1
+
+  /** converge plus the iteration count the run took — the count bounds the
+    * change-depth of every optimal path, which downstream phases
+    * (TransitBetweenness's sigma/delta sweeps) use as their own round
+    * budget. */
+  private[graph] def convergeCounted(sources: Set[Long],
+      maxIterations: Int): (DataFrame, Int) = {
     import spark.implicits._
     // The iteration STATE is the full (source × stoptime) grid with a
     // nullable dist and a `fresh` flag (dist arrived via a CHANGE merge
@@ -155,9 +184,9 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // reached-set joined back in every round — matters for the plan:
     // localCheckpoint preserves the physical partitioning/ordering, so
     // after the first round the prefix-min window plans with NO Exchange
-    // and NO Sort, and the candidate merge is a broadcast join once the
-    // frontier shrinks (AQE decides from runtime sizes). Late iterations
-    // therefore run shuffle-free over the pinned grid.
+    // and NO Sort, and the candidate merge (keyed on the grid's own
+    // layout — see below) moves only the candidate side. Every iteration
+    // runs with the grid pinned in place, flood rounds included.
     val srcDim = sources.toSeq.sorted.toDF("src")
     var state = prepared.crossJoin(broadcast(srcDim))
       .withColumn("dist", when(col("id") === col("src"), lit(0.0)))
@@ -176,13 +205,26 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // plus rows merged from candidates last round (`fresh`).
       val changed = ride.filter(col("rdist").isNotNull &&
         (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
+      // Candidate merge keyed on (src, trip_id, stop_sequence) — the
+      // target's position, not its id. (trip_id, stop_sequence) is the
+      // node's primary key (id = xxhash64 of exactly that pair), so the
+      // grouping is equivalent — but the GRID side now satisfies the
+      // join's distribution by the subset rule: its checkpoint-preserved
+      // partitioning is hash(trip_id) ⊆ the join keys, and its window
+      // sort (src, trip_id, stop_sequence) IS the SMJ sort order. Only
+      // candMin (frontier-sized) shuffles into the grid's layout. The
+      // old (src, id) key forced a grid-sized Exchange here AND a second
+      // one at the next round's window (whose keys the (src, id)
+      // checkpoint no longer satisfied) — the 30–47 s/round dominant
+      // cost of a 10×-Modena route (COVERAGE.md distributed section).
       val candMin = changed
         .select(col("src"), col("id"), col("rdist"))
         .join(change, col("id") === col("e_src"))
-        .groupBy(col("src"), col("e_dst"))
+        .groupBy(col("src"), col("d_trip"), col("d_seq"))
         .agg(min(col("rdist") + col("w")).as("cdist"))
-        .withColumnRenamed("e_dst", "id")
-      val merged = ride.join(candMin, Seq("src", "id"), "left")
+        .withColumnRenamed("d_trip", "trip_id")
+        .withColumnRenamed("d_seq", "stop_sequence")
+      val merged = ride.join(candMin, Seq("src", "trip_id", "stop_sequence"), "left")
         .withColumn("ndist", least(col("rdist"), col("cdist")))
       // The convergence test rides INSIDE the checkpoint job: observe()
       // plants a CollectMetrics node whose aggregate is computed by the
@@ -223,7 +265,17 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
         "optimal paths deeper than the bound (raise maxIterations)")
-    state
+    (state, it)
+  }
+
+  /** Release the instance's pinned static frames (trip prefix + CHANGE
+    * slice) — for short-lived instances (one betweenness call) that should
+    * not leave checkpoint blocks behind. Projection-held instances keep
+    * their pins for the projection's lifetime and never call this. */
+  private[graph] def releasePins(): Unit = {
+    val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
+    if (preparedForced) rel(prepared)
+    if (changeForced) rel(change)
   }
 
   /** Predecessor resolution against the CONVERGED distances: candidates

@@ -124,7 +124,7 @@ object GraphQueries {
     // puts it under the driver's own hash gate).
     Q("gtfs_routing_distributed", "G2,G6,J8",
       (s, _) => new graft.api.RoutingEngine(graft.api.DemoGtfs.tables(s),
-          ssspLocalThreshold = 0L)
+          ssspLocalThreshold = 0L, pathDriverWalkMaxRows = 0L)
         .routing("2024-01-18", 1.0, "14:00:00", "Alpha", "Epsilon"),
       Some("""SELECT hop, trip, departure, line, starting_stop_name, starting_stop_id,
              | CAST(start_lat AS DOUBLE) AS start_lat, CAST(start_lon AS DOUBLE) AS start_lon,

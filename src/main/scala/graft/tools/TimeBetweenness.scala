@@ -7,9 +7,16 @@ import org.apache.spark.sql.SparkSession
   * at fixture scale (`gtfs_betweenness`, 16 nodes). Builds the synthetic
   * Modena projection (250k stoptime nodes / ~973k edges), runs
   * `Betweenness.ofProjection` with its default source policy (256
-  * hash-sampled pivots → the pivot-parallel broadcast-CSR branch; the edge
-  * count sits under CsrBrandesMaxEdges), and reports wall time plus the
-  * top rows. SPARK_GRAFT_BW_SOURCES overrides the pivot count. */
+  * hash-sampled pivots), and reports wall time plus the top rows.
+  *
+  * SPARK_GRAFT_BW_SOURCES overrides the pivot count.
+  * SPARK_GRAFT_BW_REGIME picks the branch being measured:
+  *  - "csr" (default): the edge count sits under CsrBrandesMaxEdges, so
+  *    the pivot-parallel broadcast-CSR sweep runs.
+  *  - "transit": localThreshold forced to 0, so the same pivots run
+  *    through `TransitBetweenness` — the trip-collapse distributed branch
+  *    that is the only one possible above 2M edges (at 100 TB). Pair with
+  *    SPARK_GRAFT_BW_TRACE=1 for per-batch round counts. */
 object TimeBetweenness {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,11 +42,18 @@ object TimeBetweenness {
       proj.nodes.select(col("id")).orderBy(xxhash64(col("id"), lit(42L)))
         .limit(k).as[Long].collect().toSeq
     }
+    val regime = sys.env.getOrElse("SPARK_GRAFT_BW_REGIME", "csr")
+    val threshold = regime match {
+      case "transit" => 0L
+      case _ => graft.graph.Betweenness.CsrBrandesMaxEdges
+    }
     val t0 = System.nanoTime()
-    val top = graft.graph.Betweenness.ofProjection(proj, sources = sources)
+    val top = graft.graph.Betweenness.ofProjection(proj, sources = sources,
+        localThreshold = threshold)
       .limit(5).collect()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"sampled Brandes (${nSrc.getOrElse(graft.graph.Betweenness.DefaultSampleSources)}%d pivots): $sec%.1f s")
+    println(f"sampled Brandes [$regime%s] " +
+      f"(${nSrc.getOrElse(graft.graph.Betweenness.DefaultSampleSources)}%d pivots): $sec%.1f s")
     top.foreach(r => println(s"  $r"))
     eng.close()
     spark.stop()

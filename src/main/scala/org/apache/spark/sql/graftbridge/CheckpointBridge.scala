@@ -15,10 +15,21 @@ import org.apache.spark.sql.execution.LogicalRDD
 object CheckpointBridge {
   /** Release the storage of a `localCheckpoint(true)` result the caller has
     * finished with (every downstream consumer already materialized). No-op
-    * on non-checkpoint Datasets. Non-blocking. */
+    * on non-checkpoint Datasets — including DataFrames wrapped directly
+    * over a user RDD (`spark.createDataFrame(rdd)` also analyzes to a bare
+    * LogicalRDD, so the guard checks the RDD actually carries a checkpoint
+    * mark rather than silently dropping a caller-managed RDD's storage).
+    * Non-blocking.
+    *
+    * The guard is `isCheckpointed` — true for every eager
+    * `localCheckpoint(true)` (the only thing graft call sites pass), false
+    * for a plain wrapped RDD. A LAZY checkpoint not yet materialized also
+    * reads false and is left alone — release-after-materialize is the
+    * call-site contract anyway. */
   def unpersistCheckpoint(df: Dataset[_]): Unit =
     df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD if lr.rdd.isCheckpointed =>
+        lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
 }

@@ -94,6 +94,62 @@ class BetweennessSpec extends SparkSpec {
     csr.foreach { case (k, v) => assert(math.abs(v - local(k)) < 1e-9, s"vertex $k") }
   }
 
+  test("transit trip-collapse Brandes equals runLocal on the demo projection") {
+    import org.apache.spark.sql.functions.col
+    val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+    val edges = g.edges.select(col("source"), col("target"))
+      .as[(Long, Long)].collect().distinct
+    val all = g.nodes.select("id").as[Long].collect().toSeq.sorted
+    // pivotBatch = 5 forces several batches — the cross-batch score sum
+    // and per-batch convergence must compose to the exact answer
+    val transit = graft.graph.TransitBetweenness.run(
+        g.nodes, g.edges.filter(col("type") === "CHANGE"), all, pivotBatch = 5)
+      .as[(Long, Double)].collect().toMap
+    val local = Betweenness.runLocal(edges, all)
+    assert(transit.keySet == local.keySet)
+    transit.foreach { case (k, v) =>
+      assert(math.abs(v - local(k)) < 1e-9, s"vertex $k: $v vs ${local(k)}")
+    }
+  }
+
+  test("transit Brandes equals runLocal on a tie-heavy synthetic grid projection") {
+    import org.apache.spark.sql.functions.col
+    // grid networks give many equal-hop alternatives: multi-block trips,
+    // tied sigma splits, and pivots mid-trip
+    val raw = graft.etl.SyntheticGtfs.grid(spark, 4, 4, 3, directions = 2)
+    val eng = new graft.api.RoutingEngine(raw)
+    try {
+      val g = eng.projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+      val edges = g.edges.select(col("source"), col("target"))
+        .as[(Long, Long)].collect().distinct
+      val pivots = g.nodes.select("id").as[Long].collect().toSeq.sorted
+        .zipWithIndex.filter(_._2 % 3 == 0).map(_._1) // sampled, id gaps
+      val transit = graft.graph.TransitBetweenness.run(
+          g.nodes, g.edges.filter(col("type") === "CHANGE"), pivots)
+        .as[(Long, Double)].collect().toMap
+      val local = Betweenness.runLocal(edges, pivots)
+      assert(transit.keySet == local.keySet)
+      transit.foreach { case (k, v) =>
+        assert(math.abs(v - local(k)) < 1e-9, s"vertex $k: $v vs ${local(k)}")
+      }
+    } finally eng.close()
+  }
+
+  test("ofProjection above-threshold regime matches the CSR regime") {
+    val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("stop_name"),
+        r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val viaCsr = rows(Betweenness.ofProjection(g))
+    val viaTransit = rows(Betweenness.ofProjection(g, localThreshold = 0L))
+    assert(viaCsr.size == viaTransit.size)
+    viaCsr.zip(viaTransit).foreach { case ((n1, d1, s1), (n2, d2, s2)) =>
+      assert(n1 == n2 && d1 == d2, s"row mismatch: ($n1,$d1) vs ($n2,$d2)")
+      assert(math.abs(s1 - s2) < 1e-9, s"score mismatch at ($n1,$d1): $s1 vs $s2")
+    }
+  }
+
   test("betweenness of the projected routing graph ranks transfer stoptimes") {
     val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
     val top = Betweenness.ofProjection(g).collect()

@@ -26,6 +26,13 @@ class CatalogVintageSpec extends SparkSpec {
       .map { case (us, i) => (i.toLong, us, "purchase") }
       .toDF("event_id", "us", "event_type")
     val df = shape match {
+      // NOTE: this vintage is APPROXIMATED by a pre-decoded INT64 column —
+      // Spark cannot WRITE physical parquet TIMESTAMP(NANOS), so the file
+      // carries the long values the nanosAsLong read path would produce,
+      // not a true NANOS column. It pins Catalog.t's handling of a
+      // long-typed ts; a Spark upgrade breaking the nanosAsLong decode
+      // itself would not fail here (no real r8-era NANOS fixture exists
+      // in-repo to pin that).
       case "long_nanos" => base.select(col("event_id"),
         (col("us") * 1000L).as("ts"), col("event_type"))
       case "timestamp" => base.select(col("event_id"),

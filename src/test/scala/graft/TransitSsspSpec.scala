@@ -59,6 +59,29 @@ class TransitSsspSpec extends SparkSpec {
     } finally dist.unpersist()
   }
 
+  test("pathDistributed: bounded driver walk ≡ pointer doubling") {
+    val src = g.nodes.orderBy("id").limit(1).select("id").as[Long].head()
+    val dist = TransitSssp.run(g.nodes, changeEdges, Set(src)).cache()
+    try {
+      val reached = dist.select("vertex_id", "dist")
+        .as[(Long, Double)].collect().sortBy(r => (r._2, r._1))
+      // every reachable target, not just the farthest — short paths, the
+      // 1-hop edge case, and the deepest chain all take both branches
+      reached.map(_._1).foreach { tgt =>
+        val walked = ShortestPaths.pathDistributed(dist, src, tgt,
+          driverWalkMaxRows = Long.MaxValue)
+        val doubled = ShortestPaths.pathDistributed(dist, src, tgt,
+          driverWalkMaxRows = 0L)
+        assert(walked == doubled, s"branch mismatch for target $tgt")
+      }
+      // unreachable target: both branches agree on Nil
+      assert(ShortestPaths.pathDistributed(dist, src, -99L,
+        driverWalkMaxRows = Long.MaxValue).isEmpty)
+      assert(ShortestPaths.pathDistributed(dist, src, -99L,
+        driverWalkMaxRows = 0L).isEmpty)
+    } finally dist.unpersist()
+  }
+
   test("empty sources and unreachable seeds degrade gracefully") {
     assert(TransitSssp.run(g.nodes, changeEdges, Set.empty).isEmpty)
     // a seed absent from the projection still reports itself at dist 0
