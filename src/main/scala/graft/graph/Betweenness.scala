@@ -274,16 +274,24 @@ object Betweenness {
     * ids, O(sample) not O(V)).
     *
     * Regime: ≤ `localThreshold` edges the graph broadcasts and Brandes
-    * runs pivot-parallel over the CSR (via [[run]]); above it — the only
-    * branch possible at 100 TB — the projection's trip structure routes to
-    * [[TransitBetweenness]], whose three phases pay line-change depth, not
-    * the ~600-hop ride depth the generic level-synchronous loop pays
-    * (1255 s vs CSR's 6.7 s at Modena cardinality; TransitBetweenness is
-    * the distributed branch that closes that gap — BetweennessSpec pins
-    * all regimes to runLocal). */
+    * runs pivot-parallel over the CSR (via [[run]]); above it — the 100 TB
+    * regime — the default is the generic level-synchronous distributed
+    * Brandes, with [[TransitBetweenness]] (the trip-collapse alternative)
+    * behind `transitAboveThreshold`. That default is a MEASURED
+    * adjudication, not a guess (COVERAGE.md betweenness section): on the
+    * hop metric Brandes uses, shortest paths chain through CHANGE edges
+    * liberally (a change costs 1 hop; measured change-depth ≈ 34 at 1×
+    * Modena vs ≈ 12 for the weighted routing metric), so trip-collapse
+    * pays ~3 × 34 full-grid rounds across its dist/sigma/delta phases —
+    * ≈ 12.5 s/pivot measured — where the level-synchronous loop's ~600
+    * cheap frontier rounds cost ≈ 4.9 s/pivot at the same cardinality.
+    * The collapse that wins for weighted transit SSSP (TransitSssp, round
+    * count 12-15) loses here; both branches are spec-pinned to runLocal
+    * (BetweennessSpec). */
   def ofProjection(g: graft.projection.TimeExpandedGraph,
       sources: Option[Seq[Long]] = None, seed: Long = 42L,
-      localThreshold: Long = CsrBrandesMaxEdges): DataFrame = {
+      localThreshold: Long = CsrBrandesMaxEdges,
+      transitAboveThreshold: Boolean = false): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val (srcs, scale) = sources match {
@@ -300,7 +308,7 @@ object Betweenness {
         }
     }
     val scores =
-      if (g.edgeCount > localThreshold)
+      if (g.edgeCount > localThreshold && transitAboveThreshold)
         TransitBetweenness.run(g.nodes,
           g.edges.filter(col("type") === "CHANGE"), srcs)
       else

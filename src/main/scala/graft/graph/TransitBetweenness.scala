@@ -122,8 +122,10 @@ object TransitBetweenness {
     val batches = sources.distinct.grouped(math.max(1, pivotBatch)).toSeq
     val batchScores = batches.zipWithIndex.map { case (batch, bi) =>
       val t0 = System.nanoTime()
+      def phaseSec: Double = (System.nanoTime() - t0) / 1e9
       // ---- forward: hop distances via trip-collapse SSSP ----
       val (grid, distRounds) = sssp.convergeCounted(batch.toSet, maxIterations)
+      tlog(f"batch $bi%d dist done: $distRounds%d rounds $phaseSec%.1f s")
       val state0 = grid.filter(col("dist").isNotNull)
         .withColumn("key", col("dist") - col("acum"))
         .withColumn("seed", when(col("id") === col("src"), 1.0).otherwise(0.0))
@@ -164,6 +166,7 @@ object TransitBetweenness {
         rel(state)
         state = next
         sigmaIters += 1
+        tlog(f"batch $bi%d sigma round $sigmaIters%d changed=$changed%d $phaseSec%.1f s")
       }
 
       // ---- delta: block suffix sums, sigmaIters (= maxChanges + 1)
@@ -193,6 +196,7 @@ object TransitBetweenness {
           .localCheckpoint(true)
         rel(dstate)
         dstate = next
+        tlog(f"batch $bi%d delta round done $phaseSec%.1f s")
       }
 
       // runLocal's row set: every visited vertex except the pivot itself

@@ -82,8 +82,14 @@ object Bpe {
     * the top-`BatchProbe` pairs and accepts the maximal EXACT batch (see
     * [[selectBatch]]). Deeper probes admit bigger batches in the late,
     * tie-heavy rounds at the cost of a slightly larger per-round collect
-    * (rows of three short strings — KBs). */
-  val BatchProbe: Int = 512
+    * (rows of three short strings — KBs). The batch-width limiter is the
+    * PROBE FLOOR — `selectBatch` can only accept pairs provably above
+    * every count it cannot see, i.e. above top.last's count — and late
+    * rounds are tie-heavy plateaus, so 512 rows of probe often share one
+    * count and admit a 1-wide batch. 4096 reaches past the plateau; the
+    * collect stays a TakeOrdered of ~200 KB (batch-width decay curve in
+    * COVERAGE.md's BPE section). */
+  val BatchProbe: Int = 4096
 
   /** Maximal batch of merges from the top pairs of one count table that is
     * PROVABLY identical to applying that many sequential BPE rounds.
@@ -190,7 +196,9 @@ object Bpe {
       col("count").cast("long").as("count")).localCheckpoint(true)
     var counts = pairCounts(syms).localCheckpoint(true) // the one full aggregation
     var exhausted = false
+    var round = 0
     while (merges.size < numMerges && !exhausted) {
+      val roundT0 = System.nanoTime()
       val top = counts.orderBy(desc("n"), asc("a"), asc("b")).limit(BatchProbe)
         .as[(String, String, Long)].collect().toSeq
       if (top.isEmpty) exhausted = true // no pair co-occurs anywhere
@@ -205,13 +213,19 @@ object Bpe {
           case (acc, (a, b)) => applyMerge(acc, a, b)
         }
         val affected = syms.filter(containsAny)
-        val merged = affected.select(replaceAll(col("s")).as("s"), col("count"))
-        // net pair-count change inside the affected words only
-        val delta = pairCounts(merged).withColumnRenamed("n", "after")
-          .join(pairCounts(affected).withColumnRenamed("n", "before"),
-            Seq("a", "b"), "full_outer")
-          .select(col("a"), col("b"),
-            (coalesce(col("after"), lit(0L)) - coalesce(col("before"), lit(0L))).as("d"))
+        // Net pair-count change inside the affected words, in ONE signed
+        // aggregation: each affected word contributes its pre-merge pairs
+        // at −count and its post-merge pairs at +count, and the same
+        // groupBy(a, b).sum that counts pairs nets them — exact long
+        // arithmetic, bit-identical to the former before/after
+        // aggregate + full_outer-join difference, at one shuffle instead
+        // of two aggregations and a join (and one scan of the affected
+        // set instead of two: the explode doubles rows, not scans).
+        val delta = pairCounts(affected.select(explode(array(
+            struct(col("s"), (-col("count")).as("count")),
+            struct(replaceAll(col("s")).as("s"), col("count")))).as("r"))
+            .select(col("r.s").as("s"), col("r.count").as("count")))
+          .withColumnRenamed("n", "d")
           .filter(col("d") =!= 0L)
         val nextCounts = counts.join(delta, Seq("a", "b"), "full_outer")
           .select(col("a"), col("b"),
@@ -228,10 +242,18 @@ object Bpe {
         org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(counts)
         org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(syms)
         counts = nextCounts; syms = nextSyms
+        round += 1
+        if (trace) println(f"[bpe] round $round%d batch=${batch.size}%d " +
+          f"merges=${merges.size}%d ${(System.nanoTime() - roundT0) / 1e9}%.2f s")
       }
     }
     merges.toSeq
   }
+
+  /** SPARK_GRAFT_BPE_TRACE=1 prints one line per distributed round (batch
+    * width, cumulative merges, wall) — the batch-size decay curve that
+    * projects 32k-vocab wall time; off by default. */
+  private val trace: Boolean = sys.env.get("SPARK_GRAFT_BPE_TRACE").contains("1")
 
   /** Spark orders strings by UTF-8 bytes = code-point order — the local
     * tie-break must match the distributed sort exactly (shared helper). */

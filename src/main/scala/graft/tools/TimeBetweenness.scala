@@ -13,10 +13,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BW_REGIME picks the branch being measured:
   *  - "csr" (default): the edge count sits under CsrBrandesMaxEdges, so
   *    the pivot-parallel broadcast-CSR sweep runs.
-  *  - "transit": localThreshold forced to 0, so the same pivots run
-  *    through `TransitBetweenness` — the trip-collapse distributed branch
-  *    that is the only one possible above 2M edges (at 100 TB). Pair with
-  *    SPARK_GRAFT_BW_TRACE=1 for per-batch round counts. */
+  *  - "levelsync": localThreshold forced to 0, so the same pivots run
+  *    through the level-synchronous distributed Brandes — the >2M-edge
+  *    DEFAULT (the measured adjudication in Betweenness.ofProjection's
+  *    scaladoc).
+  *  - "transit": additionally routes the above-threshold branch to
+  *    `TransitBetweenness` — the trip-collapse alternative. Pair with
+  *    SPARK_GRAFT_BW_TRACE=1 for per-phase round traces. */
 object TimeBetweenness {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -44,12 +47,13 @@ object TimeBetweenness {
     }
     val regime = sys.env.getOrElse("SPARK_GRAFT_BW_REGIME", "csr")
     val threshold = regime match {
-      case "transit" => 0L
+      case "transit" | "levelsync" => 0L
       case _ => graft.graph.Betweenness.CsrBrandesMaxEdges
     }
     val t0 = System.nanoTime()
     val top = graft.graph.Betweenness.ofProjection(proj, sources = sources,
-        localThreshold = threshold)
+        localThreshold = threshold,
+        transitAboveThreshold = regime == "transit")
       .limit(5).collect()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"sampled Brandes [$regime%s] " +

@@ -142,7 +142,16 @@ class BetweennessSpec extends SparkSpec {
         r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
       .sortBy(t => (t._1, t._2, t._3)).toSeq
     val viaCsr = rows(Betweenness.ofProjection(g))
-    val viaTransit = rows(Betweenness.ofProjection(g, localThreshold = 0L))
+    // both above-threshold branches: the level-synchronous default AND the
+    // trip-collapse alternative must reproduce the CSR rows
+    val viaLevelSync = rows(Betweenness.ofProjection(g, localThreshold = 0L))
+    val viaTransit = rows(Betweenness.ofProjection(g, localThreshold = 0L,
+      transitAboveThreshold = true))
+    assert(viaCsr.size == viaLevelSync.size)
+    viaCsr.zip(viaLevelSync).foreach { case ((n1, d1, s1), (n2, d2, s2)) =>
+      assert(n1 == n2 && d1 == d2, s"row mismatch: ($n1,$d1) vs ($n2,$d2)")
+      assert(math.abs(s1 - s2) < 1e-9, s"score mismatch at ($n1,$d1): $s1 vs $s2")
+    }
     assert(viaCsr.size == viaTransit.size)
     viaCsr.zip(viaTransit).foreach { case ((n1, d1, s1), (n2, d2, s2)) =>
       assert(n1 == n2 && d1 == d2, s"row mismatch: ($n1,$d1) vs ($n2,$d2)")
