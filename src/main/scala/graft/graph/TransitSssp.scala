@@ -83,6 +83,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   private val wSrcTrip =
     Window.partitionBy("src", "trip_id").orderBy("stop_sequence")
   private val pref = wSrcTrip.rowsBetween(Window.unboundedPreceding, -1)
+  /** Ride closure: dist after riding from any earlier same-trip row —
+    * transitively complete in one window pass (prefix-min of dist − A). */
+  private val rideCol = least(col("dist"),
+    min(col("dist") - col("acum")).over(pref) + col("acum"))
 
   // Static per-trip ride-cost prefix: A(first) = 0,
   // A(u) = A(u−1) + (arr(u) − dep(u−1)) — so chain cost v→u = A(u) − A(v)
@@ -107,6 +111,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     preparedForced = true
     p
   }
+
+  /** Node count, read once from the pinned prefix — sizes the sparse-tail
+    * switch threshold. */
+  private lazy val nodeCount: Long = prepared.count()
 
   // CHANGE slice pinned once — iterations must not re-derive it from the
   // projected union per round. Each edge also carries its TARGET's
@@ -192,12 +200,23 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .withColumn("dist", when(col("id") === col("src"), lit(0.0)))
       .withColumn("fresh", col("dist").isNotNull)
 
-    val rideCol = least(col("dist"),
-      min(col("dist") - col("acum")).over(pref) + col("acum"))
-
+    // Sparse-tail switch: once a round improves fewer rows than this AND
+    // the frontier is DECAYING, remaining rounds run over a trip-slice +
+    // small overlay (see the tail loop below) instead of rewriting the
+    // full grid. 1/128 of the grid bounds the first sparse slice at ~1 %
+    // of a full round's rows (threshold rows × ~25-row trips / grid). The
+    // decay condition matters: round 0's improvement count is just the
+    // seed handful, BEFORE the flood — switching there would push the
+    // entire flood through overlay machinery (measured 2-4× slower than
+    // full rounds at 10× Modena); the tail is where improvements are
+    // both small and shrinking.
+    val sparseThreshold =
+      math.max(1024L, nodeCount * sources.size / 128L)
     var it = 0
     var converged = false
-    while (it < maxIterations && !converged) {
+    var sparse = false
+    var prevImproved = -1L
+    while (it < maxIterations && !converged && !sparse) {
       val itT0 = System.nanoTime()
       val ride = state.withColumn("rdist", rideCol)
       // Delta frontier: only rows whose value is new since their out-edges
@@ -249,8 +268,12 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         .localCheckpoint(true)
       val improved = obs.get("improved").asInstanceOf[Long]
       converged = improved == 0L
+      sparse = !converged && improved <= sparseThreshold &&
+        prevImproved >= 0L && improved < prevImproved
+      prevImproved = improved
       TransitSssp.tlog(f"round $it%d improved=$improved%d " +
-        f"${(System.nanoTime() - itT0) / 1e9}%.2f s")
+        f"${(System.nanoTime() - itT0) / 1e9}%.2f s" +
+        (if (sparse) " -> sparse tail" else ""))
       // newState is materialized (eager checkpoint), so the superseded
       // grid's blocks are dead — release them NOW instead of waiting for
       // the ContextCleaner's GC-driven pass. Without this, a 10×-Modena
@@ -262,10 +285,127 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       state = newState
       it += 1
     }
+    if (sparse) return sparseTail(state, it, maxIterations)
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
         "optimal paths deeper than the bound (raise maxIterations)")
     (state, it)
+  }
+
+  /** Sparse-tail rounds: once the frontier dribbles (late tail of a run —
+    * measured 10×-Modena routes spend up to 7 rounds merging a few
+    * thousand improvements each, at a full 7.5M-row grid rewrite per
+    * round), the grid stops moving ENTIRELY. The last full checkpoint
+    * becomes the static `base`; the mutable state is a small OVERLAY of
+    * (src, position) → (dist, fresh) rows that differ from base. A round
+    * touches only the trips containing a fresh overlay row: it pulls
+    * those trips' rows from base (broadcast semi-join — the grid scan is
+    * a partition-local in-memory filter, no Exchange), coalesces the
+    * overlay in, and runs the SAME ride-window + CHANGE-candidate
+    * operators full rounds run, so the semantics are unchanged operator
+    * for operator. Ride improvements fire all their effects in-round
+    * (window transitivity + candidate join) and enter the overlay
+    * non-fresh; candidate improvements enter fresh (their out-edges fire
+    * next round). Converged = a round with zero improvements — the same
+    * fixpoint test as the full loop, on the same operator. One full-grid
+    * merge materializes the final state (replacing N tail-round grid
+    * rewrites with one), after which base and overlay are released; the
+    * returned frame carries the full-round schema, so every consumer
+    * (Staged, resolveState, TransitBetweenness) is oblivious.
+    *
+    * Overlay merges join on (src, trip_id, stop_sequence) — the grid's
+    * primary key in its own partitioning terms — so neither the slice
+    * pull, the candidate-target probe, nor the final merge ever
+    * re-Exchanges base. All per-round actions run over overlay-sized
+    * frames; fixture-scale runs switch to this loop after round 0
+    * (threshold floor 1024 rows), so every routing parity spec and the
+    * per-round `gtfs_routing_distributed` oracle exercise it. */
+  private def sparseTail(lastFull: DataFrame, itStart: Int,
+      maxIterations: Int): (DataFrame, Int) = {
+    val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
+    val base = lastFull
+    val posKey = Seq("src", "trip_id", "stop_sequence")
+    var ov = base.filter(col("fresh"))
+      .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
+        col("dist"), col("fresh"))
+      .localCheckpoint(true)
+    var it = itStart
+    var converged = false
+    while (it < maxIterations && !converged) {
+      val itT0 = System.nanoTime()
+      val trips = ov.filter(col("fresh")).select("src", "trip_id").distinct()
+      val slice = base.join(broadcast(trips), Seq("src", "trip_id"))
+      val cur = slice
+        .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
+          col("dist").as("o_dist"), col("fresh").as("o_fresh")), posKey, "left")
+        .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
+          col("acum"), coalesce(col("o_dist"), col("dist")).as("dist"),
+          coalesce(col("o_fresh"), col("fresh")).as("fresh"))
+      // The slice is overlay-sized — pin it so the three consumers below
+      // (changed/candMin, rideImp) don't each re-run the base scan + window
+      val ride = cur.withColumn("rdist", rideCol).localCheckpoint(true)
+      val changed = ride.filter(col("rdist").isNotNull &&
+        (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
+      // broadcast the FRONTIER side: the pinned CHANGE slice is
+      // edge-count-sized (millions of rows at 10×) and an un-hinted join
+      // would sort/shuffle all of it per round to meet a few hundred
+      // frontier rows — the hint turns it into one streamed scan
+      val candMin = change
+        .join(broadcast(changed.select(col("src"), col("id"), col("rdist"))),
+          col("id") === col("e_src"))
+        .groupBy(col("src"), col("d_trip"), col("d_seq"))
+        .agg(min(col("rdist") + col("w")).as("cdist"))
+        .withColumnRenamed("d_trip", "trip_id")
+        .withColumnRenamed("d_seq", "stop_sequence")
+      val rideImp = ride
+        .filter(col("rdist").isNotNull &&
+          (col("dist").isNull || col("rdist") < col("dist")))
+        .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
+          col("rdist").as("dist"), lit(false).as("fresh"))
+      // candidate targets probed against base + overlay (their CURRENT
+      // value); strict-improvement filters keep the overlay minimal
+      val candImp = base.join(broadcast(candMin), posKey)
+        .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
+          col("dist").as("o_dist")), posKey, "left")
+        .withColumn("cur", coalesce(col("o_dist"), col("dist")))
+        .filter(col("cur").isNull || col("cdist") < col("cur"))
+        .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
+          col("cdist").as("dist"), lit(true).as("fresh"))
+      val imp = rideImp.unionByName(candImp).localCheckpoint(true)
+      rel(ride)
+      val nImp = imp.count()
+      if (nImp == 0L) { converged = true; rel(imp) }
+      else {
+        // processed fresh rows have fired all effects — clear the flag;
+        // per position keep the best dist (ties prefer fresh = refire,
+        // which is monotone-safe)
+        val wPick = Window.partitionBy(posKey.map(col): _*)
+          .orderBy(col("dist").asc, col("fresh").desc)
+        val mergedOv = ov.withColumn("fresh", lit(false)).unionByName(imp)
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1).drop("rn")
+          .localCheckpoint(true)
+        rel(ov); rel(imp)
+        ov = mergedOv
+      }
+      TransitSssp.tlog(f"sparse round $it%d improved=$nImp%d " +
+        f"${(System.nanoTime() - itT0) / 1e9}%.2f s")
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"TransitSssp did not converge in $maxIterations iterations — " +
+        "optimal paths deeper than the bound (raise maxIterations)")
+    val mT0 = System.nanoTime()
+    val full = base
+      .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
+        col("dist").as("o_dist")), posKey, "left")
+      .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
+        col("acum"), coalesce(col("o_dist"), col("dist")).as("dist"),
+        lit(false).as("fresh"))
+      .localCheckpoint(true)
+    rel(base); rel(ov)
+    TransitSssp.tlog(f"sparse merge ${(System.nanoTime() - mT0) / 1e9}%.2f s")
+    (full, it)
   }
 
   /** Release the instance's pinned static frames (trip prefix + CHANGE
