@@ -23,6 +23,17 @@ final case class GraphMetrics(nodeCount: Long, relationshipCount: Long,
 final case class JourneySummary(segments: DataFrame, changes: Long,
     startWalkMeters: Double, endWalkMeters: Double, totalSeconds: Double)
 
+/** One labeled itinerary segment. Both routing branches end by assembling
+  * these from driver-resident node records (the local index, or the bounded
+  * per-path collect), so the routing result is driver-side FIRST and a
+  * DataFrame second — `journey` reads the rows directly (no collect job on
+  * a LocalRelation), the public routing APIs wrap them via `segmentsDf`. */
+private[api] final case class Seg(hop: Int, trip: String, departure: String,
+    line: String, startingStopName: String, startingStopId: String,
+    startLat: Double, startLon: Double, nextTrip: String, nextStop: String,
+    nextStopId: String, nextLat: Double, nextLon: Double, nextLine: String,
+    arrival: String)
+
 /** The reference App's query surface (`main.py`), Spark-native.
   *
   * Correlated-Dijkstra decorrelation (SURVEY §7.3): the reference calls
@@ -77,23 +88,29 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
   def findNearStops(date: String, lat: Double, lon: Double, radius: Double,
       speed: Double = 1.0): DataFrame = {
     val g = projected(day(date), speed)
+    def scan(arr: Iterable[(String, Double, Double)]): DataFrame = {
+      import spark.implicits._
+      arr.iterator.filter { case (_, la, lo) =>
+        graft.functions.SpatialFunctions.haversineMetersScalar(la, lo, lat, lon) < radius
+      }.map(_._1).toSet.toSeq.sorted.toDF("stop_name")
+    }
     // Peek, don't force: the local-index gate needs the edge count, and a
     // stop scan must not pay the whole CHANGE build on a fresh projection.
-    // After any routing call has resolved the regime, this is an array scan.
+    // After any routing call has resolved the regime this is an array scan;
+    // before it, the BOUNDED driver stop dimension (one shared small job
+    // per projection) answers unless the feed exceeds its row bound.
     g.localIndexIfBuilt match {
-      case Some(ix) =>
-        import spark.implicits._
-        val names = ix.stopDim.iterator.filter { case (_, la, lo) =>
-          graft.functions.SpatialFunctions.haversineMetersScalar(la, lo, lat, lon) < radius
-        }.map(_._1).toSet
-        names.toSeq.sorted.toDF("stop_name")
-      case None =>
-        g.stopDim
-          // bbox + exact haversine: the box predicates prune a columnar stop
-          // store before any trig runs (identical result set)
-          .filter(graft.functions.SpatialFunctions.withinRadius(
-            col("lat"), col("lon"), lat, lon, radius))
-          .select("stop_name").distinct()
+      case Some(ix) => scan(ix.stopDim)
+      case None => g.localStopDim match {
+        case Some(arr) => scan(arr)
+        case None =>
+          g.stopDim
+            // bbox + exact haversine: the box predicates prune a columnar
+            // stop store before any trig runs (identical result set)
+            .filter(graft.functions.SpatialFunctions.withinRadius(
+              col("lat"), col("lon"), lat, lon, radius))
+            .select("stop_name").distinct()
+      }
     }
   }
 
@@ -149,7 +166,14 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     * declarative DataFrames above it. The forced-Pregel parity spec pins
     * both branches to identical itineraries. */
   private def route(d: java.sql.Date, speed: Double, t0: Long,
-      maxDurationHours: Int, src: Endpoint, tgt: Endpoint): DataFrame = {
+      maxDurationHours: Int, src: Endpoint, tgt: Endpoint): DataFrame =
+    segmentsDf(routeRows(d, speed, t0, maxDurationHours, src, tgt))
+
+  /** Routing core returning the driver-side segment rows — `journey`
+    * consumes these directly (change count, endpoints, times) without a
+    * round-trip through a LocalRelation collect. */
+  private def routeRows(d: java.sql.Date, speed: Double, t0: Long,
+      maxDurationHours: Int, src: Endpoint, tgt: Endpoint): Seq[Seg] = {
     val g = projected(d, speed)
     g.localIndex match {
       case Some(ix) => routeLocal(g, ix, speed, t0, maxDurationHours, src, tgt)
@@ -163,7 +187,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     * same definition the distributed branch orders by. */
   private def routeLocal(g: TimeExpandedGraph, ix: graft.projection.LocalProjection,
       speed: Double, t0: Long, maxDurationHours: Int,
-      src: Endpoint, tgt: Endpoint): DataFrame = {
+      src: Endpoint, tgt: Endpoint): Seq[Seg] = {
     import graft.projection.NodeRec
     import graft.functions.SpatialFunctions.haversineMetersScalar
     def walkSecs(e: Endpoint)(r: NodeRec): Double = e.walkFrom match {
@@ -190,12 +214,12 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       }
       if (c <= 0) x else y
     }).toSeq
-    if (srcRows.isEmpty) return emptySegments
+    if (srcRows.isEmpty) return Nil
 
     // target predicate: dep + t_walk < t0 + horizon (`main.py:91,139`)
     val horizon = t0 + maxDurationHours * 3600L
     val tgtRows = candidates(tgt).filter { case (r, w) => r.dep + w < horizon }
-    if (tgtRows.isEmpty) return emptySegments
+    if (tgtRows.isEmpty) return Nil
 
     // ONE multi-source SSSP replaces per-pair Dijkstras (SURVEY §7.3); the
     // per-projection handle reuses the resolved CSR across calls.
@@ -207,18 +231,18 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       if t.dep > s.dep
       cost <- run.distance(s.id, t.id)
     } yield (PairOrder.key(t.arr, tw, cost, sw, s.id, t.id), s.id, t.id)
-    if (ranked.isEmpty) return emptySegments
+    if (ranked.isEmpty) return Nil
     val (_, bestSrc, bestTgt) = ranked.minBy(_._1)
     val path = run.path(bestSrc, bestTgt)
-    if (path.size < 2) return emptySegments
-    assembleSegments(ix.get, path)
+    if (path.size < 2) return Nil
+    segmentRows(ix.get, path)
   }
 
   /** Distributed regime: full distance table stays distributed; the path
     * comes back via pointer doubling (log L self-joins), never the
     * reachable set. */
   private def routeDistributed(g: TimeExpandedGraph, speed: Double, t0: Long,
-      maxDurationHours: Int, src: Endpoint, tgt: Endpoint): DataFrame = {
+      maxDurationHours: Int, src: Endpoint, tgt: Endpoint): Seq[Seg] = {
     def walkCol(e: Endpoint): org.apache.spark.sql.Column = e.walkFrom match {
       case Some((la, lo)) => haversineMeters(col("lat"), col("lon"), lit(la), lit(lo)) / speed
       case None => lit(0.0)
@@ -241,7 +265,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       .withColumn("rn", row_number().over(perRoute)).filter(col("rn") === 1)
       .select(col("id").as("s_id"), col("dep_secs").as("s_dep"), col("s_walk"))
     val srcLocal = srcRows.collect() // tiny: one row per route at one stop
-    if (srcLocal.isEmpty) return emptySegments
+    if (srcLocal.isEmpty) return Nil
     val srcIds = srcLocal.map(_.getLong(0)).toSet
 
     // Staged run: ranking needs only DISTANCES at the candidate targets —
@@ -266,13 +290,13 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
         .withColumn("cost", col("dist"))
         .withColumnRenamed("source_id", "s_id")
       val row = pairs.orderBy(PairOrder.columns: _*).limit(1).collect().headOption
-        .getOrElse(return emptySegments)
+        .getOrElse(return Nil)
       val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
       predOne = staged.resolve(bestSrc).cache()
       val path = ShortestPaths.pathDistributed(predOne, bestSrc, bestTgt,
         pathDriverWalkMaxRows)
       // path ids are collected; every remaining consumer is driver-side
-      if (path.size < 2) return emptySegments
+      if (path.size < 2) return Nil
       segments(g, path)
     } finally {
       if (predOne != null) predOne.unpersist()
@@ -286,7 +310,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     * Coordinates are scalar lat/lon columns (the reference's `[s.lat,s.lon]`
     * list at `main.py:112` flattened) — driver-facing outputs carry no array
     * columns. */
-  private def segments(g: TimeExpandedGraph, path: List[Long]): DataFrame = {
+  private def segments(g: TimeExpandedGraph, path: List[Long]): Seq[Seg] = {
     // ONE job: collect only the path's own node rows (≤ hops+1 — tens of
     // rows; the isin filter prunes the cached node scan) and assemble the
     // labeled segment rows driver-side. The previous form ran the J8 label
@@ -296,36 +320,31 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     val byId = graft.projection.LocalProjection.recsOf(
       g.nodes.filter(col("id").isin(path: _*)))
       .map(r => r.id -> r).toMap
-    assembleSegments(byId.get, path)
+    segmentRows(byId.get, path)
   }
 
-  /** Path → labeled segment tuples from any id→node resolver (local index
-    * or a bounded per-path collect). */
-  private def assembleSegments(byId: Long => Option[graft.projection.NodeRec],
-      path: List[Long]): DataFrame = {
-    import spark.implicits._
+  /** Path → labeled segment rows from any id→node resolver (local index
+    * or a bounded per-path collect); hop-ordered by construction. */
+  private def segmentRows(byId: Long => Option[graft.projection.NodeRec],
+      path: List[Long]): Seq[Seg] = {
     val hms = graft.functions.TimeFunctions.formatHms _
-    val rows = path.zip(path.tail).zipWithIndex.flatMap { case ((a, b), i) =>
+    path.zip(path.tail).zipWithIndex.flatMap { case ((a, b), i) =>
       for (ra <- byId(a); rb <- byId(b)) yield
-        (i + 1, ra.tripId, hms(ra.dep.toInt), ra.routeId,
+        Seg(i + 1, ra.tripId, hms(ra.dep.toInt), ra.routeId,
           ra.stopName, ra.stopId, ra.lat, ra.lon,
           rb.tripId, rb.stopName, rb.stopId,
           rb.lat, rb.lon, rb.routeId, hms(rb.arr.toInt))
     }
+  }
+
+  /** Driver-side segment rows → the public routing DataFrame shape. */
+  private def segmentsDf(rows: Seq[Seg]): DataFrame = {
+    import spark.implicits._
     spark.createDataset(rows)
       .toDF("hop", "trip", "departure", "line", "starting_stop_name",
         "starting_stop_id", "start_lat", "start_lon", "next_trip", "next_stop",
         "next_stop_id", "next_lat", "next_lon", "next_line", "arrival")
       .orderBy("hop")
-  }
-
-  private def emptySegments: DataFrame = {
-    import spark.implicits._
-    spark.emptyDataset[(Int, String, String, String, String, String,
-      Double, Double, String, String, String, Double, Double, String, String)]
-      .toDF("hop", "trip", "departure", "line", "starting_stop_name",
-        "starting_stop_id", "start_lat", "start_lon", "next_trip", "next_stop",
-        "next_stop_id", "next_lat", "next_lon", "next_line", "arrival")
   }
 
   /** Count of distinct stops served on a date (`main.py:186-191`). */
@@ -420,12 +439,16 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       .collect().map(_.getString(0)).toSeq
     val endNames = Await.result(endNamesF, 10.minutes)
     if (startNames.isEmpty || endNames.isEmpty) { drainWarm(); return None }
-    val segs = routingBetweenTwoPoints(date, startLat, startLon, endLat, endLon,
-      startNames, endNames, speed, time, maxDurationHours)
-    val rows = segs.orderBy("hop").collect()
+    // routeRows, not the public DataFrame wrapper: the segment rows are
+    // driver-side already (hop-ordered by construction) — re-collecting
+    // them through a LocalRelation was one more sequential Spark job on
+    // the journey floor.
+    val rows = routeRows(day(date), speed, parseHms(time), maxDurationHours,
+      Endpoint(startNames, Some((startLat, startLon))),
+      Endpoint(endNames, Some((endLat, endLon))))
     if (rows.isEmpty) { drainWarm(); return None }
-    val firstStop = rows.head.getAs[String]("starting_stop_id")
-    val lastStop = rows.last.getAs[String]("next_stop_id")
+    val firstStop = rows.head.startingStopId
+    val lastStop = rows.last.nextStopId
     drainWarm()
     // Both walking legs out of ONE multi-source SSSP over the footway graph
     // (straight-line fallback when the network doesn't reach the stop).
@@ -440,17 +463,16 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
         Seq(distanceFromStop(firstStop, startLat, startLon),
           distanceFromStop(lastStop, endLat, endLon))
     }
-    val dep = graft.functions.TimeFunctions.parseHms(rows.head.getAs[String]("departure"))
-    val arr = graft.functions.TimeFunctions.parseHms(rows.last.getAs[String]("arrival"))
-    // change count from the already-collected rows — same predicate as
-    // changeCount, minus one Spark job. NULL semantics must match =!=
-    // exactly: a null trip on either side is NOT a change (the Column form's
-    // null comparison filters out), where bare Scala != would count it.
+    val dep = graft.functions.TimeFunctions.parseHms(rows.head.departure)
+    val arr = graft.functions.TimeFunctions.parseHms(rows.last.arrival)
+    // change count from the driver rows — same predicate as changeCount,
+    // minus one Spark job. NULL semantics must match =!= exactly: a null
+    // trip on either side is NOT a change (the Column form's null
+    // comparison filters out), where bare Scala != would count it.
     val changes = rows.count { r =>
-      val a = r.getAs[String]("trip"); val b = r.getAs[String]("next_trip")
-      a != null && b != null && a != b
+      r.trip != null && r.nextTrip != null && r.trip != r.nextTrip
     }.toLong
-    Some(JourneySummary(segs, changes, startWalk, endWalk,
+    Some(JourneySummary(segmentsDf(rows), changes, startWalk, endWalk,
       (arr - dep) + (startWalk + endWalk) / speed))
   }
 

@@ -35,6 +35,17 @@ object Bpe {
     * vocabularies) the distributed rounds take over. */
   val LocalTrainMaxWords: Long = 2000000L
 
+  /** Pair-TABLE row bound for the hybrid regime's driver-resident counts
+    * map. The pair table is alphabet-driven — unique adjacent SYMBOL pairs,
+    * not unique words — so a word table far too big to collect almost
+    * always has a pair table of thousands-to-millions of rows (hex corpus:
+    * 256 initial pairs; natural text: |chars|² plus one new symbol per
+    * merge × its distinct neighbors). 4M rows × ~150 B of map entry
+    * ≈ 600 MB driver heap, well under the driver sizes every measured run
+    * uses; above the bound (or if the map outgrows 4× of it mid-training)
+    * the fully-distributed table loop takes over. */
+  val HybridPairMaxRows: Long = 4000000L
+
   /** "word" → " w  o  r  d " (double-space separators, single-space ends;
     * a trailing extra space is harmless to matching and trimmed before
     * any split). (?s) so line terminators survive — trainLocal's code-point
@@ -56,7 +67,8 @@ object Bpe {
     * pairs seen only once (weighted count 1) still merge, pairs never
     * co-occurring end training early. Returns merges in application order. */
   def train(words: DataFrame, numMerges: Int,
-      localMaxWords: Long = LocalTrainMaxWords): Seq[(String, String)] = {
+      localMaxWords: Long = LocalTrainMaxWords,
+      hybridMaxPairs: Long = HybridPairMaxRows): Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
     val w = words.select(col("word").cast("string").as("word"),
@@ -65,7 +77,7 @@ object Bpe {
     // counts combine map-side) — no rows move unless the answer is "local".
     if (w.count() <= math.min(localMaxWords, (Int.MaxValue - 2).toLong))
       trainLocal(w.as[(String, Long)].collect(), numMerges)
-    else trainDistributed(w, numMerges)
+    else trainDistributed(w, numMerges, hybridMaxPairs)
   }
 
   /** Adjacent-pair weighted counts of a symbol table. */
@@ -141,11 +153,28 @@ object Bpe {
     * The head of `top` alone is always a legal batch (one sequential
     * round), which is the fallback whenever the rules truncate everything. */
   private[graft] def selectBatch(top: Seq[(String, String, Long)],
-      priorSymbols: Set[String]): Seq[(String, String)] = {
-    if (top.isEmpty) return Nil
+      priorSymbols: Set[String]): Seq[(String, String)] =
+    selectBatchEx(top, priorSymbols, complete = false)._1
+
+  /** [[selectBatch]] generalized for the hybrid regime, which can see the
+    * COMPLETE count table: with `complete = true` there is no probe floor —
+    * a conflict-free walk of the whole order accepts everything (counts are
+    * ≥ 1, so a stop count of 0 truncates nothing; the proof's "every
+    * conflicting pair has count ≤ stopCount" holds vacuously when no pair
+    * conflicts, because then no old pair decreases and every new pair needs
+    * a conflicting support pair that does not exist). Also returns whether
+    * the walk stopped on a CONFLICT — if it did, deeper probing cannot
+    * change the batch (the walk stops at the first conflict by rule), so
+    * an incomplete window is only worth re-probing deeper when the flag is
+    * false. */
+  private[graft] def selectBatchEx(top: Seq[(String, String, Long)],
+      priorSymbols: Set[String], complete: Boolean)
+      : (Seq[(String, String)], Boolean) = {
+    if (top.isEmpty) return (Nil, false)
     val used = scala.collection.mutable.HashSet.empty[String]
     val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var stopCount = top.last._3 // probe floor: can't see below the window
+    // probe floor: can't see below an incomplete window
+    var stopCount = if (complete) 0L else top.last._3
     var i = 0
     var stopped = false
     while (i < top.size && !stopped) {
@@ -161,7 +190,7 @@ object Bpe {
     }
     val exact = accepted.takeWhile(_._3 > stopCount).map(t => (t._1, t._2)).toSeq
     // the head is always a legal single sequential round
-    if (exact.isEmpty) Seq((top.head._1, top.head._2)) else exact
+    (if (exact.isEmpty) Seq((top.head._1, top.head._2)) else exact, stopped)
   }
 
   /** Distributed rounds with DELTA pair recounting and EXACT merge
@@ -179,22 +208,180 @@ object Bpe {
     * that decide 32k-vocab wall time in the >[[LocalTrainMaxWords]] regime
     * (the one weak regime called out by rounds 7-8; below the threshold
     * [[trainLocal]] takes over). */
-  private def trainDistributed(words: DataFrame,
-      numMerges: Int): Seq[(String, String)] = {
-    val spark = words.sparkSession
-    import spark.implicits._
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private def trainDistributed(words: DataFrame, numMerges: Int,
+      hybridMaxPairs: Long): Seq[(String, String)] = {
     // Eager localCheckpoint, not cache: each round's counts plan references
     // the previous round's syms plan TWICE (before/after aggregation), so
     // chained caches grow the logical plan quadratically — a 100-round run
     // dies building plan strings. Checkpointing pins the rows and resets
     // the plan to a constant-size LogicalRDD; superseded checkpoint blocks
-    // are reclaimed by the ContextCleaner once the old frames go
-    // unreachable. Single-JVM lineage loss is irrelevant (local mode;
+    // are released round by round (eager successors, same fix as
+    // TransitSssp). Single-JVM lineage loss is irrelevant (local mode;
     // a lost-executor cluster run restarts the training job).
-    var syms = words.select(toSymbols(col("word")).as("s"),
+    val syms = words.select(toSymbols(col("word")).as("s"),
       col("count").cast("long").as("count")).localCheckpoint(true)
-    var counts = pairCounts(syms).localCheckpoint(true) // the one full aggregation
+    val counts = pairCounts(syms).localCheckpoint(true) // the one full aggregation
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // Hybrid gate: the checkpoint made the row count free, and the pair
+    // TABLE (unique adjacent symbol pairs — alphabet-driven) is orders
+    // smaller than the word table that failed the local gate, so it almost
+    // always fits the driver: argmax + batch selection become in-heap (no
+    // TakeOrdered job, no probe floor truncating late tie-heavy batches)
+    // and the per-round distributed work drops to the delta aggregation +
+    // the syms rewrite, overlapped. Above the bound, the fully-distributed
+    // table loop keeps every row on the cluster.
+    if (counts.count() <= hybridMaxPairs)
+      trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs)
+    else trainTableLoop(syms, counts, merges, numMerges)
+    merges.toSeq
+  }
+
+  /** Hybrid rounds: word/symbol table distributed, pair-count table in a
+    * driver map. Each round (1) takes the exact argmax batch straight from
+    * the map — the probe starts at [[BatchProbe]] and deepens only when the
+    * window ends without a CONFLICT (a conflict-stopped walk is final at
+    * any depth), so batches are the widest the selectBatch proof admits;
+    * (2) aggregates the signed pair-count delta over affected words and
+    * collects it (small: only pairs adjacent to a merge site change);
+    * (3) rewrites + checkpoints syms. (2) and (3) scan the same pinned
+    * checkpoint and run CONCURRENTLY — the round's wall is max, not sum.
+    * Counts stay exact longs; merges stay bit-identical to sequential BPE
+    * (BpeBatchSpec randomized parity runs through this loop). If merges
+    * grow the map past 4× the gate bound, the remaining rounds hand off to
+    * the fully-distributed table loop mid-training.
+    *
+    * Keeping the per-round rewrite EAGER is a measured decision: a lazy
+    * variant that stacked the batch replaces over the last checkpoint and
+    * re-materialized every 16 merges paid the chain replay on every delta
+    * scan (every row × pending replaces, 4-5 s/round at 2.5M words vs
+    * 0.7 s eager) — and a naive per-round `when(contains, replace)` layer
+    * stack is worse still: Catalyst's CollapseProject substitutes each
+    * layer into the 3+ references above it, growing the collapsed
+    * expression 3^layers (40+ CPU-minutes of optimizer time on a 60-word
+    * fixture at 16 layers). */
+  private def trainHybrid(symsInit: DataFrame, countsInit: DataFrame,
+      merges: scala.collection.mutable.ArrayBuffer[(String, String)],
+      numMerges: Int, hybridMaxPairs: Long): Unit = {
+    val spark = symsInit.sparkSession
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
+    val map = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    countsInit.as[(String, String, Long)].collect()
+      .foreach { case (a, b, n) => map.update((a, b), n) }
+    rel(countsInit)
+    var syms = symsInit
+    var round = 0
+    while (merges.size < numMerges && map.nonEmpty) {
+      val roundT0 = System.nanoTime()
+      val prior = merges.iterator.map { case (a, b) => a + b }.toSet
+      val batch = selectBatchFromMap(map, prior).take(numMerges - merges.size)
+      merges ++= batch
+      val needles = batch.map { case (a, b) => s" $a  $b " }
+      val containsAny = needles.map(n => col("s").contains(lit(n))).reduce(_ || _)
+      def replaceAll(c: Column): Column = batch.foldLeft(c) {
+        case (acc, (a, b)) => applyMerge(acc, a, b)
+      }
+      // the rewrite's checkpoint job runs while the delta aggregation
+      // collects — both scan the same pinned pre-merge checkpoint
+      val nextSymsF = Future {
+        syms.select(when(containsAny, replaceAll(col("s"))).otherwise(col("s")).as("s"),
+          col("count")).localCheckpoint(true)
+      }
+      // same signed one-shuffle delta as the table loop (scaladoc there)
+      val affected = syms.filter(containsAny)
+      val delta = pairCounts(affected.select(explode(array(
+          struct(col("s"), (-col("count")).as("count")),
+          struct(replaceAll(col("s")).as("s"), col("count")))).as("r"))
+          .select(col("r.s").as("s"), col("r.count").as("count")))
+        .filter(col("n") =!= 0L)
+        .as[(String, String, Long)].collect()
+      val nextSyms = Await.result(nextSymsF, 10.minutes)
+      delta.foreach { case (a, b, d) =>
+        val k = (a, b)
+        val n = map.getOrElse(k, 0L) + d
+        if (n > 0L) map.update(k, n) else map.remove(k)
+      }
+      rel(syms)
+      syms = nextSyms
+      round += 1
+      if (trace) println(f"[bpe] hybrid round $round%d batch=${batch.size}%d " +
+        f"merges=${merges.size}%d pairs=${map.size}%d " +
+        f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
+      if (map.size > 4L * hybridMaxPairs) {
+        if (trace) println(s"[bpe] pair map outgrew the driver bound " +
+          s"(${map.size}) — handing off to the distributed table loop")
+        trainTableLoop(syms, pairCounts(syms).localCheckpoint(true),
+          merges, numMerges)
+        return
+      }
+    }
+    rel(syms)
+  }
+
+  /** Exact argmax batch from the driver-resident count map: the total order
+    * is (n desc, a asc, b asc) in UTF-8 — identical to the table loop's
+    * `orderBy(desc("n"), asc("a"), asc("b"))`. */
+  private def selectBatchFromMap(
+      map: scala.collection.mutable.HashMap[(String, String), Long],
+      prior: Set[String]): Seq[(String, String)] = {
+    var k = BatchProbe
+    while (true) {
+      val complete = k >= map.size
+      val top = topPairs(map, k)
+      val (batch, conflictStopped) = selectBatchEx(top, prior, complete)
+      if (complete || conflictStopped) return batch
+      k = math.min(map.size, k * 8)
+    }
+    Nil
+  }
+
+  /** (n desc, a asc, b asc) UTF-8 rank comparison — negative when x ranks
+    * before y. */
+  private def pairRankCompare(x: (String, String, Long),
+      y: (String, String, Long)): Int = {
+    val c = java.lang.Long.compare(y._3, x._3)
+    if (c != 0) c
+    else {
+      val c2 = graft.util.Utf8Order.compare(x._1, y._1)
+      if (c2 != 0) c2 else graft.util.Utf8Order.compare(x._2, y._2)
+    }
+  }
+
+  /** Top-k map entries in rank order via a bounded worst-at-head heap —
+    * O(P log k) per probe, no full sort of the pair table. */
+  private def topPairs(
+      map: scala.collection.mutable.HashMap[(String, String), Long],
+      k: Int): Seq[(String, String, Long)] = {
+    val worstAtHead = new java.util.Comparator[(String, String, Long)] {
+      def compare(x: (String, String, Long), y: (String, String, Long)): Int =
+        pairRankCompare(y, x)
+    }
+    val pq = new java.util.PriorityQueue[(String, String, Long)](
+      math.max(1, math.min(k, map.size)), worstAtHead)
+    map.foreach { case ((a, b), n) =>
+      val cand = (a, b, n)
+      if (pq.size < k) pq.add(cand)
+      else if (pairRankCompare(cand, pq.peek()) < 0) { pq.poll(); pq.add(cand) }
+    }
+    val out = new Array[(String, String, Long)](pq.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = pq.poll(); i -= 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Fully-distributed rounds — every row stays on the cluster; the regime
+    * for pair tables too big for the driver map (or mid-training hand-off
+    * from [[trainHybrid]], continuing in `merges`). */
+  private def trainTableLoop(symsInit: DataFrame, countsInit: DataFrame,
+      merges: scala.collection.mutable.ArrayBuffer[(String, String)],
+      numMerges: Int): Unit = {
+    val spark = symsInit.sparkSession
+    import spark.implicits._
+    var syms = symsInit
+    var counts = countsInit
     var exhausted = false
     var round = 0
     while (merges.size < numMerges && !exhausted) {
@@ -247,7 +434,8 @@ object Bpe {
           f"merges=${merges.size}%d ${(System.nanoTime() - roundT0) / 1e9}%.2f s")
       }
     }
-    merges.toSeq
+    org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(counts)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(syms)
   }
 
   /** SPARK_GRAFT_BPE_TRACE=1 prints one line per distributed round (batch

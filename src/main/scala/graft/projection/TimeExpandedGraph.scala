@@ -70,6 +70,20 @@ final class TimeExpandedGraph(val nodes: DataFrame,
   }
   @volatile private var stopDimForced = false
 
+  /** Driver-resident twin of [[stopDim]], BOUNDED: the stop dimension is
+    * structurally small (distinct physical stops — tens of thousands for a
+    * national feed, vs millions of stoptime nodes), so near-stop search can
+    * be an array scan even before any routing call resolves the regime —
+    * one limit-guarded collect per projection instead of a
+    * filter+distinct Spark job per search call. None above the bound
+    * (callers fall back to the distributed scan); the exact haversine
+    * decides membership on every path, so results are identical. */
+  lazy val localStopDim: Option[Array[(String, Double, Double)]] = {
+    val rows = stopDim.limit(TimeExpandedGraph.LocalStopDimMaxRows + 1).collect()
+    if (rows.length > TimeExpandedGraph.LocalStopDimMaxRows) None
+    else Some(rows.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))))
+  }
+
   /** Per-projection SSSP handle: the local-vs-distributed decision and
     * (when local) the adjacency index happen once, shared by every routing
     * call against this projection — the reference holds one in-memory CSR
@@ -136,6 +150,11 @@ object TimeExpandedGraph {
     * scale dimension exceeds the bound and falls back to the shuffled
     * equi-join, which the stop-bucketed layout co-locates for free. */
   val BroadcastSchedMaxBytes: Long = 64L << 20
+
+  /** Row bound for [[TimeExpandedGraph.localStopDim]]: 256k stops × ~48 B
+    * ≈ 12 MB of driver heap — covers any national feed; a larger (multi-
+    * agency planet) dimension keeps the distributed scan path. */
+  val LocalStopDimMaxRows: Int = 262144
 
   /** Stable node id for a stoptime. */
   def nodeId(tripId: org.apache.spark.sql.Column, seq: org.apache.spark.sql.Column) =

@@ -29,10 +29,18 @@ object TimeBpe {
         expr("greatest(1L, 1000000L div (id + 1))").as("count"))
       .cache()
     println(s"unique words: ${words.count()}")
+    // default exercises the auto gate (hybrid whenever the pair table fits
+    // the driver); =tableloop forces the fully-distributed rounds for a
+    // same-box comparison
+    val regime = sys.env.getOrElse("SPARK_GRAFT_BPE_REGIME", "auto")
+    val maxPairs =
+      if (regime == "tableloop") 0L else graft.operators.Bpe.HybridPairMaxRows
     val t0 = System.nanoTime()
-    val merges = graft.operators.Bpe.train(words, nMerges, localMaxWords = 0L)
+    val merges = graft.operators.Bpe.train(words, nMerges, localMaxWords = 0L,
+      hybridMaxPairs = maxPairs)
     val total = (System.nanoTime() - t0) / 1e9
-    println(f"$nMerges merges (forced distributed): $total%.1f s total, " +
+    println(f"$nMerges merges (forced distributed, regime=$regime): " +
+      f"$total%.1f s total, " +
       f"${total / math.max(1, merges.size)}%.3f s/merge, learned ${merges.size}")
     spark.stop()
   }

@@ -15,10 +15,16 @@ class BpeBatchSpec extends SparkSpec {
   private def parity(words: Seq[(String, Long)], n: Int): Unit = {
     val df = words.toDF("word", "count")
     val local = Bpe.train(df, n) // sequential in-heap reference
-    val batched = Bpe.train(df, n, localMaxWords = 0L) // forced distributed
-    assert(batched == local,
-      s"batched-distributed merges diverge from sequential:\n" +
-        s"  local:   $local\n  batched: $batched")
+    // forced distributed, auto gate → the HYBRID loop (driver pair map)
+    val hybrid = Bpe.train(df, n, localMaxWords = 0L)
+    // forced distributed + pair map disallowed → the TABLE loop
+    val tableLoop = Bpe.train(df, n, localMaxWords = 0L, hybridMaxPairs = 0L)
+    assert(hybrid == local,
+      s"hybrid-distributed merges diverge from sequential:\n" +
+        s"  local:  $local\n  hybrid: $hybrid")
+    assert(tableLoop == local,
+      s"table-loop merges diverge from sequential:\n" +
+        s"  local:     $local\n  tableloop: $tableLoop")
   }
 
   test("self-pair merges are never batched past their new-pair shadow") {
@@ -74,5 +80,24 @@ class BpeBatchSpec extends SparkSpec {
     // prior-symbol concat collision is a conflict
     assert(Bpe.selectBatch(
       Seq(("a", "b", 100L), ("c", "d", 90L)), Set("cd")) == Seq(("a", "b")))
+  }
+
+  test("selectBatchEx with a complete table has no probe floor") {
+    // the same conflict-free window that floor-truncates as a probe accepts
+    // everything when it IS the whole table (no unseen pair can tie)
+    val top = Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 90L))
+    assert(Bpe.selectBatchEx(top, Set.empty, complete = false) ==
+      (Seq(("a", "b")), false))
+    assert(Bpe.selectBatchEx(top, Set.empty, complete = true) ==
+      (Seq(("a", "b"), ("c", "d"), ("e", "f")), false))
+    // a conflict still truncates at its count, complete or not — and flags
+    // the walk as conflict-stopped (probing deeper can never help)
+    val conflicted = Seq(("a", "b", 100L), ("c", "d", 90L), ("b", "e", 90L))
+    assert(Bpe.selectBatchEx(conflicted, Set.empty, complete = true) ==
+      (Seq(("a", "b")), true))
+    // equal-count disjoint pairs batch together when the table is complete
+    val ties = Seq(("a", "b", 50L), ("c", "d", 50L), ("e", "f", 50L))
+    assert(Bpe.selectBatchEx(ties, Set.empty, complete = true)._1 ==
+      Seq(("a", "b"), ("c", "d"), ("e", "f")))
   }
 }
