@@ -222,6 +222,7 @@ object Bpe {
       col("count").cast("long").as("count")).localCheckpoint(true)
     val counts = pairCounts(syms).localCheckpoint(true) // the one full aggregation
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    lastRegimes.clear()
     // Hybrid gate: the checkpoint made the row count free, and the pair
     // TABLE (unique adjacent symbol pairs — alphabet-driven) is orders
     // smaller than the word table that failed the local gate, so it almost
@@ -267,6 +268,7 @@ object Bpe {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
+    lastRegimes.add("hybrid")
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
     val map = scala.collection.mutable.HashMap.empty[(String, String), Long]
     countsInit.as[(String, String, Long)].collect()
@@ -378,6 +380,7 @@ object Bpe {
   private def trainTableLoop(symsInit: DataFrame, countsInit: DataFrame,
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
       numMerges: Int): Unit = {
+    lastRegimes.add("tableloop")
     val spark = symsInit.sparkSession
     import spark.implicits._
     var syms = symsInit
@@ -442,6 +445,14 @@ object Bpe {
     * width, cumulative merges, wall) — the batch-size decay curve that
     * projects 32k-vocab wall time; off by default. */
   private val trace: Boolean = sys.env.get("SPARK_GRAFT_BPE_TRACE").contains("1")
+
+  /** Test hook: the loop regimes the most recent distributed train()
+    * traversed, in order ("hybrid", "tableloop") — lets the hand-off spec
+    * assert the overflow path actually fired rather than trusting a
+    * fixture to overflow. Reset per trainDistributed call; not meaningful
+    * under concurrent train() calls. */
+  private[graft] val lastRegimes =
+    new java.util.concurrent.CopyOnWriteArrayList[String]()
 
   /** Spark orders strings by UTF-8 bytes = code-point order — the local
     * tie-break must match the distributed sort exactly (shared helper). */

@@ -82,6 +82,34 @@ class BpeBatchSpec extends SparkSpec {
       Seq(("a", "b", 100L), ("c", "d", 90L)), Set("cd")) == Seq(("a", "b")))
   }
 
+  test("hybrid overflow hands off to the table loop mid-training, exactly") {
+    // Force the hybrid gate to ADMIT the initial pair table but overflow
+    // its 4x growth bound after a few merges (each merge adds new pair
+    // types), so training crosses hybrid -> table-loop mid-run. Merges
+    // must stay bit-identical to the sequential reference across the
+    // hand-off.
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcd"
+    val words = Seq.tabulate(120) { i =>
+      val w = Array.fill(5 + rnd.nextInt(10))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      (w, (rnd.nextInt(20) + 1).toLong)
+    }.distinct
+    val df = words.toDF("word", "count")
+    val local = Bpe.train(df, 60)
+    // initial pairs over a 4-char alphabet (≤16) fit hybridMaxPairs = 16
+    // (the gate admits); merges add new pair types until the map crosses
+    // the 4x growth bound (>64) and the loop hands off. The regime hook
+    // asserts the hand-off actually fired — a fixture that stopped
+    // overflowing would fail here, not silently test one loop.
+    val crossed = Bpe.train(df, 60, localMaxWords = 0L, hybridMaxPairs = 16L)
+    assert(crossed == local,
+      s"hand-off merges diverge:\n  local:   $local\n  crossed: $crossed")
+    import scala.jdk.CollectionConverters._
+    assert(Bpe.lastRegimes.asScala.toSeq == Seq("hybrid", "tableloop"),
+      s"expected a hybrid->tableloop hand-off, got ${Bpe.lastRegimes.asScala}")
+  }
+
   test("selectBatchEx with a complete table has no probe floor") {
     // the same conflict-free window that floor-truncates as a probe accepts
     // everything when it IS the whole table (no unseen pair can tie)

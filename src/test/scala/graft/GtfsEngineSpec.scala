@@ -155,6 +155,29 @@ class GtfsEngineSpec extends SparkSpec {
     assert(atDelta == Seq("Delta"))
   }
 
+  test("near-stop search is identical across its three execution paths") {
+    // (1) bounded driver stop dim (fresh projection, the r10 default),
+    // (2) distributed stopDim scan (the above-the-bound fallback shape),
+    // (3) local-index array scan (after a routing call resolves the
+    // regime). All three must return the same name set — the exact
+    // haversine decides membership everywhere.
+    val eng = new RoutingEngine(gtfs)
+    val g = eng.projected(java.sql.Date.valueOf(Day), 1.0)
+    val viaDriverDim = eng.findNearStops(Day, 44.6200, 10.9000, 300)
+      .as[String].collect().toSet
+    assert(g.localStopDim.isDefined, "demo feed must fit the stop-dim bound")
+    val viaDistributed = g.stopDim
+      .filter(graft.functions.SpatialFunctions.withinRadius(
+        col("lat"), col("lon"), 44.6200, 10.9000, 300))
+      .select("stop_name").distinct().as[String].collect().toSet
+    g.localIndex // resolve the regime → the array-scan path
+    val viaIndex = eng.findNearStops(Day, 44.6200, 10.9000, 300)
+      .as[String].collect().toSet
+    assert(viaDriverDim == Set("Gamma", "Gamma Due"))
+    assert(viaDistributed == viaDriverDim)
+    assert(viaIndex == viaDriverDim)
+  }
+
   test("numberOfStops counts distinct served stops") {
     assert(engine.numberOfStops(Day) == 6) // SD2 unserved
   }
