@@ -265,14 +265,28 @@ object ShortestPaths {
           () => { full.unpersist(); () })
     }
 
-    private def computeLocal(g: Csr, sources: Set[Long]): Map[Long, (Array[Double], Array[Int])] = {
+    private def computeLocal(g: Csr, sources: Set[Long],
+        targets: Option[Set[Long]] = None): Map[Long, (Array[Double], Array[Int])] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      // Target-bounded runs stop each source's Dijkstra once every in-graph
+      // target is SETTLED (first-popped — its distance is final by the
+      // Dijkstra invariant); the flag array is read-only and shared across
+      // the concurrent per-source searches.
+      val stop = targets.map { ts =>
+        val flags = new Array[Boolean](g.n)
+        var c = 0
+        ts.foreach { t =>
+          val ti = g.indexOf(t)
+          if (ti >= 0 && !flags(ti)) { flags(ti) = true; c += 1 }
+        }
+        (flags, c)
+      }
       val futures = sources.toSeq.sorted.map { src =>
         src -> Future {
           val si = g.indexOf(src)
-          if (si < 0) None else Some(dijkstraCsr(g, si))
+          if (si < 0) None else Some(dijkstraCsr(g, si, stop))
         }
       }
       futures.flatMap { case (s, f) => Await.result(f, Duration.Inf).map(s -> _) }.toMap
@@ -287,7 +301,13 @@ object ShortestPaths {
     def runForTargets(sources: Set[Long], targets: Set[Long]): TargetRun = localCsr match {
       case Some(g) =>
         import spark.implicits._
-        val state = computeLocal(g, sources)
+        // Early-terminated per-source Dijkstras: final distances are
+        // guaranteed for the REQUESTED targets (and every vertex on their
+        // shortest-path pred chains) — exactly what TargetRun exposes.
+        // A graph with an unreachable requested target degrades to the
+        // full exploration (its settle never arrives), never to a wrong
+        // answer.
+        val state = computeLocal(g, sources, Some(targets))
         val b = Seq.newBuilder[(Long, Long, Double, Long)]
         for ((src, (dist, pred)) <- state; t <- targets) {
           val ti = g.indexOf(t)
@@ -386,11 +406,28 @@ object ShortestPaths {
   }
 
   /** Single-source Dijkstra over the CSR: lazy-deletion binary heap on
-    * parallel primitive arrays, (dist, predIdx) out. */
-  private def dijkstraCsr(g: Csr, srcIdx: Int): (Array[Double], Array[Int]) = {
+    * parallel primitive arrays, (dist, predIdx) out.
+    *
+    * `targetStop = Some((flags, count))` stops the search once `count`
+    * flagged vertices have been SETTLED (first pop, where the popped key
+    * equals the final distance — strict-improvement pushes mean exactly
+    * one heap entry carries a vertex's final distance, so the counter
+    * decrements once per target). On early stop, distances/preds are
+    * final for every settled vertex — in particular all flagged targets
+    * and their shortest-path ancestors (settled earlier by order) — while
+    * unsettled vertices may hold tentative labels; callers must read only
+    * target rows, which is the [[Sssp.runForTargets]]/[[TargetRun]]
+    * contract. On a time-expanded day this skips the portion of the grid
+    * later than the last candidate target — the routing hot path stops at
+    * the horizon instead of flooding the rest of the service day. */
+  private def dijkstraCsr(g: Csr, srcIdx: Int,
+      targetStop: Option[(Array[Boolean], Int)] = None): (Array[Double], Array[Int]) = {
     val n = g.n
     val dist = Array.fill(n)(Double.PositiveInfinity)
     val pred = Array.fill(n)(-1)
+    val tFlags = targetStop.map(_._1).orNull
+    var remaining = targetStop.map(_._2).getOrElse(0)
+    val bounded = tFlags != null
     var heapD = new Array[Double](1024)
     var heapV = new Array[Int](1024)
     var size = 0
@@ -407,7 +444,7 @@ object ShortestPaths {
     }
     dist(srcIdx) = 0.0
     push(0.0, srcIdx)
-    while (size > 0) {
+    while (size > 0 && (!bounded || remaining > 0)) {
       val popD = heapD(0); val popV = heapV(0)
       size -= 1
       if (size > 0) { // sift the last leaf down from the root
@@ -426,6 +463,7 @@ object ShortestPaths {
         heapD(i) = ld; heapV(i) = lv
       }
       if (popD <= dist(popV)) {
+        if (bounded && tFlags(popV)) remaining -= 1
         var j = g.offsets(popV)
         val end = g.offsets(popV + 1)
         while (j < end) {

@@ -43,6 +43,44 @@ class PropertySpec extends SparkSpec {
     check("sssp-oracle", prop, minTests = 15)
   }
 
+  test("target-bounded Dijkstra equals the full run on requested targets") {
+    // runForTargets stops each source's search once every in-graph target
+    // settles (r10) — target distances, preds, and reconstructed paths
+    // must be indistinguishable from the unbounded run, including
+    // unreachable and absent targets.
+    val genCase = for {
+      n <- Gen.choose(3, 14)
+      m <- Gen.choose(2, 40)
+      edges <- Gen.listOfN(m, for {
+        s <- Gen.choose(0L, n - 1L)
+        d <- Gen.choose(0L, n - 1L)
+        w <- Gen.choose(1, 50)
+      } yield (s, d, w.toDouble))
+      targets <- Gen.nonEmptyListOf(Gen.choose(0L, n + 2L)) // incl. absent ids
+    } yield (edges.distinct, targets.distinct)
+    val prop = Prop.forAll(genCase) { case (edges, targets) =>
+      edges.nonEmpty ==> {
+        val df = edges.toDF("src", "dst", "weight")
+        val sssp = new ShortestPaths.Sssp(df)
+        val src = edges.head._1
+        val bounded = sssp.runForTargets(Set(src), targets.toSet)
+        val full = sssp.run(Set(src))
+          .select("vertex_id", "dist").as[(Long, Double)].collect().toMap
+        val distsOk = targets.forall { t =>
+          bounded.distance(src, t) == full.get(t).filterNot(_.isInfinity)
+        }
+        // every reachable target's path must telescope to its distance
+        val pathsOk = targets.filter(t => full.get(t).exists(!_.isInfinity))
+          .forall { t =>
+            val p = bounded.path(src, t)
+            p.headOption.contains(src) && p.lastOption.contains(t) || (t == src)
+          }
+        distsOk && pathsOk
+      }
+    }
+    check("sssp-target-bounded", prop, minTests = 20)
+  }
+
   test("haversine: symmetry, identity, triangle inequality") {
     val genPt = for {
       lat <- Gen.choose(-85.0, 85.0)
