@@ -85,4 +85,125 @@ object Media {
     decodeMeta(df, idCol, blobCol)
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+
+  /** Full raster decode — unlike [[imageDimensions]] this reads the pixels
+    * (still streaming: one image in memory per row); PNG/BMP/GIF are
+    * lossless, so the ARGB values are bit-exact across JVMs. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("decoded", BooleanType),
+  ))
+
+  /** Per-image channel statistics — the feature-extraction stage of a
+    * multimodal pipeline (the downstream consumer is an embedding model or
+    * a quality filter keyed on such features). Images get REAL per-channel
+    * means over the decoded raster, rounded to 4 dp (exact: lossless
+    * formats decode bit-identically). Non-image payloads take a
+    * deterministic FAKE derived from the byte length (documented formula —
+    * the catalog oracle mirrors it), `decoded = false`. */
+  def extractFeatures(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    def r4(x: Double): Double = math.rint(x * 10000.0) / 10000.0
+    val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = if (bytes == null) 0 else bytes.length
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val px = w.toLong * h
+              Row(id, n, w, h, r4(sr.toDouble / px), r4(sg.toDouble / px),
+                r4(sb.toDouble / px), true)
+            // FAKE branch (non-image payloads only): deterministic from length.
+            case None => Row(id, n, 16 + n % 241, 16 + (n / 241) % 241,
+              (n % 256).toDouble, (n * 31 % 256).toDouble,
+              (n * 131 % 256).toDouble, false)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("out_width", IntegerType),
+    StructField("out_height", IntegerType),
+    StructField("pixel_sum", LongType),
+    StructField("resized_png", BinaryType),
+    StructField("decoded", BooleanType),
+  ))
+
+  /** Nearest-neighbor resize to (tw × th) — implemented directly on the
+    * raster (source pixel (x·sw/tw, y·sh/th)), NOT via Graphics2D, so the
+    * resampling is bit-deterministic across JVMs. Emits the re-encoded PNG
+    * bytes (the real pipeline payload) plus `pixel_sum` — the Σ(r+g+b) of
+    * the resized raster — as the engine-portable digest the oracle can pin
+    * (PNG encoder bytes are not stable across JVM versions; the raster
+    * is). Non-image payloads keep a deterministic FAKE digest from the
+    * byte length (mirrored by the catalog oracle) and a null payload. */
+  def resizeNearest(df: DataFrame, idCol: String, blobCol: String,
+      tw: Int, th: Int): DataFrame = {
+    require(tw > 0 && th > 0, "target dimensions must be positive")
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = if (bytes == null) 0 else bytes.length
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val (sw, sh) = (img.getWidth, img.getHeight)
+              val out = new java.awt.image.BufferedImage(tw, th,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var sum = 0L
+              var y = 0
+              while (y < th) {
+                val sy = (y.toLong * sh / th).toInt
+                var x = 0
+                while (x < tw) {
+                  val sx = (x.toLong * sw / tw).toInt
+                  val p = img.getRGB(sx, sy)
+                  out.setRGB(x, y, p)
+                  sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Row(id, tw, th, sum, bos.toByteArray, true)
+            // FAKE branch (non-image payloads only): deterministic from length.
+            case None =>
+              Row(id, tw, th, n.toLong * 2654435761L % 1000000007L, null, false)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
 }

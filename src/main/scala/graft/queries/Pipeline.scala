@@ -822,6 +822,37 @@ object Pipeline {
              |  unnest(range(0, 1 + octet_length(encode(text)) % 32, 4)) AS frame_idx
              |FROM documents ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Feature extraction over the binary column (the embedding-model /
+    // quality-filter input stage): real per-channel raster means for
+    // images (MediaSpec pins the PNG/BMP branch), deterministic
+    // length-derived fallback for these text blobs, which the oracle
+    // mirrors formula for formula.
+    Q("multimodal_feature_extract", "multimodal",
+      (s, dir) => graft.multimodal.Media.extractFeatures(
+        t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
+        "doc_id", "blob")
+        .select("doc_id", "n_bytes", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |  CAST(octet_length(encode(text)) % 256 AS DOUBLE) AS mean_r,
+             |  CAST(octet_length(encode(text)) * 31 % 256 AS DOUBLE) AS mean_g,
+             |  CAST(octet_length(encode(text)) * 131 % 256 AS DOUBLE) AS mean_b
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Nearest-neighbor resize to a 32x32 thumbnail: real raster resample +
+    // PNG re-encode for images (MediaSpec pins dims and the pixel-sum
+    // digest), deterministic digest fallback for text blobs — the digest,
+    // not the codec bytes, is the engine-portable hash the oracle checks.
+    Q("multimodal_resize", "multimodal",
+      (s, dir) => graft.multimodal.Media.resizeNearest(
+        t(s, dir, "documents").withColumn("blob", col("text").cast("binary")),
+        "doc_id", "blob", tw = 32, th = 32)
+        .select("doc_id", "out_width", "out_height", "pixel_sum")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 32 AS out_width, 32 AS out_height,
+             |  CAST(octet_length(encode(text)) AS BIGINT) * 2654435761 % 1000000007 AS pixel_sum
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Deterministic content-stable train/holdout split: bucket = first hex
     // byte of md5("split:" || doc_id), holdout iff bucket < 0x0d (13/256 ≈
     // 5%). Pure per-row projection — no shuffle, no RNG: the property a

@@ -53,6 +53,59 @@ class MediaSpec extends SparkSpec {
     assert(viaCols.getAs[Int]("h") == viaDecode.getAs[Int]("height"))
   }
 
+  /** 2×2 BMP with per-pixel values chosen to discriminate the channels. */
+  private def quadBmp(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (50 << 16) | (60 << 8) | 70)
+    img.setRGB(0, 1, (90 << 16) | (100 << 8) | 110)
+    img.setRGB(1, 1, (130 << 16) | (140 << 8) | 150)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  test("extractFeatures: real channel means for images, formula fallback") {
+    val junk = "not an image".getBytes("UTF-8")
+    val df = Seq((1L, quadBmp()), (2L, junk)).toDF("doc_id", "blob")
+    val rows = Media.extractFeatures(df, "doc_id", "blob")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("decoded"))
+    assert(rows(1L).getAs[Int]("width") == 2 && rows(1L).getAs[Int]("height") == 2)
+    assert(rows(1L).getAs[Double]("mean_r") == 70.0) // (10+50+90+130)/4
+    assert(rows(1L).getAs[Double]("mean_g") == 80.0)
+    assert(rows(1L).getAs[Double]("mean_b") == 90.0)
+    val n = junk.length
+    assert(!rows(2L).getAs[Boolean]("decoded"))
+    assert(rows(2L).getAs[Double]("mean_r") == (n % 256).toDouble)
+    assert(rows(2L).getAs[Double]("mean_g") == (n * 31 % 256).toDouble)
+    assert(rows(2L).getAs[Double]("mean_b") == (n * 131 % 256).toDouble)
+  }
+
+  test("resizeNearest: deterministic raster resample with a decodable payload") {
+    val junk = "still not an image".getBytes("UTF-8")
+    val df = Seq((1L, quadBmp()), (2L, junk)).toDF("doc_id", "blob")
+    val rows = Media.resizeNearest(df, "doc_id", "blob", tw = 4, th = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val img = rows(1L)
+    assert(img.getAs[Boolean]("decoded"))
+    assert(img.getAs[Int]("out_width") == 4 && img.getAs[Int]("out_height") == 4)
+    // nearest-neighbor upscale 2x2 -> 4x4 repeats each pixel 2x2:
+    // sum = 4 * ((10+20+30)+(50+60+70)+(90+100+110)+(130+140+150)) = 3840
+    assert(img.getAs[Long]("pixel_sum") == 3840L)
+    // the emitted PNG payload is a real image that round-trips
+    val png = img.getAs[Array[Byte]]("resized_png")
+    val back = Media.decodeImage(png).get
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((back.getRGB(0, 0) & 0xffffff) == ((10 << 16) | (20 << 8) | 30))
+    assert((back.getRGB(3, 3) & 0xffffff) == ((130 << 16) | (140 << 8) | 150))
+    val n = junk.length
+    assert(!rows(2L).getAs[Boolean]("decoded"))
+    assert(rows(2L).getAs[Long]("pixel_sum") == n.toLong * 2654435761L % 1000000007L)
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("resized_png")))
+  }
+
   test("sampleFrames explodes every-k frame indices") {
     val junk = Array.fill[Byte](100)(1) // fake n_frames = 1 + 100 % 32 = 5
     val df = Seq((3L, junk)).toDF("doc_id", "blob")
