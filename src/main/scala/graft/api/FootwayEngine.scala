@@ -72,8 +72,8 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
       col("longitude").as("fn_lon"))
     val st = stops.select(col("stop_id"), col("stop_lat"), col("stop_lon"))
     val maxAbsLat = {
-      val a = footNodes.agg(max(abs(col("latitude")))).head
-      val b = stops.agg(max(abs(col("stop_lat")))).head
+      val a = footNodes.agg(max(abs(col("latitude")))).head()
+      val b = stops.agg(max(abs(col("stop_lat")))).head()
       math.max(if (a.isNullAt(0)) 0.0 else a.getDouble(0),
         if (b.isNullAt(0)) 0.0 else b.getDouble(0))
     }

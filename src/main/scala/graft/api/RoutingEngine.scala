@@ -349,7 +349,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
 
   /** Count of distinct stops served on a date (`main.py:186-191`). */
   def numberOfStops(date: String, speed: Double = 1.0): Long =
-    projected(day(date), speed).nodes.agg(countDistinct("stop_id")).head.getLong(0)
+    projected(day(date), speed).nodes.agg(countDistinct("stop_id")).head().getLong(0)
 
   /** Mean service-span hours across lines (`main.py:193-205`): per line the
     * earliest departure(s) × latest arrival(s) (ties kept, minItems/maxItems
@@ -364,14 +364,14 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       .select(col("route_id"), col("arr_secs"))
     starting.join(ending, Seq("route_id"))
       .select(((col("arr_secs") - col("dep_secs")) / 3600).cast("long").as("hours"))
-      .agg(avg("hours")).head.getDouble(0)
+      .agg(avg("hours")).head().getDouble(0)
   }
 
   /** Geodesic meters from a stop to a point (`main.py:178-184`). */
   def distanceFromStop(stopId: String, lat: Double, lon: Double): Double =
     gtfs.stops.filter(col("stop_id") === stopId)
       .select(haversineMeters(col("stop_lat"), col("stop_lon"), lit(lat), lit(lon)))
-      .head.getDouble(0)
+      .head().getDouble(0)
 
   /** gds.graph.list analog (`main.py:29-44`). */
   def graphMetrics(date: String, speed: Double): GraphMetrics = {
@@ -381,7 +381,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     val deg = g.edges.groupBy("source").agg(count(lit(1)).as("degree"))
     val stats = deg.agg(min("degree"), avg("degree"), max("degree"),
       expr("percentile_approx(degree, 0.5)"), expr("percentile_approx(degree, 0.9)"),
-      expr("percentile_approx(degree, 0.99)")).head
+      expr("percentile_approx(degree, 0.99)")).head()
     GraphMetrics(n, m, if (n > 1) m.toDouble / (n.toDouble * (n - 1)) else 0.0,
       stats.getLong(0), stats.getDouble(1), stats.getLong(2),
       stats.getLong(3).toDouble, stats.getLong(4).toDouble, stats.getLong(5).toDouble)

@@ -27,7 +27,7 @@ object TimeDedup {
     val docs = docsRaw.select(col("doc_id"), md5Shingles(col("text"), 2).as("sh")).cache()
     phase("md5Shingles materialize") { docs.count() }
     phase("avg shingles/doc") {
-      println("    " + docs.select(avg(size(col("sh")))).head.getDouble(0))
+      println("    " + docs.select(avg(size(col("sh")))).head().getDouble(0))
     }
     val sig = docs.select(col("doc_id"), minhashMd5(col("sh"), 16).as("sg"))
     phase("minhash sigs") { sig.write.format("noop").mode("overwrite").save() }
