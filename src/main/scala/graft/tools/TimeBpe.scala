@@ -21,11 +21,25 @@ object TimeBpe {
 
     // the sf documents draw from a ~30-word vocabulary — too small to
     // exercise the distributed regime; generate a deterministic 300k-word
-    // table instead (md5-hex "words" of varied length, Zipf-ish counts)
+    // table instead. Two corpus shapes: "hex" (md5-hex words — a 16-char
+    // alphabet, CONFLICT-DENSE: top pairs share symbols constantly, the
+    // worst case for exact batching) and "alpha" (the hex bytes re-mapped
+    // onto a-z — a 26-char alphabet closer to natural text's pair
+    // diversity).
     val n = sys.env.getOrElse("SPARK_GRAFT_BPE_WORDS", "300000").toLong
+    val corpus = sys.env.getOrElse("SPARK_GRAFT_BPE_CORPUS", "hex")
+    val hexWord = "substring(md5(cast(id as string)), 1, 4 + cast(id % 20 as int))"
+    val wordExpr = corpus match {
+      case "alpha" =>
+        // map each hex digit deterministically into a-z (spread by position)
+        s"""concat_ws('', transform(split($hexWord, ''),
+           | (c, i) -> char(ascii('a') + (conv(c, 16, 10) + i * 7) % 26)))"""
+          .stripMargin.replace("\n", " ")
+      case _ => hexWord
+    }
     val words = spark.range(n)
       .select(
-        expr("substring(md5(cast(id as string)), 1, 4 + cast(id % 20 as int))").as("word"),
+        expr(wordExpr).as("word"),
         expr("greatest(1L, 1000000L div (id + 1))").as("count"))
       .cache()
     println(s"unique words: ${words.count()}")
