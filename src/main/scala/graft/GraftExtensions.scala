@@ -96,6 +96,9 @@ object GraftExtensions {
     f("repetition_stats", "repetition_stats(tokens) — per-document gram stats " +
       "struct(n_distinct, big_top, big_total, tri_dup, tri_total)",
       classOf[RepetitionStatsExpr]) { case Seq(t) => RepetitionStatsExpr(t) },
+    f("image_dims", "image_dims(bytes) — struct(width, height) from a PNG/GIF/BMP/JPEG " +
+      "header, NULL for non-image bytes",
+      classOf[ImageDimsExpr]) { case Seq(b) => ImageDimsExpr(b) },
 
     // Column compositions, converted to real catalyst trees by the bridge.
     f("haversine_meters", "haversine_meters(lat1, lon1, lat2, lon2) — great-circle meters",

@@ -86,6 +86,34 @@ object Media {
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
 
+  /** Handcrafted w×h 24-bit BMP (BITMAPINFOHEADER, bottom-up rows padded
+    * to 4 bytes, deterministic gradient pixels) — a literal image payload
+    * for oracle-checked queries and specs that must not depend on any
+    * encoder's byte choices. */
+  def tinyBmp(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, "bmp dims must be positive")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54) // reserved + pixel-data offset
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24) // INFOHEADER
+      .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        b.put(((x * 40 + y) % 256).toByte).put(((y * 40 + x) % 256).toByte)
+          .put(((x + y) * 20 % 256).toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { b.put(0.toByte); p += 1 }
+      y += 1
+    }
+    b.array()
+  }
+
   /** Full raster decode — unlike [[imageDimensions]] this reads the pixels
     * (still streaming: one image in memory per row); PNG/BMP/GIF are
     * lossless, so the ARGB values are bit-exact across JVMs. */

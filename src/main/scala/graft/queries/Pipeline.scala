@@ -853,6 +853,29 @@ object Pipeline {
              |  CAST(octet_length(encode(text)) AS BIGINT) * 2654435761 % 1000000007 AS pixel_sum
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Header-only dimension read as a NATIVE codegen'd expression (no RDD
+    // round-trip — legal in streaming plans): text blobs parse to NULL, a
+    // handcrafted literal BMP (encoder-independent bytes) parses to its
+    // real dimensions — so the ORACLE pins the actual image path
+    // cross-engine, not just the fallback.
+    Q("multimodal_dims_expr", "multimodal",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        val demo = s.range(1).select(lit(-1L).as("doc_id"),
+          lit(graft.multimodal.Media.tinyBmp(5, 3)).as("blob"))
+        docs.unionByName(demo)
+          .select(col("doc_id"),
+            graft.functions.expressions.ImageDimsExpr(col("blob")).as("d"))
+          .select(col("doc_id"), col("d.width").as("width"),
+            col("d.height").as("height"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(NULL AS INTEGER) AS width,
+             |  CAST(NULL AS INTEGER) AS height FROM documents
+             |UNION ALL SELECT -1, 5, 3
+             |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic content-stable train/holdout split: bucket = first hex
     // byte of md5("split:" || doc_id), holdout iff bucket < 0x0d (13/256 ≈
     // 5%). Pure per-row projection — no shuffle, no RNG: the property a

@@ -71,6 +71,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(none.isEmpty) // threshold at the last departure → no edge
   }
 
+  test("image_dims parses a binary literal from SQL") {
+    val r = spark.sql(
+      s"SELECT image_dims(unhex('${graft.multimodal.Media.tinyBmp(4, 2)
+        .map("%02x".format(_)).mkString}')) AS d")
+      .select("d.width", "d.height").head
+    assert((r.getInt(0), r.getInt(1)) == (4, 2))
+    assert(spark.sql("SELECT image_dims(encode('junk', 'UTF-8'))").head.isNullAt(0))
+  }
+
   test("extension class wires the same triples as register()") {
     // the SparkSessionExtensions path can't attach to a running session;
     // prove the class applies cleanly and carries the full set

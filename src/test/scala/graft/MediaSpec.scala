@@ -106,6 +106,32 @@ class MediaSpec extends SparkSpec {
     assert(rows(2L).isNullAt(rows(2L).fieldIndex("resized_png")))
   }
 
+  test("image_dims expression parses PNG/BMP/JPEG headers and nulls junk") {
+    import graft.functions.expressions.ImageDimsExpr
+    val png = fixtureBytes("/fixtures/graft-20x7.png")
+    val bmp = Media.tinyBmp(5, 3)
+    // JPEG via the JDK encoder — the SOF walk must find the frame header
+    val jimg = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val jpg = jbos.toByteArray
+    val junk = "definitely not pixels".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, bmp), (3L, jpg), (4L, junk))
+      .toDF("doc_id", "blob")
+      .select($"doc_id", ImageDimsExpr($"blob").as("d"))
+      .select($"doc_id", $"d.width".as("w"), $"d.height".as("h"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
+    assert(rows(1L).contains((20, 7)))
+    assert(rows(2L).contains((5, 3)))
+    assert(rows(3L).contains((17, 9)))
+    assert(rows(4L).isEmpty)
+    // the handcrafted BMP is a real image: the JDK decoder agrees
+    assert(Media.imageDimensions(bmp).contains((5, 3)))
+    assert(Media.imageDimensions(jpg).contains((17, 9)))
+  }
+
   test("sampleFrames explodes every-k frame indices") {
     val junk = Array.fill[Byte](100)(1) // fake n_frames = 1 + 100 % 32 = 5
     val df = Seq((3L, junk)).toDF("doc_id", "blob")
