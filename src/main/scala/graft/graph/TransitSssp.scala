@@ -61,6 +61,24 @@ object TransitSssp {
     * improved-row count, wall seconds) plus the one-time pin cost — dev
     * diagnostics for decomposing a routing call's cost; off by default. */
   private val trace: Boolean = sys.env.get("SPARK_GRAFT_SSSP_TRACE").contains("1")
+
+  /** Grid checkpoints are stored SERIALIZED (MEMORY_AND_DISK_SER) by
+    * default — a measured decision: the ~600 MB/round deserialized grids
+    * drove GC spikes that inflated individual 10×-Modena rounds 3-8×
+    * (12-54 s rounds amid 5 s neighbors; worst pair 190.6 s), while the
+    * serialized run's trace is uniform (2.5-7 s rounds, pairs
+    * 72.5/83.7/74.2 — worst-case halved, best matching the best ever
+    * recorded). The deserialization CPU on the 2-3 grid scans per round is
+    * noise next to that. SPARK_GRAFT_SSSP_SER=0 opts back into the
+    * deserialized level for A/B runs. */
+  private[graph] val serializedGrid: Boolean =
+    !sys.env.get("SPARK_GRAFT_SSSP_SER").contains("0")
+
+  /** Eager local checkpoint at the configured grid storage level. */
+  private[graph] def ckpt(df: DataFrame): DataFrame =
+    if (serializedGrid) df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df.transform(TransitSssp.ckpt)
   private def tlog(msg: => String): Unit = if (trace) println(s"[transit-sssp] $msg")
 
   /** One-shot convenience over [[TransitSssp]] — for repeated calls against
@@ -106,7 +124,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         sum("hop_w").over(wTrip.rowsBetween(Window.unboundedPreceding, 0)),
         lit(0.0)))
       .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
-      .localCheckpoint(true)
+      .transform(TransitSssp.ckpt)
     TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     preparedForced = true
     p
@@ -130,7 +148,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     val c = changeEdges.select(col("source").as("e_src"),
       col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
       .join(tgtPos, Seq("e_dst"))
-      .localCheckpoint(true)
+      .transform(TransitSssp.ckpt)
     TransitSssp.tlog(f"change-slice pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     changeForced = true
     c
@@ -265,7 +283,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           col("ndist").as("dist"),
           (col("cdist").isNotNull && (col("rdist").isNull ||
             col("cdist") < col("rdist"))).as("fresh"))
-        .localCheckpoint(true)
+        .transform(TransitSssp.ckpt)
       val improved = obs.get("improved").asInstanceOf[Long]
       converged = improved == 0L
       sparse = !converged && improved <= sparseThreshold &&
@@ -328,7 +346,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     var ov = base.filter(col("fresh"))
       .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
         col("dist"), col("fresh"))
-      .localCheckpoint(true)
+      .transform(TransitSssp.ckpt)
     var it = itStart
     var converged = false
     while (it < maxIterations && !converged) {
@@ -343,7 +361,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           coalesce(col("o_fresh"), col("fresh")).as("fresh"))
       // The slice is overlay-sized — pin it so the three consumers below
       // (changed/candMin, rideImp) don't each re-run the base scan + window
-      val ride = cur.withColumn("rdist", rideCol).localCheckpoint(true)
+      val ride = cur.withColumn("rdist", rideCol).transform(TransitSssp.ckpt)
       val changed = ride.filter(col("rdist").isNotNull &&
         (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
       // broadcast the FRONTIER side: the pinned CHANGE slice is
@@ -371,7 +389,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         .filter(col("cur").isNull || col("cdist") < col("cur"))
         .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
           col("cdist").as("dist"), lit(true).as("fresh"))
-      val imp = rideImp.unionByName(candImp).localCheckpoint(true)
+      val imp = rideImp.unionByName(candImp).transform(TransitSssp.ckpt)
       rel(ride)
       val nImp = imp.count()
       if (nImp == 0L) { converged = true; rel(imp) }
@@ -384,7 +402,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         val mergedOv = ov.withColumn("fresh", lit(false)).unionByName(imp)
           .withColumn("rn", row_number().over(wPick))
           .filter(col("rn") === 1).drop("rn")
-          .localCheckpoint(true)
+          .transform(TransitSssp.ckpt)
         rel(ov); rel(imp)
         ov = mergedOv
       }
@@ -402,7 +420,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
         col("acum"), coalesce(col("o_dist"), col("dist")).as("dist"),
         lit(false).as("fresh"))
-      .localCheckpoint(true)
+      .transform(TransitSssp.ckpt)
     rel(base); rel(ov)
     TransitSssp.tlog(f"sparse merge ${(System.nanoTime() - mT0) / 1e9}%.2f s")
     (full, it)
