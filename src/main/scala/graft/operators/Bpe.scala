@@ -219,8 +219,8 @@ object Bpe {
     // TransitSssp). Single-JVM lineage loss is irrelevant (local mode;
     // a lost-executor cluster run restarts the training job).
     val syms = words.select(toSymbols(col("word")).as("s"),
-      col("count").cast("long").as("count")).localCheckpoint(true)
-    val counts = pairCounts(syms).localCheckpoint(true) // the one full aggregation
+      col("count").cast("long").as("count")).transform(ckpt)
+    val counts = pairCounts(syms).transform(ckpt) // the one full aggregation
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     lastRegimes.clear()
     // Hybrid gate: the checkpoint made the row count free, and the pair
@@ -290,7 +290,7 @@ object Bpe {
       // collects — both scan the same pinned pre-merge checkpoint
       val nextSymsF = Future {
         syms.select(when(containsAny, replaceAll(col("s"))).otherwise(col("s")).as("s"),
-          col("count")).localCheckpoint(true)
+          col("count")).transform(ckpt)
       }
       // same signed one-shuffle delta as the table loop (scaladoc there)
       val affected = syms.filter(containsAny)
@@ -315,7 +315,7 @@ object Bpe {
       if (map.size > 4L * hybridMaxPairs) {
         if (trace) println(s"[bpe] pair map outgrew the driver bound " +
           s"(${map.size}) — handing off to the distributed table loop")
-        trainTableLoop(syms, pairCounts(syms).localCheckpoint(true),
+        trainTableLoop(syms, pairCounts(syms).transform(ckpt),
           merges, numMerges)
         return
       }
@@ -421,10 +421,10 @@ object Bpe {
           .select(col("a"), col("b"),
             (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
           .filter(col("n") > 0L) // a fully-consumed pair must disappear
-          .localCheckpoint(true) // materialized while old syms still live
+          .transform(ckpt) // materialized while old syms still live
         val nextSyms = syms.select(
           when(containsAny, replaceAll(col("s"))).otherwise(col("s")).as("s"),
-          col("count")).localCheckpoint(true)
+          col("count")).transform(ckpt)
         // both successors are materialized (eager checkpoints) — release
         // the superseded round's blocks now instead of waiting for the
         // ContextCleaner, so a thousands-of-rounds training run holds two
@@ -445,6 +445,19 @@ object Bpe {
     * width, cumulative merges, wall) — the batch-size decay curve that
     * projects 32k-vocab wall time; off by default. */
   private val trace: Boolean = sys.env.get("SPARK_GRAFT_BPE_TRACE").contains("1")
+
+  /** SPARK_GRAFT_BPE_SER=1 stores the round checkpoints (syms/counts)
+    * SERIALIZED — measurement knob mirroring TransitSssp's grid storage
+    * decision; off by default pending a measured win (BPE's tables are
+    * ~100 MB of short strings, an order below the grid sizes where heap
+    * churn was the proven pathology). */
+  private val serCkpt: Boolean = sys.env.get("SPARK_GRAFT_BPE_SER").contains("1")
+
+  /** Eager local checkpoint at the configured storage level. */
+  private def ckpt(df: DataFrame): DataFrame =
+    if (serCkpt) df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df.transform(ckpt)
 
   /** Test hook: the loop regimes the most recent distributed train()
     * traversed, in order ("hybrid", "tableloop") — lets the hand-off spec
