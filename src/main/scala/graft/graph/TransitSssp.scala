@@ -78,7 +78,7 @@ object TransitSssp {
   private[graph] def ckpt(df: DataFrame): DataFrame =
     if (serializedGrid) df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    else df.transform(TransitSssp.ckpt)
+    else df.localCheckpoint(true)
   private def tlog(msg: => String): Unit = if (trace) println(s"[transit-sssp] $msg")
 
   /** One-shot convenience over [[TransitSssp]] — for repeated calls against

@@ -457,7 +457,7 @@ object Bpe {
   private def ckpt(df: DataFrame): DataFrame =
     if (serCkpt) df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    else df.transform(ckpt)
+    else df.localCheckpoint(true)
 
   /** Test hook: the loop regimes the most recent distributed train()
     * traversed, in order ("hybrid", "tableloop") — lets the hand-off spec
