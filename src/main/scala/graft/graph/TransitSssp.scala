@@ -64,14 +64,17 @@ object TransitSssp {
 
   /** Grid checkpoints are stored SERIALIZED (MEMORY_AND_DISK_SER) by
     * default — a measured decision: the ~600 MB/round deserialized grids
-    * drove GC spikes that inflated individual 10×-Modena rounds 3-8×
-    * (12-54 s rounds amid 5 s neighbors; worst pair 190.6 s), while the
-    * serialized run's trace is uniform (2.5-7 s rounds, pairs
-    * 72.5/83.7/74.2 — worst-case halved, best matching the best ever
-    * recorded). The deserialization CPU on the 2-3 grid scans per round is
-    * noise next to that. SPARK_GRAFT_SSSP_SER=0 opts back into the
-    * deserialized level for A/B runs. */
-  private[graph] val serializedGrid: Boolean =
+    * drove GC spikes that inflated individual 10×-Modena rounds up to 8×
+    * (12-54 s rounds amid 5 s neighbors; worst pair 190.6 s). Two
+    * serialized runs measured max spike ~2.5× (rounds ≤ 21 s) and the two
+    * best pairs recorded (67.7, 72.5 s) — spike magnitude capped, though
+    * pair-level variance from box scheduling remains (COVERAGE.md
+    * distributed section carries both runs). The deserialization CPU on
+    * the 2-3 grid scans per round is noise next to that; at 3× the levels
+    * measure equivalent. SPARK_GRAFT_SSSP_SER=0 opts back into the
+    * deserialized level; a test may flip the var directly (both storage
+    * paths are spec-pinned for distance parity). */
+  @volatile private[graft] var serializedGrid: Boolean =
     !sys.env.get("SPARK_GRAFT_SSSP_SER").contains("0")
 
   /** Eager local checkpoint at the configured grid storage level. */

@@ -451,7 +451,8 @@ object Bpe {
     * decision; off by default pending a measured win (BPE's tables are
     * ~100 MB of short strings, an order below the grid sizes where heap
     * churn was the proven pathology). */
-  private val serCkpt: Boolean = sys.env.get("SPARK_GRAFT_BPE_SER").contains("1")
+  @volatile private[graft] var serCkpt: Boolean =
+    sys.env.get("SPARK_GRAFT_BPE_SER").contains("1")
 
   /** Eager local checkpoint at the configured storage level. */
   private def ckpt(df: DataFrame): DataFrame =

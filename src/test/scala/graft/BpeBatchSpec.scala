@@ -110,6 +110,22 @@ class BpeBatchSpec extends SparkSpec {
       s"expected a hybrid->tableloop hand-off, got ${Bpe.lastRegimes.asScala}")
   }
 
+  test("both checkpoint storage levels produce identical merges") {
+    // Same guard as TransitSsspSpec's storage-level test: the knob must
+    // never change answers and both branches must run under a spec.
+    val words = Seq(("abcabc", 50L), ("abd", 40L), ("xbc", 35L), ("abc", 30L))
+    val df = words.toDF("word", "count")
+    val local = Bpe.train(df, 6)
+    val before = Bpe.serCkpt
+    val ser = try {
+      Bpe.serCkpt = true; Bpe.train(df, 6, localMaxWords = 0L)
+    } finally Bpe.serCkpt = before
+    val deser = try {
+      Bpe.serCkpt = false; Bpe.train(df, 6, localMaxWords = 0L)
+    } finally Bpe.serCkpt = before
+    assert(ser == local && deser == local)
+  }
+
   test("selectBatchEx with a complete table has no probe floor") {
     // the same conflict-free window that floor-truncates as a probe accepts
     // everything when it IS the whole table (no unseen pair can tie)

@@ -36,6 +36,27 @@ class TransitSsspSpec extends SparkSpec {
     assert(key(transit) == key(local))
   }
 
+  test("both grid storage levels (serialized default / deserialized A/B) agree") {
+    // The storage knob must never change answers — and the knob-off branch
+    // must actually RUN under a spec (a scripted refactor once turned the
+    // untested fallback into an infinite self-call).
+    val sources = g.nodes.orderBy("id").limit(2).select("id")
+      .as[Long].collect().toSet
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vertex_id", "source_id", "dist")
+        .as[(Long, Long, Double)].collect().toSet
+    val before = TransitSssp.serializedGrid
+    val ser = try {
+      TransitSssp.serializedGrid = true
+      key(TransitSssp.run(g.nodes, changeEdges, sources))
+    } finally TransitSssp.serializedGrid = before
+    val deser = try {
+      TransitSssp.serializedGrid = false
+      key(TransitSssp.run(g.nodes, changeEdges, sources))
+    } finally TransitSssp.serializedGrid = before
+    assert(ser == deser && ser.nonEmpty)
+  }
+
   test("pred chain is a valid shortest-path tree pathDistributed can walk") {
     val src = g.nodes.orderBy("id").limit(1).select("id").as[Long].head()
     val dist = TransitSssp.run(g.nodes, changeEdges, Set(src)).cache()
