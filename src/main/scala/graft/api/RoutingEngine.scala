@@ -92,7 +92,8 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       import spark.implicits._
       arr.iterator.filter { case (_, la, lo) =>
         graft.functions.SpatialFunctions.haversineMetersScalar(la, lo, lat, lon) < radius
-      }.map(_._1).toSet.toSeq.sorted.toDF("stop_name")
+      }.map(_._1).filter(_ != null) // distributed distinct() tolerated null names; so must we
+        .toSet.toSeq.sorted.toDF("stop_name")
     }
     // Peek, don't force: the local-index gate needs the edge count, and a
     // stop scan must not pay the whole CHANGE build on a fresh projection.

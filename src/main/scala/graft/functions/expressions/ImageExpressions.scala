@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   * (both DIB header vintages, top-down heights normalized), and JPEG (SOF
   * segment walk). All reads are bounds-checked big/little-endian arithmetic
   * over the byte array — no decoder library, deterministic everywhere. */
-case class ImageDimsExpr(child: Expression) extends UnaryExpression {
+case class ImageDimsExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ImageDimsExpr.schema
+  override def inputTypes = Seq(BinaryType)
   override def nullable: Boolean = true
   override def prettyName: String = "image_dims"
 
@@ -59,14 +60,29 @@ object ImageDimsExpr {
     if (bytes.length >= 24 && u8(0) == 0x89 && bytes(1) == 'P' &&
         bytes(2) == 'N' && bytes(3) == 'G')
       return row(be32(16), be32(20))
-    // GIF87a/89a: logical screen size little-endian at 6/8
-    if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+    // GIF87a/89a: logical screen size little-endian at 6/8. The version
+    // triplet must be exactly "87a" or "89a" — a bare 'GIF' prefix on
+    // arbitrary binary is not an image (Media.imageDimensions would reject
+    // it through ImageIO, and the dims oracle pins NULL there).
+    if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
       return row(le16(6), le16(8))
     // BMP: DIB size at 14 picks the header vintage; negative height =
-    // top-down row order, dimension is the magnitude
+    // top-down row order, dimension is the magnitude. 'BM' alone is two
+    // printable bytes, so demand the rest of the file header be coherent:
+    // reserved shorts zero, pixel-data offset past the headers and inside
+    // the declared file size, DIB size a known vintage.
     if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val fileSize = le32(2)
+      val reservedZero = le16(6) == 0 && le16(8) == 0
+      val pixelOffset = le32(10)
       val dib = le32(14)
-      return if (dib == 12) row(le16(18), le16(20)) // BITMAPCOREHEADER
+      val knownDib = dib == 12 || dib == 40 || dib == 52 || dib == 56 ||
+        dib == 64 || dib == 108 || dib == 124
+      val plausible = reservedZero && knownDib &&
+        pixelOffset >= 14 + dib && fileSize > 0 && pixelOffset <= fileSize
+      return if (!plausible) null
+      else if (dib == 12) row(le16(18), le16(20)) // BITMAPCOREHEADER
       else if (bytes.length >= 30) row(le32(18), math.abs(le32(22)))
       else null
     }

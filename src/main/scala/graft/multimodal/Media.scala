@@ -167,10 +167,12 @@ object Media {
               val px = w.toLong * h
               Row(id, n, w, h, r4(sr.toDouble / px), r4(sg.toDouble / px),
                 r4(sb.toDouble / px), true)
-            // FAKE branch (non-image payloads only): deterministic from length.
+            // FAKE branch (non-image payloads only): deterministic from
+            // length. Long arithmetic — the oracle computes the same
+            // formula exact, and n * 131 overflows Int past ~16 MB blobs.
             case None => Row(id, n, 16 + n % 241, 16 + (n / 241) % 241,
-              (n % 256).toDouble, (n * 31 % 256).toDouble,
-              (n * 131 % 256).toDouble, false)
+              (n.toLong % 256).toDouble, (n.toLong * 31 % 256).toDouble,
+              (n.toLong * 131 % 256).toDouble, false)
           }
         }
       }

@@ -42,8 +42,9 @@ object Bpe {
     * 256 initial pairs; natural text: |chars|² plus one new symbol per
     * merge × its distinct neighbors). 4M rows × ~150 B of map entry
     * ≈ 600 MB driver heap, well under the driver sizes every measured run
-    * uses; above the bound (or if the map outgrows 4× of it mid-training)
-    * the fully-distributed table loop takes over. */
+    * uses; above the bound (or if the map outgrows 1.5× of it mid-training
+    * — ~900 MB, modest headroom without risking a small-heap OOM before
+    * the hand-off fires) the fully-distributed table loop takes over. */
   val HybridPairMaxRows: Long = 4000000L
 
   /** "word" → " w  o  r  d " (double-space separators, single-space ends;
@@ -312,7 +313,7 @@ object Bpe {
       if (trace) println(f"[bpe] hybrid round $round%d batch=${batch.size}%d " +
         f"merges=${merges.size}%d pairs=${map.size}%d " +
         f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
-      if (map.size > 4L * hybridMaxPairs) {
+      if (map.size > hybridMaxPairs + hybridMaxPairs / 2) {
         if (trace) println(s"[bpe] pair map outgrew the driver bound " +
           s"(${map.size}) — handing off to the distributed table loop")
         trainTableLoop(syms, pairCounts(syms).transform(ckpt),

@@ -132,6 +132,35 @@ class MediaSpec extends SparkSpec {
     assert(Media.imageDimensions(jpg).contains((17, 9)))
   }
 
+  test("image_dims rejects lookalike headers that ImageIO would reject") {
+    import graft.functions.expressions.ImageDimsExpr
+    // 'GIF' prefix on arbitrary binary: no valid 87a/89a version triplet
+    val gifJunk = "GIFt for you: not an image".getBytes("UTF-8")
+    // 'BM' prefix with nonzero reserved shorts / incoherent offsets
+    val bmJunk = "BMW parts catalog, binary blob".getBytes("UTF-8")
+    // a REAL GIF89a header (13-byte logical screen descriptor) still parses
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](7, 0, 4, 0, 0, 0, 0) // 7x4 logical screen, LE
+    val rows = Seq((1L, gifJunk), (2L, bmJunk), (3L, gif))
+      .toDF("doc_id", "blob")
+      .select($"doc_id", ImageDimsExpr($"blob").as("d"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rows(1L) && rows(2L))
+    assert(!rows(3L))
+    // and the JDK agrees the junk is junk
+    assert(Media.imageDimensions(gifJunk).isEmpty)
+    assert(Media.imageDimensions(bmJunk).isEmpty)
+  }
+
+  test("image_dims on a non-binary column fails analysis, not codegen") {
+    import graft.functions.expressions.ImageDimsExpr
+    val df = Seq((1L, "just a string")).toDF("doc_id", "s")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ImageDimsExpr($"s")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary"))
+  }
+
   test("sampleFrames explodes every-k frame indices") {
     val junk = Array.fill[Byte](100)(1) // fake n_frames = 1 + 100 % 32 = 5
     val df = Seq((3L, junk)).toDF("doc_id", "blob")
