@@ -112,6 +112,14 @@ object TextFunctions {
   def jaccardSets(a: Column, b: Column): Column =
     graft.functions.expressions.JaccardSortedStrExpr(a, b)
 
+  /** 60-bit compaction of a [[md5Shingles]] set for the candidate-VERIFY
+    * join: sorted distinct longs from each shingle's first 15 hex chars —
+    * ~6× fewer shuffle bytes than the hex strings and a long-merge Jaccard
+    * ([[jaccardSorted]]). DuckDB mirror:
+    * `list_sort(list_distinct(list_transform(s, h -> ('0x'||h[1:15])::BIGINT)))`. */
+  def md5Prefix60(md5ShingleCol: Column): Column =
+    graft.functions.expressions.Md5Prefix60Expr(md5ShingleCol)
+
   /** Word n-gram shingles of size n (space-joined), for MinHash/Jaccard. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

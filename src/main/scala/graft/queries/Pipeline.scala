@@ -52,11 +52,15 @@ object Pipeline {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
        |  WHERE a.doc_id < b.doc_id),
+       |s60 AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    list_transform(s, h -> ('0x' || h[1:15])::BIGINT))) AS s6
+       |  FROM sh),
        |verified AS (
        |  SELECT a_id, b_id,
-       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-       |    CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
-       |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id JOIN sh sb ON cand.b_id = sb.doc_id)
+       |    CAST(len(list_intersect(sa.s6, sb.s6)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.s6, sb.s6))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN s60 sa ON cand.a_id = sa.doc_id JOIN s60 sb ON cand.b_id = sb.doc_id)
        |$tail""".stripMargin
 
   /** DuckDB mirror of dedup_embedding_cosine: same seeded hyperplanes as
@@ -183,11 +187,14 @@ object Pipeline {
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
         // Verify via shuffle equi-joins on doc id — broadcast is for
-        // dimensions, not the corpus (AQE still broadcasts if tiny).
+        // dimensions, not the corpus (AQE still broadcasts if tiny). The
+        // joined dimension carries the 60-bit compacted sets (md5Prefix60),
+        // not the hex strings: ~6× fewer shuffle bytes per candidate.
+        val dim = docs.select(col("doc_id"), md5Prefix60(col("sh")).as("s6"))
         candidates
-          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"), jaccardSets(col("a_sh"), col("b_sh")).as("jaccard"))
+          .join(dim.select(col("doc_id").as("a_id"), col("s6").as("a_sh")), Seq("a_id"))
+          .join(dim.select(col("doc_id").as("b_id"), col("s6").as("b_sh")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .orderBy("a_id", "b_id")
       },
@@ -258,10 +265,12 @@ object Pipeline {
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
+        // 60-bit compacted verify dimension (scaladoc: md5Prefix60)
+        val dim = docs.select(col("doc_id"), md5Prefix60(col("sh")).as("s6"))
         candidates
-          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"), jaccardSets(col("a_sh"), col("b_sh")).as("jaccard"))
+          .join(dim.select(col("doc_id").as("a_id"), col("s6").as("a_sh")), Seq("a_id"))
+          .join(dim.select(col("doc_id").as("b_id"), col("s6").as("b_sh")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("a_id", "b_id")
       },
@@ -315,10 +324,11 @@ object Pipeline {
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
+        val dim = docs.select(col("doc_id"), md5Prefix60(col("sh")).as("s6"))
         val nearDupPairs = candidates
-          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-          .filter(jaccardSets(col("a_sh"), col("b_sh")) >= 0.5)
+          .join(dim.select(col("doc_id").as("a_id"), col("s6").as("a_sh")), Seq("a_id"))
+          .join(dim.select(col("doc_id").as("b_id"), col("s6").as("b_sh")), Seq("b_id"))
+          .filter(jaccardSorted(col("a_sh"), col("b_sh")) >= 0.5)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         graft.graph.Components.connected(nearDupPairs)
           .select(col("vertex_id").as("doc_id"), col("component").as("canonical_id"))
@@ -356,10 +366,11 @@ object Pipeline {
           .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
+        val dim = sh.select(col("doc_id"), md5Prefix60(col("sh")).as("s6"))
         val nearDupPairs = candidates
-          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-          .filter(jaccardSets(col("a_sh"), col("b_sh")) >= 0.5)
+          .join(dim.select(col("doc_id").as("a_id"), col("s6").as("a_sh")), Seq("a_id"))
+          .join(dim.select(col("doc_id").as("b_id"), col("s6").as("b_sh")), Seq("b_id"))
+          .filter(jaccardSorted(col("a_sh"), col("b_sh")) >= 0.5)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         // non-canonical cluster members — the rows dedup removes
         val losers = graft.graph.Components.connected(nearDupPairs)

@@ -40,10 +40,11 @@ object TimeDedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     phase("candidates") { println("    n=" + candidates.count()) }
+    val dim = docs.select(col("doc_id"), md5Prefix60(col("sh")).as("s6"))
     val verified = candidates
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), jaccardSets(col("a_sh"), col("b_sh")).as("jaccard"))
+      .join(dim.select(col("doc_id").as("a_id"), col("s6").as("a_sh")), Seq("a_id"))
+      .join(dim.select(col("doc_id").as("b_id"), col("s6").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
     phase("verify") { println("    n=" + verified.count()) }
     spark.stop()

@@ -92,11 +92,12 @@ object TimePipelineScale {
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct().cache()
       val (candN, candSec) = timed { candidates.count() }
+      val dim = sh.select(col("doc_id"), md5Prefix60(col("sh")).as("s6"))
       val verified = candidates
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+        .join(dim.select(col("doc_id").as("a_id"), col("s6").as("a_sh")), Seq("a_id"))
+        .join(dim.select(col("doc_id").as("b_id"), col("s6").as("b_sh")), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
-          jaccardSets(col("a_sh"), col("b_sh")).as("jaccard"))
+          jaccardSorted(col("a_sh"), col("b_sh")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
       val (verN, verSec) = timed { verified.count() }
 

@@ -131,6 +131,21 @@ class FunctionsSpec extends SparkSpec {
     // the defined ones and pin the convention explicitly
     mergeJ.zip(setJ).foreach { case (m, s2) => if (!s2.isNaN) assert(m == s2) }
     assert(mergeJ.last == 1.0)
+    // 60-bit compaction: Jaccard over md5Prefix60 sets equals the
+    // string-set Jaccard (no prefix collisions on these fixtures), and the
+    // compacted values are the numeric reading of each prefix's 15 hex
+    // chars, sorted — the exact DuckDB ('0x'||h[1:15])::BIGINT mirror.
+    val compactJ = pairs.select(jaccardSorted(
+      md5Prefix60(md5Shingles($"t1", 2)), md5Prefix60(md5Shingles($"t2", 2))))
+      .as[Double].collect().toSeq
+    assert(compactJ == mergeJ)
+    val (hexSets, longSets) = df
+      .select(md5Shingles($"text", 2).as("sh"), md5Prefix60(md5Shingles($"text", 2)).as("s6"))
+      .as[(Seq[String], Seq[Long])].collect().toSeq.unzip
+    hexSets.zip(longSets).foreach { case (hx, ls) =>
+      val expect = hx.map(h => java.lang.Long.parseLong(h.take(15), 16)).distinct.sorted
+      assert(ls == expect)
+    }
   }
 
   test("withinRadius: bbox conjuncts reach the parquet scan and never clip") {
