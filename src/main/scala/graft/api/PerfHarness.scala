@@ -13,13 +13,35 @@ object PerfHarness {
 
   /** `buildSec` is the one-time projection/SSSP/stopDim warm-up, identical
     * on every row: the harness queries' bench totals decompose as
-    * buildSec + Σ per-pair columns without reading code. */
+    * buildSec + Σ per-pair columns without reading code.
+    *
+    * `itineraryDigest` is a content hash of the ordered routed segments
+    * (first 8 MD5 bytes over the canonicalized rows; 0 for no itinerary) —
+    * the harness emits TIMINGS, which no SQL oracle can pin, so the digest
+    * is the self-verification handle: it must be byte-stable across runs,
+    * layouts and regimes (the golden itinerary queries pin the same
+    * content through the hash oracle at fixture scale). `twinDigestOk`,
+    * when a twin engine is supplied, asserts exactly that in-query: the
+    * SAME pair routed through the OTHER SSSP regime produced the
+    * identical digest (null = no twin configured). */
   final case class Measurement(name: String, straightLineKm: Double,
       findStartStopsSec: Double, findEndStopsSec: Double, routingSec: Double,
-      segments: Long, buildSec: Double)
+      segments: Long, buildSec: Double, itineraryDigest: Long,
+      twinDigestOk: Option[Boolean])
+
+  /** Canonical content hash of a collected itinerary (ordered rows). */
+  def itineraryDigest(rows: Array[org.apache.spark.sql.Row]): Long = {
+    if (rows.isEmpty) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      md.update(r.mkString("").getBytes("UTF-8")); md.update(10.toByte)
+    }
+    java.nio.ByteBuffer.wrap(md.digest()).getLong
+  }
 
   def run(engine: RoutingEngine, date: String, time: String, speed: Double,
-      radius: Double, pairs: Seq[OdPair]): Seq[Measurement] = {
+      radius: Double, pairs: Seq[OdPair],
+      twin: Option[RoutingEngine] = None): Seq[Measurement] = {
     import graft.functions.SpatialFunctions._
     // Warm the shared structures the reference also holds before ITS timed
     // loop (`main.py:313-338` projects the GDS graph first): the (day,
@@ -47,15 +69,27 @@ object PerfHarness {
       // caller pays to SEE the itinerary. The result is bounded (≤ hops+1
       // path segments), so the collect is driver-safe, and its length is
       // the segment count — full materialization and the count in one job.
-      val segments =
-        if (startNames.isEmpty || endNames.isEmpty) 0L
+      val rows =
+        if (startNames.isEmpty || endNames.isEmpty)
+          Array.empty[org.apache.spark.sql.Row]
         else engine.routingBetweenTwoPoints(date, p.startLat, p.startLon,
-          p.endLat, p.endLon, startNames, endNames, speed, time).collect().length.toLong
+          p.endLat, p.endLon, startNames, endNames, speed, time).collect()
       val t3 = System.nanoTime()
+      val dg = itineraryDigest(rows)
+      // Twin verification runs AFTER the timed window — it must not
+      // contaminate the per-pair columns the BASELINE comparison reads.
+      val twinOk = twin.map { tw =>
+        val twinRows =
+          if (startNames.isEmpty || endNames.isEmpty)
+            Array.empty[org.apache.spark.sql.Row]
+          else tw.routingBetweenTwoPoints(date, p.startLat, p.startLon,
+            p.endLat, p.endLon, startNames, endNames, speed, time).collect()
+        itineraryDigest(twinRows) == dg
+      }
       val km = haversineMetersScalar(p.startLat, p.startLon,
         p.endLat, p.endLon) / 1000.0
       Measurement(p.name, km, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
-        segments, buildSec)
+        rows.length.toLong, buildSec, dg, twinOk)
     }
   }
 

@@ -117,7 +117,7 @@ object TransitBetweenness {
     val blockW = Window.partitionBy("src", "trip_id", "key").orderBy("stop_sequence")
     val prefIncl = blockW.rowsBetween(Window.unboundedPreceding, 0)
     val sufExcl = blockW.rowsBetween(1, Window.unboundedFollowing)
-    val stateCols = Seq("src", "id", "trip_id", "stop_sequence", "dist", "key", "seed")
+    val stateCols = Seq("src", "trip_id", "stop_sequence", "dist", "key", "seed")
 
     val batches = sources.distinct.grouped(math.max(1, pivotBatch)).toSeq
     val batchScores = batches.zipWithIndex.map { case (batch, bi) =>
@@ -126,9 +126,16 @@ object TransitBetweenness {
       // ---- forward: hop distances via trip-collapse SSSP ----
       val (grid, distRounds) = sssp.convergeCounted(batch.toSet, maxIterations)
       tlog(f"batch $bi%d dist done: $distRounds%d rounds $phaseSec%.1f s")
+      // The grid's dist is REL (hop metric: A(u) = pos − 1, so
+      // dist_abs = rel + pos − 1); key IS rel — exactly the block key the
+      // prefix/suffix sums partition on. The pivot's own row is the only
+      // one at abs distance 0 (every edge costs ≥ 1 hop), replacing the
+      // old id === src seed test — the grid carries no ids.
       val state0 = grid.filter(col("dist").isNotNull)
-        .withColumn("key", col("dist") - col("acum"))
-        .withColumn("seed", when(col("id") === col("src"), 1.0).otherwise(0.0))
+        .withColumn("key", col("dist"))
+        .withColumn("dist",
+          col("dist") + (col("stop_sequence") - 1).cast("double"))
+        .withColumn("seed", when(col("dist") === 0.0, 1.0).otherwise(0.0))
         .select(stateCols.map(col): _*)
 
       // ---- sigma: block prefix sums, iterate to exact stability ----
@@ -153,7 +160,7 @@ object TransitBetweenness {
             state("trip_id") === enters("d_trip") &&
             state("stop_sequence") === enters("d_seq") &&
             state("dist") === enters("b_dist"), "left")
-          .select(state("src"), state("id"), state("trip_id"),
+          .select(state("src"), state("trip_id"),
             state("stop_sequence"), state("dist"), state("key"), state("seed"),
             state("sigma").as("sigma_old"), col("enterC"))
           .withColumn("sigma",
@@ -185,7 +192,7 @@ object TransitBetweenness {
             dstate("trip_id") === psi("s_trip") &&
             dstate("stop_sequence") === psi("s_seq") &&
             dstate("dist") === psi("b_dist"), "left")
-          .select(dstate("src"), dstate("id"), dstate("trip_id"),
+          .select(dstate("src"), dstate("trip_id"),
             dstate("stop_sequence"), dstate("dist"), dstate("key"),
             dstate("seed"), dstate("sigma"),
             coalesce(col("psiC"), lit(0.0)).as("psiV"))
@@ -200,8 +207,15 @@ object TransitBetweenness {
       }
 
       // runLocal's row set: every visited vertex except the pivot itself
-      val scores = dstate.filter(col("id") =!= col("src"))
-        .groupBy(col("id").as("vertex_id")).agg(sum("delta").as("score"))
+      // (the only abs-dist-0 row per pivot). Vertex ids rejoin AFTER the
+      // aggregation — the joined frame is vertex-count-sized, not grid-
+      // sized.
+      val scores = dstate.filter(col("dist") =!= 0.0)
+        .groupBy(col("trip_id"), col("stop_sequence"))
+        .agg(sum("delta").as("score"))
+        .join(pos.select(col("id"), col("trip_id"),
+          col("pos").as("stop_sequence")), Seq("trip_id", "stop_sequence"))
+        .select(col("id").as("vertex_id"), col("score"))
         .localCheckpoint(true)
       rel(dstate)
       tlog(f"batch $bi%d (${batch.size}%d pivots): distRounds=$distRounds%d " +

@@ -37,6 +37,33 @@ import org.apache.spark.sql.expressions.Window
   * engines (RAPTOR-family) exploit, re-expressed as Catalyst window +
   * join so it scales with the cluster.
   *
+  * STATE REPRESENTATION (round 11): the grid stores distances in
+  * RELATIVE ("rel") space — rel(u) = dist(u) − A(u), the quantity the
+  * ride prefix-min already operated on — and carries only
+  * (src, trip_id, stop_sequence, dist, fresh): five fixed-width fields
+  * ≈ 48 B/UnsafeRow against the previous seven ≈ 64 B. The round loop
+  * rewrites the full grid every iteration, so row width IS the block
+  * churn that drove the 10×-Modena GC variance (VERDICT r10 #2):
+  *  - `acum` is gone from the state: in rel space the ride closure is a
+  *    pure prefix-min (rel'(u) = min(rel(u), min over earlier v of
+  *    rel(v))), and the CHANGE candidate weight pre-folds both
+  *    endpoints' prefixes into one static per-edge constant
+  *    w_rel = A(src) + w − A(dst), carried on the pinned slice. All
+  *    values stay integer-valued doubles, so fixpoint equalities remain
+  *    exact; absolute distances are restored (dist = rel + A) by one
+  *    position join against the pinned trip prefix at OUTPUT time only
+  *    (Staged.distances / resolveState), never per round.
+  *  - `id` is gone from the state: every in-loop join is positional on
+  *    (trip_id, stop_sequence) — the node's primary key — and the CHANGE
+  *    slice carries both endpoints' positions. Ids rejoin the output in
+  *    the same position join that restores A.
+  *  - the CHANGE slice is pinned REPARTITIONED on hash(s_trip) and
+  *    sorted (s_trip, s_seq), so the per-round frontier→edge join is
+  *    Exchange-free on BOTH sides (grid and slice are co-partitioned on
+  *    the trip key; only the frontier-sized sort runs) — previously the
+  *    slice sat on its build-join partitioning and re-shuffled or
+  *    re-sorted every mid-flood round.
+  *
   * Exactness: label-correcting Bellman-Ford over the (ride-closure, change)
   * operator — monotone improvements to a unique fixpoint = Dijkstra's
   * distances (weights ≥ 0). All weights are integer-valued doubles, so the
@@ -104,10 +131,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   private val wSrcTrip =
     Window.partitionBy("src", "trip_id").orderBy("stop_sequence")
   private val pref = wSrcTrip.rowsBetween(Window.unboundedPreceding, -1)
-  /** Ride closure: dist after riding from any earlier same-trip row —
-    * transitively complete in one window pass (prefix-min of dist − A). */
-  private val rideCol = least(col("dist"),
-    min(col("dist") - col("acum")).over(pref) + col("acum"))
+  /** Ride closure in rel space: rel after riding from any earlier same-trip
+    * row — transitively complete in one window pass (pure prefix-min; the
+    * A(u) offsets are already folded out of the representation). */
+  private val rideCol = least(col("dist"), min(col("dist")).over(pref))
 
   // Static per-trip ride-cost prefix: A(first) = 0,
   // A(u) = A(u−1) + (arr(u) − dep(u−1)) — so chain cost v→u = A(u) − A(v)
@@ -138,19 +165,35 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   private lazy val nodeCount: Long = prepared.count()
 
   // CHANGE slice pinned once — iterations must not re-derive it from the
-  // projected union per round. Each edge also carries its TARGET's
-  // (trip_id, stop_sequence): the candidate merge joins the grid on
-  // (src, trip_id, stop_sequence) — a superset of the grid's checkpoint-
-  // preserved hash(trip_id) partitioning — instead of (src, id), so the
-  // grid never re-Exchanges mid-flood (see converge()). Every CHANGE
-  // target is a node, so the position join loses nothing.
+  // projected union per round. Each edge carries BOTH endpoints'
+  // (trip_id, stop_sequence) positions — every in-loop join is positional
+  // (the grid rows carry no ids) — plus the endpoint ids for predecessor
+  // output, and the pre-folded rel-space weight
+  // w_rel = A(src) + w − A(dst) (integer-valued, so fixpoint equalities
+  // stay exact). Pinned REPARTITIONED on hash(s_trip) at the session's
+  // shuffle-partition count — the same partitioning family the grid's
+  // window Exchange produces — and sorted (s_trip, s_seq), so the
+  // per-round frontier→edge join moves and sorts only the frontier:
+  // both sides satisfy the join's distribution on the trip key, and the
+  // slice's pinned sort already matches the SMJ order.
   private lazy val change = {
     val t0 = System.nanoTime()
-    val tgtPos = nodes.select(col("id").as("e_dst"),
-      col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"))
+    val srcPos = prepared.select(col("id").as("e_src"),
+      col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
+      col("acum").as("s_acum"))
+    val tgtPos = prepared.select(col("id").as("e_dst"),
+      col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"),
+      col("acum").as("d_acum"))
+    val n = spark.sessionState.conf.numShufflePartitions
     val c = changeEdges.select(col("source").as("e_src"),
       col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
       .join(tgtPos, Seq("e_dst"))
+      .join(srcPos, Seq("e_src"))
+      .select(col("e_src"), col("e_dst"), col("s_trip"), col("s_seq"),
+        col("d_trip"), col("d_seq"),
+        (col("s_acum") + col("w") - col("d_acum")).as("w_rel"))
+      .repartition(n, col("s_trip"))
+      .sortWithinPartitions("s_trip", "s_seq")
       .transform(TransitSssp.ckpt)
     TransitSssp.tlog(f"change-slice pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     changeForced = true
@@ -175,8 +218,15 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * the all-sources output filtered). `release()` frees the converged grid
     * once every derived frame has been consumed. */
   final class Staged private[TransitSssp] (state: DataFrame, sources: Seq[Long]) {
+    // The grid stores rel distances and no ids; ONE position join against
+    // the pinned trip prefix restores both (dist = rel + A, id) — the
+    // prefix side is already partitioned/sorted on the join key, so only
+    // the reached rows sort. Output-time cost, paid once per routing call
+    // instead of 8 B × grid × rounds of checkpoint churn.
     def distances: DataFrame = state.filter(col("dist").isNotNull)
-      .select(col("id").as("vertex_id"), col("src").as("source_id"), col("dist"))
+      .join(prepared, Seq("trip_id", "stop_sequence"))
+      .select(col("id").as("vertex_id"), col("src").as("source_id"),
+        (col("dist") + col("acum")).as("dist"))
     def resolve(source: Long): DataFrame = {
       require(sources.contains(source), s"$source is not a seed of this run")
       resolveState(state.filter(col("src") === source), Seq(source))
@@ -192,9 +242,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   }
 
   /** Label-correcting iteration to the fixpoint; returns the converged
-    * grid (src, id, trip_id, stop_sequence, acum, dist, fresh). Package
+    * grid (src, trip_id, stop_sequence, dist, fresh) with dist in REL
+    * space (dist_abs = dist + A(trip_id, stop_sequence)). Package
     * access: [[TransitBetweenness]] runs its forward hop-BFS through this
-    * (ride weight = Δposition, change weight = 1 — same operator), then
+    * (ride weight = Δposition, change weight = 1 — same operator, where
+    * A(u) = pos(u) − 1 so dist_abs = rel + stop_sequence − 1), then
     * derives sigma/delta from the grid. */
   private[graph] def converge(sources: Set[Long], maxIterations: Int = 1000): DataFrame =
     convergeCounted(sources, maxIterations)._1
@@ -218,8 +270,9 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // runs with the grid pinned in place, flood rounds included.
     val srcDim = sources.toSeq.sorted.toDF("src")
     var state = prepared.crossJoin(broadcast(srcDim))
-      .withColumn("dist", when(col("id") === col("src"), lit(0.0)))
+      .withColumn("dist", when(col("id") === col("src"), -col("acum")))
       .withColumn("fresh", col("dist").isNotNull)
+      .select("src", "trip_id", "stop_sequence", "dist", "fresh")
 
     // Sparse-tail switch: once a round improves fewer rows than this AND
     // the frontier is DECAYING, remaining rounds run over a trip-slice +
@@ -246,22 +299,25 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       val changed = ride.filter(col("rdist").isNotNull &&
         (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
       // Candidate merge keyed on (src, trip_id, stop_sequence) — the
-      // target's position, not its id. (trip_id, stop_sequence) is the
-      // node's primary key (id = xxhash64 of exactly that pair), so the
-      // grouping is equivalent — but the GRID side now satisfies the
-      // join's distribution by the subset rule: its checkpoint-preserved
+      // target's position, not its id ((trip_id, stop_sequence) is the
+      // node's primary key). The GRID side satisfies the merge join's
+      // distribution by the subset rule: its checkpoint-preserved
       // partitioning is hash(trip_id) ⊆ the join keys, and its window
       // sort (src, trip_id, stop_sequence) IS the SMJ sort order. Only
-      // candMin (frontier-sized) shuffles into the grid's layout. The
-      // old (src, id) key forced a grid-sized Exchange here AND a second
-      // one at the next round's window (whose keys the (src, id)
-      // checkpoint no longer satisfied) — the 30–47 s/round dominant
-      // cost of a 10×-Modena route (COVERAGE.md distributed section).
+      // candMin (frontier-sized) shuffles into the grid's layout — the
+      // r9 (src, id) key forced a grid-sized Exchange here AND a second
+      // one at the next round's window, the 30–47 s/round dominant cost
+      // of a 10×-Modena route (COVERAGE.md distributed section). The
+      // frontier→edge join on (s_trip, s_seq) is Exchange-free on BOTH
+      // sides (r11): the frontier inherits the grid's hash(trip_id) and
+      // the slice is pinned on hash(s_trip) at the same partition count,
+      // so only the frontier-sized sort runs.
       val candMin = changed
-        .select(col("src"), col("id"), col("rdist"))
-        .join(change, col("id") === col("e_src"))
+        .select(col("src"), col("trip_id"), col("stop_sequence"), col("rdist"))
+        .join(change, col("trip_id") === col("s_trip") &&
+          col("stop_sequence") === col("s_seq"))
         .groupBy(col("src"), col("d_trip"), col("d_seq"))
-        .agg(min(col("rdist") + col("w")).as("cdist"))
+        .agg(min(col("rdist") + col("w_rel")).as("cdist"))
         .withColumnRenamed("d_trip", "trip_id")
         .withColumnRenamed("d_seq", "stop_sequence")
       val merged = ride.join(candMin, Seq("src", "trip_id", "stop_sequence"), "left")
@@ -281,8 +337,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         .observe(obs, coalesce(sum((col("ndist").isNotNull &&
           (col("dist").isNull || col("ndist") < col("dist"))).cast("long")),
           lit(0L)).as("improved"))
-        .select(col("src"), col("id"), col("trip_id"),
-          col("stop_sequence"), col("acum"),
+        .select(col("src"), col("trip_id"), col("stop_sequence"),
           col("ndist").as("dist"),
           (col("cdist").isNotNull && (col("rdist").isNull ||
             col("cdist") < col("rdist"))).as("fresh"))
@@ -347,7 +402,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     val base = lastFull
     val posKey = Seq("src", "trip_id", "stop_sequence")
     var ov = base.filter(col("fresh"))
-      .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
+      .select(col("src"), col("trip_id"), col("stop_sequence"),
         col("dist"), col("fresh"))
       .transform(TransitSssp.ckpt)
     var it = itStart
@@ -359,8 +414,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       val cur = slice
         .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
           col("dist").as("o_dist"), col("fresh").as("o_fresh")), posKey, "left")
-        .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
-          col("acum"), coalesce(col("o_dist"), col("dist")).as("dist"),
+        .select(col("src"), col("trip_id"), col("stop_sequence"),
+          coalesce(col("o_dist"), col("dist")).as("dist"),
           coalesce(col("o_fresh"), col("fresh")).as("fresh"))
       // The slice is overlay-sized — pin it so the three consumers below
       // (changed/candMin, rideImp) don't each re-run the base scan + window
@@ -372,16 +427,18 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // would sort/shuffle all of it per round to meet a few hundred
       // frontier rows — the hint turns it into one streamed scan
       val candMin = change
-        .join(broadcast(changed.select(col("src"), col("id"), col("rdist"))),
-          col("id") === col("e_src"))
+        .join(broadcast(changed.select(col("src"), col("trip_id"),
+          col("stop_sequence"), col("rdist"))),
+          col("trip_id") === col("s_trip") &&
+            col("stop_sequence") === col("s_seq"))
         .groupBy(col("src"), col("d_trip"), col("d_seq"))
-        .agg(min(col("rdist") + col("w")).as("cdist"))
+        .agg(min(col("rdist") + col("w_rel")).as("cdist"))
         .withColumnRenamed("d_trip", "trip_id")
         .withColumnRenamed("d_seq", "stop_sequence")
       val rideImp = ride
         .filter(col("rdist").isNotNull &&
           (col("dist").isNull || col("rdist") < col("dist")))
-        .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
+        .select(col("src"), col("trip_id"), col("stop_sequence"),
           col("rdist").as("dist"), lit(false).as("fresh"))
       // candidate targets probed against base + overlay (their CURRENT
       // value); strict-improvement filters keep the overlay minimal
@@ -390,7 +447,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           col("dist").as("o_dist")), posKey, "left")
         .withColumn("cur", coalesce(col("o_dist"), col("dist")))
         .filter(col("cur").isNull || col("cdist") < col("cur"))
-        .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
+        .select(col("src"), col("trip_id"), col("stop_sequence"),
           col("cdist").as("dist"), lit(true).as("fresh"))
       val imp = rideImp.unionByName(candImp).transform(TransitSssp.ckpt)
       rel(ride)
@@ -420,8 +477,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     val full = base
       .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
         col("dist").as("o_dist")), posKey, "left")
-      .select(col("src"), col("id"), col("trip_id"), col("stop_sequence"),
-        col("acum"), coalesce(col("o_dist"), col("dist")).as("dist"),
+      .select(col("src"), col("trip_id"), col("stop_sequence"),
+        coalesce(col("o_dist"), col("dist")).as("dist"),
         lit(false).as("fresh"))
       .transform(TransitSssp.ckpt)
     rel(base); rel(ov)
@@ -439,38 +496,68 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     if (changeForced) rel(change)
   }
 
-  /** Predecessor resolution against the CONVERGED distances: candidates
-    * are (a) trip predecessor where the single-hop fixpoint equality
-    * holds, (b) CHANGE sources where dist(dst) = dist(src) + w, (c) the
-    * seeds themselves (pred −1, always preferred). All arithmetic is on
-    * integer-valued doubles — equality is exact. Per-(src, v) independent,
-    * so it may run over a source-filtered grid slice (Staged.resolve). */
+  /** Predecessor resolution against the CONVERGED rel distances:
+    * candidates are (a) trip predecessor where the single-hop fixpoint
+    * equality holds — in rel space simply rel(u) = rel(pred) (the A
+    * offsets telescope out), (b) CHANGE sources where
+    * rel(dst) = rel(src) + w_rel, (c) the seeds themselves (pred −1,
+    * always preferred). All arithmetic is on integer-valued doubles —
+    * equality is exact. Candidates key on the grid's own
+    * (trip_id, stop_sequence) position; ids and absolute distances are
+    * restored by position joins against the pinned trip prefix — once
+    * for the ride preds (pred row's id), once for the picked output.
+    * Pre-filtering to reached rows is safe for the ride lag: if
+    * rel(u) = rel(p̃) for a reached earlier row p̃, every intermediate
+    * trip row is reachable through that same ride at the fixpoint, so
+    * the filtered lag still pairs immediate neighbors. Per-(src, v)
+    * independent, so it may run over a source-filtered grid slice
+    * (Staged.resolve). */
   private def resolveState(state: DataFrame, sources: Seq[Long]): DataFrame = {
     import spark.implicits._
-    val rideCand = state
-      .withColumn("p_id", lag("id", 1).over(wSrcTrip))
-      .withColumn("p_dist", lag("dist", 1).over(wSrcTrip))
-      .withColumn("p_acum", lag("acum", 1).over(wSrcTrip))
-      .filter(col("dist").isNotNull && col("p_dist").isNotNull &&
-        col("dist") === col("p_dist") + (col("acum") - col("p_acum")))
-      .select(col("src"), col("id").as("v"), col("dist"),
-        col("p_id").as("pred"), lit(1).as("prio"))
-    val d = state.filter(col("dist").isNotNull)
-      .select(col("src"), col("id").as("v"), col("dist"))
-    val dv = d.select(col("src"), col("v").as("e_src"), col("dist").as("s_dist"))
-    val dt = d.select(col("src"), col("v").as("e_dst"), col("dist").as("t_dist"))
+    val reached = state.filter(col("dist").isNotNull)
+    val rideCand = reached
+      .withColumn("p_seq", lag("stop_sequence", 1).over(wSrcTrip))
+      .withColumn("p_rel", lag("dist", 1).over(wSrcTrip))
+      .filter(col("p_rel").isNotNull && col("dist") === col("p_rel"))
+      .join(prepared.select(col("trip_id"),
+        col("stop_sequence").as("p_seq"), col("id").as("pred")),
+        Seq("trip_id", "p_seq"))
+      .select(col("src"), col("trip_id"), col("stop_sequence"),
+        col("dist").as("rel"), col("pred"), lit(1).as("prio"))
+    // CHANGE fixpoint edges: slice × reached source rows (positional; the
+    // pinned slice and the grid co-partition on the trip key) probed
+    // against the target's own grid row.
+    val dv = reached.select(col("src"), col("trip_id").as("s_trip"),
+      col("stop_sequence").as("s_seq"), col("dist").as("s_rel"))
+    val dt = reached.select(col("src"), col("trip_id").as("d_trip"),
+      col("stop_sequence").as("d_seq"), col("dist").as("t_rel"))
     val changeCand = change
-      .join(dv, Seq("e_src")).join(dt, Seq("e_dst", "src"))
-      .filter(col("t_dist") === col("s_dist") + col("w"))
-      .select(col("src"), col("e_dst").as("v"), col("t_dist").as("dist"),
+      .join(dv, Seq("s_trip", "s_seq"))
+      .join(dt, Seq("src", "d_trip", "d_seq"))
+      .filter(col("t_rel") === col("s_rel") + col("w_rel"))
+      .select(col("src"), col("d_trip").as("trip_id"),
+        col("d_seq").as("stop_sequence"), col("t_rel").as("rel"),
         col("e_src").as("pred"), lit(1).as("prio"))
-    val seedCand = sources.sorted.toDF("v")
-      .select(col("v").as("src"), col("v"), lit(0.0).as("dist"),
-        lit(-1L).as("pred"), lit(0).as("prio"))
-    val wPick = Window.partitionBy("src", "v").orderBy(col("prio"), col("pred"))
-    rideCand.unionByName(changeCand).unionByName(seedCand)
+    // Seeds: position + rel (= −A) read off the pinned prefix. Seeds
+    // ABSENT from the projection have no grid row — they rejoin as
+    // phantom self-rows after the widen (contract: every seed reports
+    // itself at dist 0).
+    val sidDim = sources.sorted.toDF("sid")
+    val seedCand = prepared
+      .join(broadcast(sidDim), col("id") === col("sid"))
+      .select(col("id").as("src"), col("trip_id"), col("stop_sequence"),
+        (-col("acum")).as("rel"), lit(-1L).as("pred"), lit(0).as("prio"))
+    val wPick = Window.partitionBy("src", "trip_id", "stop_sequence")
+      .orderBy(col("prio"), col("pred"))
+    val resolved = rideCand.unionByName(changeCand).unionByName(seedCand)
       .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-      .select(col("v").as("vertex_id"), col("src").as("source_id"),
-        col("dist"), col("pred"))
+      .join(prepared, Seq("trip_id", "stop_sequence"))
+      .select(col("id").as("vertex_id"), col("src").as("source_id"),
+        (col("rel") + col("acum")).as("dist"), col("pred"))
+    val phantom = sidDim
+      .join(prepared.select(col("id").as("sid")), Seq("sid"), "left_anti")
+      .select(col("sid").as("vertex_id"), col("sid").as("source_id"),
+        lit(0.0).as("dist"), lit(-1L).as("pred"))
+    resolved.unionByName(phantom)
   }
 }

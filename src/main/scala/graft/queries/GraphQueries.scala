@@ -361,12 +361,26 @@ object GraphQueries {
           val (aLat, aLon) = pt(a._1, a._2); val (bLat, bLon) = pt(b._1, b._2)
           graft.api.PerfHarness.OdPair(n, aLat, aLon, bLat, bLon)
         }
+        // Cross-REGIME self-verification twin (the digest column's
+        // assert): a second engine forced onto the distributed TransitSssp
+        // branch routes the same pairs untimed. A full-grid converge per
+        // pair costs ~20 s each at this cardinality, so the twin is
+        // opt-in (SPARK_GRAFT_HARNESS_TWIN=1, run once per round and
+        // recorded in COVERAGE.md) — the bench totals BASELINE.md is
+        // compared against stay clean. The demo-scale harness below
+        // always runs its twin.
+        val twin =
+          if (sys.env.get("SPARK_GRAFT_HARNESS_TWIN").contains("1"))
+            Some(new graft.api.RoutingEngine(cached, ssspLocalThreshold = 0L))
+          else None
         val ms = try {
-          graft.api.PerfHarness.run(eng, "2024-01-18", "08:00:00", 1.0, 300.0, pairs)
+          graft.api.PerfHarness.run(eng, "2024-01-18", "08:00:00", 1.0, 300.0,
+            pairs, twin)
         } finally {
           // measurements are local scalars by now — drop every cache this
           // run pinned (repeated bench runs share one JVM)
           eng.close()
+          twin.foreach(_.close())
           cached.stopTimes.unpersist(); cached.stops.unpersist()
         }
         graft.api.PerfHarness.toDF(s, ms).orderBy("name")
@@ -379,9 +393,19 @@ object GraphQueries {
     Q("gtfs_perf_harness", "perf",
       (s, _) => {
         val eng = graft.api.DemoGtfs.engine(s)
-        val ms = graft.api.PerfHarness.run(eng, "2024-01-18", "14:00:00", 1.0, 300.0, Seq(
-          graft.api.PerfHarness.OdPair("alpha-epsilon", 44.6000, 10.9000, 44.6400, 10.9200),
-          graft.api.PerfHarness.OdPair("gamma-delta", 44.6200, 10.9000, 44.6300, 10.9100)))
+        // Demo scale is cheap enough to ALWAYS assert the cross-regime
+        // digest: the twin routes the same pairs through the forced
+        // TransitSssp branch, untimed, and twinDigestOk pins equality —
+        // the timing harness self-verifies its itinerary content even
+        // though its rows carry no SQL oracle.
+        val twin = new graft.api.RoutingEngine(
+          graft.api.DemoGtfs.tables(s), ssspLocalThreshold = 0L)
+        val ms = try {
+          graft.api.PerfHarness.run(eng, "2024-01-18", "14:00:00", 1.0, 300.0, Seq(
+            graft.api.PerfHarness.OdPair("alpha-epsilon", 44.6000, 10.9000, 44.6400, 10.9200),
+            graft.api.PerfHarness.OdPair("gamma-delta", 44.6200, 10.9000, 44.6300, 10.9100)),
+            Some(twin))
+        } finally twin.close()
         graft.api.PerfHarness.toDF(s, ms).orderBy("name")
       },
       None),

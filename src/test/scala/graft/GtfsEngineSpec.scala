@@ -264,4 +264,19 @@ class GtfsEngineSpec extends SparkSpec {
     val seg = engine.routing(Day, 1.0, "23:00:00", "Gamma", "Epsilon")
     assert(seg.count() == 0)
   }
+
+  test("perf harness emits a cross-regime-verified itinerary digest") {
+    // The timing harnesses are the catalog's only oracle-free rows; the
+    // digest column is their self-verification: same pair, CSR regime vs
+    // forced TransitSssp regime, identical itinerary content hash.
+    val q = graft.queries.Catalog.all.find(_.name == "gtfs_perf_harness").get
+    val rows = q.run(spark, "unused").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("segments") > 0L, r.getAs[String]("name"))
+      assert(r.getAs[Long]("itineraryDigest") != 0L)
+      assert(r.getAs[Boolean]("twinDigestOk"), s"cross-regime digest " +
+        s"mismatch for ${r.getAs[String]("name")}")
+    }
+  }
 }
