@@ -13,6 +13,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# JAVA_EXTRA_OPTS: extra JVM flags (e.g. -XX:G1HeapRegionSize=32m keeps the
+# ~20 MB serialized grid-checkpoint blocks of the distributed routing regime
+# out of G1's humongous-allocation path — the measured GC-spike driver; a
+# cluster deployment passes the same flag via spark.executor.extraJavaOptions)
+exec java $ADD_OPENS ${JAVA_EXTRA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" -cp "$CP" "$@"
