@@ -18,16 +18,21 @@ import org.apache.spark.sql.functions._
   *    score vectors that one `groupBy(vertex).sum` reduces. Per-pivot work
   *    never touches the scheduler, so 256 pivots cost 256/cores × a few ms
   *    instead of one Spark job per BFS level (the level-synchronous loop
-  *    measured 1255 s at Modena cardinality; this regime runs the same
-  *    pivots in seconds). On a real cluster the pivots spread across
+  *    runs the same 256 pivots in ~370 s at Modena cardinality; this
+  *    regime in seconds). On a real cluster the pivots spread across
   *    executors — exactly how GDS parallelizes sampled betweenness.
   *  - '''graph-too-big''': a level-synchronous multi-source BFS in
   *    DataFrames: one forward sweep accumulating path counts (sigma) per
   *    (source, vertex), then a backward sweep over the BFS DAG
   *    accumulating dependencies (delta). All sources advance together, so
-  *    the join count is O(diameter), not O(sources × diameter). No single
-  *    machine ever holds the graph — the only branch possible when the
-  *    projection outgrows a broadcast.
+  *    the join count is O(diameter), not O(sources × diameter), and the
+  *    per-level shuffle volume is FRONTIER-sized: the edge table is
+  *    pinned once per sweep direction (repartition + sort + checkpoint),
+  *    and visited-dedup is a per-vertex pivot BITMASK frame pinned on
+  *    hash(v) — |V| rows and one bit per (pivot, vertex) — instead of a
+  *    growing (source, vertex) pair relation re-shuffled every level.
+  *    No single machine ever holds the graph — the only branch possible
+  *    when the projection outgrows a broadcast.
   *
   * Exact when `sources` = all vertices; pass a sample for the standard
   * sampled approximation (scores scale by |V|/|sample|) — the right
@@ -58,37 +63,106 @@ object Betweenness {
       return runCsr(spark, collected, sources.distinct)
     }
 
-    // Forward BFS: visited(s, v, dist, sigma = #shortest s→v paths).
-    // Iterative DataFrame loops grow the logical plan exponentially if the
-    // lineage isn't cut — localCheckpoint (eager) keeps each level's plan
-    // flat (the first uncut run OOM'd building the plan STRING).
-    var frontier = sources.distinct.toDF("s")
-      .select(col("s"), col("s").as("v"), lit(1.0).as("sigma")).localCheckpoint(true)
-    var visited = frontier.withColumn("dist", lit(0)).localCheckpoint(true)
+    // Forward BFS, frontier rows (s: pivot index, v, sigma = #shortest
+    // s→v paths). Iterative DataFrame loops grow the logical plan
+    // exponentially if the lineage isn't cut — localCheckpoint (eager)
+    // keeps each level's plan flat (the first uncut run OOM'd building
+    // the plan STRING).
+    //
+    // Two structural choices keep per-level shuffle volume FRONTIER-sized
+    // instead of graph- or state-sized (the previous shape shuffled the
+    // full edge table AND a growing visited (s, v) pair relation every BFS
+    // level — measured as a ~2.5 s/pivot slope at Modena cardinality,
+    // COVERAGE.md betweenness section):
+    //
+    //  - The edge table is pinned ONCE per sweep direction —
+    //    repartition(hash(key)) + sortWithinPartitions + eager local
+    //    checkpoint (the TransitSssp change-slice pattern) — so every
+    //    per-level join satisfies the merge join's distribution and
+    //    ordering on the pinned side and only the level-sized side moves.
+    //  - Visited-dedup needs one BIT per (pivot, vertex), not a pair row:
+    //    a per-vertex bitmask frame (v, mask: array<long> of
+    //    ceil(|pivots|/64) words — |V| rows regardless of pivot count)
+    //    pinned on hash(v). Candidates test their pivot's bit with a
+    //    codegen'd array/bit expression, and each level's new reaches
+    //    fold in through a LEFT join (the left side's partitioning and
+    //    sort survive, so the mask frame never re-shuffles). Pivots are
+    //    densely re-indexed 0..k−1 for the bit math — scores aggregate
+    //    the pivot away, so the original ids are never needed back.
+    val bridge = org.apache.spark.sql.graftbridge.CheckpointBridge
+    // every loop checkpoint drops its origin statistics (see flattenStats:
+    // the state⋈state-derived recurrence otherwise DOUBLES the size
+    // estimate's exponent per level — BigInteger overflow by level ~30)
+    def ckptFlat(df: DataFrame): DataFrame =
+      bridge.flattenStats(df.localCheckpoint(true))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val eBySrc = e.repartition(n, col("src")).sortWithinPartitions("src")
+      .transform(ckptFlat)
+    val srcList = sources.distinct
+    val words = (srcList.size + 63) / 64
+    val bitOfS = expr("shiftleft(1L, s % 64)")
+    // delta-mask of a (s, v) pair set: (v, delta: array<long>[words])
+    def maskDelta(pairs: DataFrame): DataFrame = pairs
+      .select(col("v"), expr("s DIV 64").as("w"), bitOfS.as("b"))
+      .groupBy("v", "w").agg(expr("bit_or(b)").as("bits"))
+      .groupBy("v").agg(map_from_arrays(
+        collect_list("w"), collect_list("bits")).as("m"))
+      .select(col("v"), expr(
+        s"transform(sequence(0, ${words - 1}), i -> coalesce(m[i], 0L))")
+        .as("delta"))
+    val initPairs = srcList.zipWithIndex
+      .map { case (id, i) => (i, id) }.toDF("s", "v")
+    var visitedBits = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .union(srcList.toDF("v")).distinct()
+      .join(maskDelta(initPairs), Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("delta"), expr(s"array_repeat(0L, $words)")).as("mask"))
+      .repartition(n, col("v")).sortWithinPartitions("v")
+      .transform(ckptFlat)
+    var frontier = initPairs.withColumn("sigma", lit(1.0))
+      .repartition(n, col("v")).sortWithinPartitions("v")
+      .transform(ckptFlat)
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
-    var level = 0
     var frontierSize = frontier.count()
     while (frontierSize > 0) {
-      val next = frontier.join(e, frontier("v") === e("src"))
+      // One Exchange per level: the raw expansion repartitions on hash(v),
+      // which satisfies BOTH the (s, v) sigma aggregation (subset rule)
+      // and the bitmask dedup join — and the surviving frontier leaves
+      // partitioned AND sorted on v, so the next level's edge join is
+      // Exchange-free on both sides.
+      val next = frontier.join(eBySrc, frontier("v") === eBySrc("src"))
         .select(col("s"), col("dst").as("v"), col("sigma"))
-        .join(visited.select("s", "v"), Seq("s", "v"), "left_anti")
+        .repartition(n, col("v"))
         .groupBy("s", "v").agg(sum("sigma").as("sigma"))
-        .localCheckpoint(true)
+        .join(visitedBits, Seq("v"))
+        .filter(expr("(mask[s DIV 64] & shiftleft(1L, s % 64)) = 0"))
+        .select(col("s"), col("v"), col("sigma"))
+        .transform(ckptFlat)
       frontierSize = next.count()
-      level += 1
       if (frontierSize > 0) {
-        val grown = visited.unionByName(next.withColumn("dist", lit(level)))
-          .localCheckpoint(true)
-        // the superseded visited copy (a near-full clone per level — the
-        // biggest accumulating state in this loop) is only ever read by
-        // the anti-join, which now uses `grown`; the backward sweep reads
-        // `levels`/deltas, never visited — release it immediately.
-        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(visited)
-        visited = grown
+        val grown = visitedBits
+          .join(maskDelta(next.select("s", "v")), Seq("v"), "left")
+          .select(col("v"), when(col("delta").isNull, col("mask"))
+            .otherwise(expr("zip_with(mask, delta, (a, b) -> a | b)"))
+            .as("mask"))
+          .transform(ckptFlat)
+        // the superseded mask frame is only ever read by the dedup join,
+        // which now uses `grown`; the backward sweep reads `levels`/deltas,
+        // never the masks — release it immediately.
+        bridge.unpersistCheckpoint(visitedBits)
+        visitedBits = grown
         levels += next
       }
       frontier = next
     }
+    bridge.unpersistCheckpoint(visitedBits)
+    bridge.unpersistCheckpoint(eBySrc)
+    // Reverse-direction pin for the dependency sweep (delta flows across
+    // DAG edges u→v probed BY v — the per-level join below keys on dst).
+    val eByDst = e.repartition(n, col("dst")).sortWithinPartitions("dst")
+      .transform(ckptFlat)
+    e.unpersist()
 
     // Backward sweep: delta(u) += sigma_u/sigma_v · (1 + delta(v)) over DAG
     // edges u→v with dist(v) = dist(u)+1, from the deepest level up.
@@ -109,14 +183,15 @@ object Betweenness {
       val uLevel = levels(lev - 1).withColumnRenamed("sigma", "sigma_u")
         .withColumnRenamed("v", "u")
       deltaNext = withDelta
-        .join(e, withDelta("v") === e("dst"))
+        .join(eByDst, withDelta("v") === eByDst("dst"))
         .select(col("s"), col("src").as("u"), col("v"), col("sigma_v"), col("delta"))
         .join(uLevel, Seq("s", "u"))
         .select(col("s"), col("u").as("v"),
           (col("sigma_u") / col("sigma_v") * (col("delta") + 1.0)).as("part"))
         .groupBy("s", "v").agg(sum("part").as("delta"))
-        .localCheckpoint(true)
+        .transform(ckptFlat)
     }
+    bridge.unpersistCheckpoint(eByDst)
     scores.groupBy("vertex_id").agg(sum("score").as("score"))
   }
 
@@ -284,9 +359,12 @@ object Betweenness {
     * Modena vs ≈ 12 for the weighted routing metric), so trip-collapse
     * pays ~3 × 34 full-grid rounds across its dist/sigma/delta phases —
     * ≈ 12.5 s/pivot measured — where the level-synchronous loop's ~600
-    * cheap frontier rounds cost ≈ 4.9 s/pivot at the same cardinality.
-    * The collapse that wins for weighted transit SSSP (TransitSssp, round
-    * count 12-15) loses here; both branches are spec-pinned to runLocal
+    * cheap frontier rounds amortize to ≈ 3.6 s/pivot at 64 pivots and
+    * under ~1.5 s/pivot at 256+ at the same cardinality (r11
+    * bitmask-dedup + pinned-edge rewrite; rounds dominate, extra pivots
+    * ride almost free — COVERAGE.md betweenness section). The collapse
+    * that wins for weighted transit SSSP (TransitSssp, round count
+    * 12-15) loses here; both branches are spec-pinned to runLocal
     * (BetweennessSpec). */
   def ofProjection(g: graft.projection.TimeExpandedGraph,
       sources: Option[Seq[Long]] = None, seed: Long = 42L,

@@ -9,10 +9,38 @@
 // distributed scale section).
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.execution.LogicalRDD
 
 object CheckpointBridge {
+  /** Rewrap a checkpointed Dataset's LogicalRDD WITHOUT its origin
+    * statistics, keeping the partitioning/ordering metadata that makes
+    * pinned-frame joins Exchange-free.
+    *
+    * Why: `localCheckpoint` copies the ORIGIN plan's estimated statistics
+    * onto the LogicalRDD (so downstream join planning sees realistic
+    * sizes). In an iterative operator whose per-round plan joins the
+    * checkpointed state with a frame DERIVED from that same state, the
+    * size-only estimator multiplies the two sides, so the estimate's
+    * exponent DOUBLES every round — by round ~30 the BigInt exceeds
+    * BigInteger's supported range and planning throws
+    * (`SizeInBytesOnlyStatsPlanVisitor` product overflow); well before
+    * that, multi-million-bit BigInt products slow every round's
+    * planning. Dropping originStats resets each round's leaves to the
+    * session default size, keeping estimates depth-bounded. Runtime
+    * join choices are unaffected in practice: AQE re-plans from ACTUAL
+    * materialized sizes. No-op on non-LogicalRDD plans. */
+  def flattenStats(df: Dataset[_]): DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val session = df.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.classic.Dataset.ofRows(session,
+          LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(session))
+      case _ => df.toDF()
+    }
+
   /** Release the storage of a `localCheckpoint(true)` result the caller has
     * finished with (every downstream consumer already materialized). No-op
     * on non-checkpoint Datasets — including DataFrames wrapped directly
