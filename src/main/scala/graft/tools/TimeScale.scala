@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * ×departures-per-stop product term); this measures it.
   *
   * Grids: 1× = 50×50 (250,000 stoptimes — the Modena preset), 3× = 87×87
-  * (756,900), 10× = 158×158 (2,496,400).
+  * (756,900), 10× = 158×158 (2,496,400), 30× = 274×274 (7,507,600 — run
+  * with SPARK_DRIVER_MEM=48g; the serialized+disk checkpoint path
+  * actually spills here).
   *
   * SPARK_GRAFT_SCALE_REGIME picks the ROUTING branch being measured:
   *  - "csr" (default): ssspLocalThreshold raised to 100M edges so every
@@ -50,7 +52,7 @@ object TimeScale {
 
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
-    val dims = Map(1 -> 50, 3 -> 87, 10 -> 158)
+    val dims = Map(1 -> 50, 3 -> 87, 10 -> 158, 30 -> 274)
     val regime = sys.env.getOrElse("SPARK_GRAFT_SCALE_REGIME", "csr")
     val threshold = regime match {
       case "distributed" => graft.graph.ShortestPaths.LocalDijkstraMaxEdges
