@@ -93,11 +93,17 @@ object Betweenness {
     // every loop checkpoint drops its origin statistics (see flattenStats:
     // the state⋈state-derived recurrence otherwise DOUBLES the size
     // estimate's exponent per level — BigInteger overflow by level ~30)
+    val n = spark.sessionState.conf.numShufflePartitions
     def ckptFlat(df: DataFrame): DataFrame =
       bridge.flattenStats(df.localCheckpoint(true))
-    val n = spark.sessionState.conf.numShufflePartitions
+    // checkpoint + re-attach the layout metadata AQE strips (see
+    // CheckpointBridge.rePin; count-guarded). Ordering is only claimed
+    // where the plan's LAST layout-affecting operator provably sorted.
+    def ckptPin(partCols: Seq[String], sortCols: Seq[String])(
+        df: DataFrame): DataFrame =
+      bridge.rePin(df.localCheckpoint(true), n, partCols, sortCols)
     val eBySrc = e.repartition(n, col("src")).sortWithinPartitions("src")
-      .transform(ckptFlat)
+      .transform(ckptPin(Seq("src"), Seq("src")))
     val srcList = sources.distinct
     val words = (srcList.size + 63) / 64
     val bitOfS = expr("shiftleft(1L, s % 64)")
@@ -119,10 +125,10 @@ object Betweenness {
       .select(col("v"),
         coalesce(col("delta"), expr(s"array_repeat(0L, $words)")).as("mask"))
       .repartition(n, col("v")).sortWithinPartitions("v")
-      .transform(ckptFlat)
+      .transform(ckptPin(Seq("v"), Seq("v")))
     var frontier = initPairs.withColumn("sigma", lit(1.0))
       .repartition(n, col("v")).sortWithinPartitions("v")
-      .transform(ckptFlat)
+      .transform(ckptPin(Seq("v"), Seq("v")))
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var frontierSize = frontier.count()
     while (frontierSize > 0) {
@@ -138,7 +144,7 @@ object Betweenness {
         .join(visitedBits, Seq("v"))
         .filter(expr("(mask[s DIV 64] & shiftleft(1L, s % 64)) = 0"))
         .select(col("s"), col("v"), col("sigma"))
-        .transform(ckptFlat)
+        .transform(ckptPin(Seq("v"), Seq.empty))
       frontierSize = next.count()
       if (frontierSize > 0) {
         val grown = visitedBits
@@ -146,7 +152,7 @@ object Betweenness {
           .select(col("v"), when(col("delta").isNull, col("mask"))
             .otherwise(expr("zip_with(mask, delta, (a, b) -> a | b)"))
             .as("mask"))
-          .transform(ckptFlat)
+          .transform(ckptPin(Seq("v"), Seq("v")))
         // the superseded mask frame is only ever read by the dedup join,
         // which now uses `grown`; the backward sweep reads `levels`/deltas,
         // never the masks — release it immediately.
@@ -161,7 +167,7 @@ object Betweenness {
     // Reverse-direction pin for the dependency sweep (delta flows across
     // DAG edges u→v probed BY v — the per-level join below keys on dst).
     val eByDst = e.repartition(n, col("dst")).sortWithinPartitions("dst")
-      .transform(ckptFlat)
+      .transform(ckptPin(Seq("dst"), Seq("dst")))
     e.unpersist()
 
     // Backward sweep: delta(u) += sigma_u/sigma_v · (1 + delta(v)) over DAG

@@ -154,9 +154,13 @@ object ShortestPaths {
       val jumps = scala.collection.mutable.ArrayBuffer(chain0)
       while (!jumps.last.isEmpty) {
         val jk = jumps.last
-        jumps += jk.as("a").join(jk.as("b"), col("a.p") === col("b.v"))
-          .select(col("a.v").as("v"), col("b.p").as("p"))
-          .localCheckpoint(true)
+        // flattenStats: the self-join SQUARES the size estimate per
+        // doubling level (see TransitSssp.ckpt's scaladoc for the
+        // pathology at scale); drop origin stats each level
+        jumps += org.apache.spark.sql.graftbridge.CheckpointBridge
+          .flattenStats(jk.as("a").join(jk.as("b"), col("a.p") === col("b.v"))
+            .select(col("a.v").as("v"), col("b.p").as("p"))
+            .localCheckpoint(true))
       }
       var pos = Seq((target, 0L)).toDF("v", "idx").localCheckpoint(true)
       for (k <- (jumps.size - 1) to 0 by -1) {

@@ -104,11 +104,23 @@ object TransitSssp {
   @volatile private[graft] var serializedGrid: Boolean =
     !sys.env.get("SPARK_GRAFT_SSSP_SER").contains("0")
 
-  /** Eager local checkpoint at the configured grid storage level. */
+  /** Eager local checkpoint at the configured grid storage level. The
+    * result is rewrapped WITHOUT origin statistics
+    * (CheckpointBridge.flattenStats): each round's plan joins the grid
+    * with grid-derived candidates, so the size-only estimator's exponent
+    * DOUBLES per checkpointed round — at 30× Modena (flood + long sparse
+    * tail ≈ 32 rounds) the BigInt stats products first dominate driver
+    * time (measured 41 → 165 → 895 s "rounds" that were pure planning)
+    * and then overflow BigInteger inside Dataset.localCheckpoint's stats
+    * rewrite. Flattening keeps every round's estimate depth-bounded;
+    * in-loop join shapes are hint- or partitioning-driven (broadcast()
+    * on the sparse frontier, pinned SMJ elsewhere) and AQE re-plans from
+    * actual sizes, so no plan choice regresses. */
   private[graph] def ckpt(df: DataFrame): DataFrame =
-    if (serializedGrid) df.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    else df.localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.flattenStats(
+      if (serializedGrid) df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else df.localCheckpoint(true))
   private def tlog(msg: => String): Unit = if (trace) println(s"[transit-sssp] $msg")
 
   /** One-shot convenience over [[TransitSssp]] — for repeated calls against
@@ -126,6 +138,12 @@ object TransitSssp {
 final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
 
   private val spark = nodes.sparkSession
+  private val bridge = org.apache.spark.sql.graftbridge.CheckpointBridge
+  /** Shuffle-partition count every pinned frame targets; rePin re-attaches
+    * the layout metadata AQE strips from checkpoints (see
+    * CheckpointBridge.rePin — count-guarded, so coalesced fixture-scale
+    * frames safely stay unpinned). */
+  private val nPart = spark.sessionState.conf.numShufflePartitions
 
   private val wTrip = Window.partitionBy("trip_id").orderBy("stop_sequence")
   private val wSrcTrip =
@@ -155,6 +173,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         lit(0.0)))
       .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
       .transform(TransitSssp.ckpt)
+      .transform(bridge.rePin(_, nPart,
+        Seq("trip_id"), Seq("trip_id", "stop_sequence")))
     TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     preparedForced = true
     p
@@ -195,6 +215,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .repartition(n, col("s_trip"))
       .sortWithinPartitions("s_trip", "s_seq")
       .transform(TransitSssp.ckpt)
+      .transform(bridge.rePin(_, n, Seq("s_trip"), Seq("s_trip", "s_seq")))
     TransitSssp.tlog(f"change-slice pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     changeForced = true
     c
@@ -269,10 +290,17 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // layout — see below) moves only the candidate side. Every iteration
     // runs with the grid pinned in place, flood rounds included.
     val srcDim = sources.toSeq.sorted.toDF("src")
+    // The explicit repartition FIXES the grid's layout at hash(trip_id) ×
+    // nPart for the whole run (REPARTITION_BY_NUM — AQE never coalesces
+    // it): the ride window and the candidate merge are subset-satisfied
+    // by it, so no in-round operator moves rows and the per-round rePin
+    // claim below is faithful at every scale. Costs one grid shuffle at
+    // round 0 — exactly where the window's own Exchange fired before.
     var state = prepared.crossJoin(broadcast(srcDim))
       .withColumn("dist", when(col("id") === col("src"), -col("acum")))
       .withColumn("fresh", col("dist").isNotNull)
       .select("src", "trip_id", "stop_sequence", "dist", "fresh")
+      .repartition(nPart, col("trip_id"))
 
     // Sparse-tail switch: once a round improves fewer rows than this AND
     // the frontier is DECAYING, remaining rounds run over a trip-slice +
@@ -342,6 +370,16 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           (col("cdist").isNotNull && (col("rdist").isNull ||
             col("cdist") < col("rdist"))).as("fresh"))
         .transform(TransitSssp.ckpt)
+        // The grid's layout is hash(trip_id) BY CONSTRUCTION — the
+        // initial state is explicitly repartitioned on it (never
+        // AQE-coalesced), and every in-round operator (window, merge
+        // join, observe, project) is subset-satisfied by it and keeps
+        // rows in place — with the (src, trip_id, stop_sequence) sort
+        // the window/SMJ established. Re-attached here because AQE
+        // strips the metadata at the checkpoint; without it the NEXT
+        // round's window re-Exchanges the full grid every round.
+        .transform(bridge.rePin(_, nPart, Seq("trip_id"),
+          Seq("src", "trip_id", "stop_sequence")))
       val improved = obs.get("improved").asInstanceOf[Long]
       converged = improved == 0L
       sparse = !converged && improved <= sparseThreshold &&
@@ -481,6 +519,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         coalesce(col("o_dist"), col("dist")).as("dist"),
         lit(false).as("fresh"))
       .transform(TransitSssp.ckpt)
+      // base's pin survives the left-merge in place (stream side of
+      // either join flavor), so the returned grid keeps the layout
+      // every consumer (Staged, resolveState, TransitBetweenness) keys on
+      .transform(bridge.rePin(_, nPart, Seq("trip_id"),
+        Seq("src", "trip_id", "stop_sequence")))
     rel(base); rel(ov)
     TransitSssp.tlog(f"sparse merge ${(System.nanoTime() - mT0) / 1e9}%.2f s")
     (full, it)

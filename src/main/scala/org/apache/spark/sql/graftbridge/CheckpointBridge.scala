@@ -41,6 +41,48 @@ object CheckpointBridge {
       case _ => df.toDF()
     }
 
+  /** Rewrap a checkpointed Dataset with EXPLICIT partitioning/ordering
+    * metadata — restoring what `localCheckpoint` silently drops under AQE.
+    *
+    * With adaptive execution enabled (every production session here), the
+    * physical plan a checkpoint captures is AdaptiveSparkPlanExec, whose
+    * outputPartitioning reads UnknownPartitioning — so every
+    * "checkpoint-preserved partitioning" join in an iterative operator
+    * was in fact re-Exchanging its pinned side each round. The caller
+    * states the layout it ARRANGED (a user repartition(n, cols) or a
+    * window's hash(cols) Exchange followed by in-place operators) and
+    * this helper re-attaches it.
+    *
+    * SAFETY: the claim is only attached when the backing RDD's ACTUAL
+    * partition count equals `expectedPartitions`. AQE partition
+    * coalescing (small/fixture-scale frames) and skew-splitting both
+    * change the count, and both produce layouts that are NOT a
+    * HashPartitioning — the guard makes those degrade to the unpinned
+    * (always-correct) plan instead of lying. User `repartition(n, cols)`
+    * with an explicit n is never coalesced, so those pins always stick;
+    * ENSURE_REQUIREMENTS exchanges stick exactly when the data was big
+    * enough to not coalesce — i.e. at the scales where the pin matters.
+    * Origin statistics are dropped as in [[flattenStats]]. */
+  def rePin(df: Dataset[_], expectedPartitions: Int,
+      partCols: Seq[String], sortCols: Seq[String]): DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD if lr.rdd.getNumPartitions == expectedPartitions &&
+          partCols.forall(c => lr.output.exists(_.name == c)) &&
+          sortCols.forall(c => lr.output.exists(_.name == c)) =>
+        val attr = lr.output.map(a => a.name -> a).toMap
+        val part = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(partCols.map(attr), expectedPartitions)
+        val order = sortCols.map(c => org.apache.spark.sql.catalyst
+          .expressions.SortOrder(attr(c),
+            org.apache.spark.sql.catalyst.expressions.Ascending, Seq.empty))
+        val session = df.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.classic.Dataset.ofRows(session,
+          LogicalRDD(lr.output, lr.rdd, part, order, lr.isStreaming,
+            lr.stream)(session))
+      case _ => flattenStats(df)
+    }
+
   /** Release the storage of a `localCheckpoint(true)` result the caller has
     * finished with (every downstream consumer already materialized). No-op
     * on non-checkpoint Datasets — including DataFrames wrapped directly
