@@ -83,10 +83,13 @@ object Betweenness {
     //  - Visited-dedup needs one BIT per (pivot, vertex), not a pair row:
     //    a per-vertex bitmask frame (v, mask: array<long> of
     //    ceil(|pivots|/64) words — |V| rows regardless of pivot count)
-    //    pinned on hash(v). Candidates test their pivot's bit with a
+    //    keyed on hash(v). Candidates test their pivot's bit with a
     //    codegen'd array/bit expression, and each level's new reaches
-    //    fold in through a LEFT join (the left side's partitioning and
-    //    sort survive, so the mask frame never re-shuffles). Pivots are
+    //    fold in through a LEFT join. (The mask frame itself re-shuffles
+    //    per level — |V| rows, the cheap side; loop-carried layout
+    //    CLAIMS were tried and reverted: metadata induction through
+    //    join/window flavors is unsound under AQE, see
+    //    CheckpointBridge.rePin and the r11 parity bisect.) Pivots are
     //    densely re-indexed 0..k−1 for the bit math — scores aggregate
     //    the pivot away, so the original ids are never needed back.
     val bridge = org.apache.spark.sql.graftbridge.CheckpointBridge
@@ -144,7 +147,7 @@ object Betweenness {
         .join(visitedBits, Seq("v"))
         .filter(expr("(mask[s DIV 64] & shiftleft(1L, s % 64)) = 0"))
         .select(col("s"), col("v"), col("sigma"))
-        .transform(ckptPin(Seq("v"), Seq.empty))
+        .transform(ckptFlat)
       frontierSize = next.count()
       if (frontierSize > 0) {
         val grown = visitedBits
@@ -152,7 +155,7 @@ object Betweenness {
           .select(col("v"), when(col("delta").isNull, col("mask"))
             .otherwise(expr("zip_with(mask, delta, (a, b) -> a | b)"))
             .as("mask"))
-          .transform(ckptPin(Seq("v"), Seq("v")))
+          .transform(ckptFlat)
         // the superseded mask frame is only ever read by the dedup join,
         // which now uses `grown`; the backward sweep reads `levels`/deltas,
         // never the masks — release it immediately.

@@ -23,19 +23,24 @@ import org.apache.spark.sql.expressions.Window
   * followed by one equi-join through the CHANGE edges. An iteration is
   * therefore ride* ∘ change, and the iteration count is bounded by the
   * maximum number of LINE CHANGES on any optimal path (single digits for
-  * transit) instead of the hop depth. The state is the pinned
-  * (source × stoptime) grid: checkpointing preserves its physical
-  * partitioning/ordering — hash(trip_id)-compatible, sorted
-  * (src, trip_id, stop_sequence) — and BOTH per-round operations are
-  * expressed against exactly that layout: the prefix-min window plans
-  * with no Exchange/Sort, and the candidate merge joins on
-  * (src, trip_id, stop_sequence) (the target's primary key, carried on
-  * the pinned CHANGE slice) so the grid satisfies the join's
-  * distribution by the subset rule and only the frontier-sized candidate
-  * table ever shuffles. The grid itself never moves after the seed
-  * round, flood or tail. This is the standard round-based structure transit
-  * engines (RAPTOR-family) exploit, re-expressed as Catalyst window +
-  * join so it scales with the cluster.
+  * transit) instead of the hop depth. The state is the checkpointed
+  * (source × stoptime) grid; BOTH per-round operations are expressed
+  * against its hash(trip_id)-compatible, (src, trip_id, stop_sequence)-
+  * sorted layout: the prefix-min window and the candidate merge (keyed
+  * on the target's primary key, carried on the pinned CHANGE slice)
+  * group and join on grid-layout keys, so only the frontier-sized
+  * candidate table does real data movement per round. NOTE on layout
+  * metadata: under AQE, localCheckpoint drops the partitioning/ordering
+  * info, so the grid's per-round Exchange/Sort is re-planned each round
+  * — re-attaching the metadata via CheckpointBridge.rePin was built,
+  * measured (~neutral wall on local[32]) and REVERTED for the
+  * loop-carried grid after routing-parity failures showed layout-claim
+  * induction through join/window flavors is unsound under AQE (r11
+  * bisect, COVERAGE.md); only the static trip-prefix and CHANGE-slice
+  * pins (terminal repartition/sort, faithful by construction) remain.
+  * This is the standard round-based structure transit engines
+  * (RAPTOR-family) exploit, re-expressed as Catalyst window + join so
+  * it scales with the cluster.
   *
   * STATE REPRESENTATION (round 11): the grid stores distances in
   * RELATIVE ("rel") space — rel(u) = dist(u) − A(u), the quantity the
@@ -173,8 +178,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         lit(0.0)))
       .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
       .transform(TransitSssp.ckpt)
-      .transform(bridge.rePin(_, nPart,
-        Seq("trip_id"), Seq("trip_id", "stop_sequence")))
+      .transform(bridge.rePin(_, nPart, Seq("trip_id"), Seq.empty))
     TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     preparedForced = true
     p
@@ -290,17 +294,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // layout — see below) moves only the candidate side. Every iteration
     // runs with the grid pinned in place, flood rounds included.
     val srcDim = sources.toSeq.sorted.toDF("src")
-    // The explicit repartition FIXES the grid's layout at hash(trip_id) ×
-    // nPart for the whole run (REPARTITION_BY_NUM — AQE never coalesces
-    // it): the ride window and the candidate merge are subset-satisfied
-    // by it, so no in-round operator moves rows and the per-round rePin
-    // claim below is faithful at every scale. Costs one grid shuffle at
-    // round 0 — exactly where the window's own Exchange fired before.
     var state = prepared.crossJoin(broadcast(srcDim))
       .withColumn("dist", when(col("id") === col("src"), -col("acum")))
       .withColumn("fresh", col("dist").isNotNull)
       .select("src", "trip_id", "stop_sequence", "dist", "fresh")
-      .repartition(nPart, col("trip_id"))
 
     // Sparse-tail switch: once a round improves fewer rows than this AND
     // the frontier is DECAYING, remaining rounds run over a trip-slice +
@@ -370,16 +367,6 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           (col("cdist").isNotNull && (col("rdist").isNull ||
             col("cdist") < col("rdist"))).as("fresh"))
         .transform(TransitSssp.ckpt)
-        // The grid's layout is hash(trip_id) BY CONSTRUCTION — the
-        // initial state is explicitly repartitioned on it (never
-        // AQE-coalesced), and every in-round operator (window, merge
-        // join, observe, project) is subset-satisfied by it and keeps
-        // rows in place — with the (src, trip_id, stop_sequence) sort
-        // the window/SMJ established. Re-attached here because AQE
-        // strips the metadata at the checkpoint; without it the NEXT
-        // round's window re-Exchanges the full grid every round.
-        .transform(bridge.rePin(_, nPart, Seq("trip_id"),
-          Seq("src", "trip_id", "stop_sequence")))
       val improved = obs.get("improved").asInstanceOf[Long]
       converged = improved == 0L
       sparse = !converged && improved <= sparseThreshold &&
@@ -519,11 +506,6 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         coalesce(col("o_dist"), col("dist")).as("dist"),
         lit(false).as("fresh"))
       .transform(TransitSssp.ckpt)
-      // base's pin survives the left-merge in place (stream side of
-      // either join flavor), so the returned grid keeps the layout
-      // every consumer (Staged, resolveState, TransitBetweenness) keys on
-      .transform(bridge.rePin(_, nPart, Seq("trip_id"),
-        Seq("src", "trip_id", "stop_sequence")))
     rel(base); rel(ov)
     TransitSssp.tlog(f"sparse merge ${(System.nanoTime() - mT0) / 1e9}%.2f s")
     (full, it)

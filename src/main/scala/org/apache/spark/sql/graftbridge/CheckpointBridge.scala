@@ -62,7 +62,21 @@ object CheckpointBridge {
     * with an explicit n is never coalesced, so those pins always stick;
     * ENSURE_REQUIREMENTS exchanges stick exactly when the data was big
     * enough to not coalesce — i.e. at the scales where the pin matters.
-    * Origin statistics are dropped as in [[flattenStats]]. */
+    * Origin statistics are dropped as in [[flattenStats]].
+    *
+    * ORDERING CLAIMS: only pass `sortCols` when the checkpointed plan's
+    * LAST physical operator is an explicit sortWithinPartitions on those
+    * columns. Deriving an ordering claim by induction ("the window
+    * sorted upstream and every later operator preserves order") was
+    * MEASURED UNFAITHFUL at scale: the 3×/10× TransitSssp grid carried
+    * such a claim, the ride window skipped its sort on rows that were
+    * not in the claimed order, and routing parity failed with
+    * under-propagated (wrong) distances — caught by TimeScale's
+    * pregel≡CSR assert, bisected to exactly the ordering half of the
+    * pin (COVERAGE.md r11). Partitioning-only claims on the same frames
+    * are parity-green; an AQE runtime join/stage choice evidently does
+    * not preserve the order the static plan implies, so the induction
+    * argument is unsound under AQE. */
   def rePin(df: Dataset[_], expectedPartitions: Int,
       partCols: Seq[String], sortCols: Seq[String]): DataFrame =
     df.queryExecution.analyzed match {
