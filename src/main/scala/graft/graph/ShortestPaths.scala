@@ -24,11 +24,21 @@ object ShortestPaths {
     * (distance, predecessor vertex). */
   type State = Map[VertexId, (Double, VertexId)]
 
+  /** On equal distance, the smaller predecessor id wins (seed pred −1 is
+    * smallest, so seeds stay seeds) — the CANONICAL tie-break every engine
+    * shares (TransitSssp.resolveState orders by (prio, pred), the CSR
+    * Dijkstra applies the same rule in its relaxation), so equal-cost path
+    * multiplicity cannot make regimes return different itineraries
+    * (PerfHarness.twinDigestOk caught exactly that on the Modena grid). */
+  private def better(x: (Double, VertexId), y: (Double, VertexId)): (Double, VertexId) =
+    if (x._1 < y._1) x else if (y._1 < x._1) y
+    else if (x._2 <= y._2) x else y
+
   private def mergeStates(a: State, b: State): State =
     if (a.isEmpty) b else if (b.isEmpty) a
     else (a.keySet ++ b.keySet).iterator.map { k =>
       k -> ((a.get(k), b.get(k)) match {
-        case (Some(x), Some(y)) => if (x._1 <= y._1) x else y
+        case (Some(x), Some(y)) => better(x, y)
         case (Some(x), None) => x
         case (None, Some(y)) => y
         case (None, None) => throw new IllegalStateException
@@ -55,7 +65,12 @@ object ShortestPaths {
           case (src, (dSrc, _)) =>
             val cand = dSrc + triplet.attr
             triplet.dstAttr.get(src) match {
-              case Some((dCur, _)) if dCur <= cand => None
+              // equal-dist smaller-pred messages DO flow (canonical
+              // tie-break); pred-only updates change no distance, so the
+              // extra supersteps are bounded by the strictly-decreasing
+              // pred chain at each vertex
+              case Some((dCur, pCur)) if dCur < cand ||
+                (dCur == cand && pCur <= triplet.srcId) => None
               case _ => Some(src -> (cand, triplet.srcId))
             }
         }.toMap
@@ -448,7 +463,13 @@ object ShortestPaths {
     }
     dist(srcIdx) = 0.0
     push(0.0, srcIdx)
-    while (size > 0 && (!bounded || remaining > 0)) {
+    // After the last target settles at `doneLevel`, keep draining heap
+    // entries AT that level: a zero-weight edge from an equal-dist vertex
+    // could still lower a settled chain vertex's canonical pred. (For
+    // positive weights every optimal in-edge vertex has strictly smaller
+    // dist and settled earlier, so the canonical pred is already final.)
+    var doneLevel = Double.NegativeInfinity
+    while (size > 0 && (!bounded || remaining > 0 || heapD(0) <= doneLevel)) {
       val popD = heapD(0); val popV = heapV(0)
       size -= 1
       if (size > 0) { // sift the last leaf down from the root
@@ -467,13 +488,21 @@ object ShortestPaths {
         heapD(i) = ld; heapV(i) = lv
       }
       if (popD <= dist(popV)) {
-        if (bounded && tFlags(popV)) remaining -= 1
+        if (bounded && tFlags(popV)) {
+          remaining -= 1
+          if (remaining == 0) doneLevel = popD
+        }
         var j = g.offsets(popV)
         val end = g.offsets(popV + 1)
         while (j < end) {
           val u = g.targets(j)
           val nd = popD + g.weights(j)
           if (nd < dist(u)) { dist(u) = nd; pred(u) = popV; push(nd, u) }
+          // canonical equal-dist tie-break: smaller pred index wins (ids
+          // are sorted, so index order IS global-id order — the same rule
+          // TransitSssp.resolveState applies). Sources keep pred −1
+          // (popV < −1 is never true). No re-push: dist is unchanged.
+          else if (nd == dist(u) && popV < pred(u)) pred(u) = popV
           j += 1
         }
       }
