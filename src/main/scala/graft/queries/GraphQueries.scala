@@ -393,19 +393,26 @@ object GraphQueries {
     Q("gtfs_perf_harness", "perf",
       (s, _) => {
         val eng = graft.api.DemoGtfs.engine(s)
-        // Demo scale is cheap enough to ALWAYS assert the cross-regime
-        // digest: the twin routes the same pairs through the forced
-        // TransitSssp branch, untimed, and twinDigestOk pins equality —
-        // the timing harness self-verifies its itinerary content even
-        // though its rows carry no SQL oracle.
-        val twin = new graft.api.RoutingEngine(
-          graft.api.DemoGtfs.tables(s), ssspLocalThreshold = 0L)
+        // Demo scale asserts the cross-regime digest by DEFAULT: the twin
+        // routes the same pairs through the forced TransitSssp branch,
+        // untimed, and twinDigestOk pins equality — the timing harness
+        // self-verifies its itinerary content on every Verify/correctness
+        // pass even though its rows carry no SQL oracle. Bench.main alone
+        // opts out via the system property (the twin is ~9 s of
+        // fixture-scale TransitSssp iteration scheduling — verification
+        // cost, not the timing under measurement; first caught dominating
+        // the r11 idle bench at 10.2 s for a ~1 s harness).
+        val twin =
+          if (sys.props.getOrElse("graft.perfharness.twin", "1") == "1")
+            Some(new graft.api.RoutingEngine(
+              graft.api.DemoGtfs.tables(s), ssspLocalThreshold = 0L))
+          else None
         val ms = try {
           graft.api.PerfHarness.run(eng, "2024-01-18", "14:00:00", 1.0, 300.0, Seq(
             graft.api.PerfHarness.OdPair("alpha-epsilon", 44.6000, 10.9000, 44.6400, 10.9200),
             graft.api.PerfHarness.OdPair("gamma-delta", 44.6200, 10.9000, 44.6300, 10.9100)),
-            Some(twin))
-        } finally twin.close()
+            twin)
+        } finally twin.foreach(_.close())
         graft.api.PerfHarness.toDF(s, ms).orderBy("name")
       },
       None),
