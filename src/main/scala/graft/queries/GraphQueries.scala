@@ -141,6 +141,58 @@ object GraphQueries {
              |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
              |ORDER BY hop""".stripMargin)),
 
+    // The CANONICAL EQUAL-COST TIE-BREAK under the hash gate: a
+    // bidirectional grid network where the best (source, target) pair
+    // admits several equal-cost paths (in a time-expanded graph the cost
+    // of any path between two fixed stoptimes is near-fixed by the
+    // endpoints, so multi-change alternatives tie routinely — the demo
+    // fixture's paths are unique, so the golden rows above can't cover
+    // this). The oracle pins the CANONICAL itinerary (on equal distance
+    // the smaller predecessor id wins, seeds first). Without the canonical
+    // rule this hash is whatever pick the engine happens to make (the r11
+    // p8-backwards divergence, COVERAGE.md). The route runs on the default
+    // (CSR) branch — forcing TransitSssp here measured 11–17 s of
+    // fixture-scale iteration scheduling per bench run, and the
+    // cross-regime equality of the SAME tie-heavy-grid itineraries is
+    // already pinned by CanonicalTieSpec's forced-TransitSssp parity test
+    // plus the perf harness's twin digest.
+    Q("gtfs_routing_ties", "G2,G6,J8",
+      (s, _) => new graft.api.RoutingEngine(
+          graft.etl.SyntheticGtfs.grid(s, rows = 6, cols = 6, tripsPerRoute = 3,
+            directions = 2))
+        .routing("2024-01-18", 1.0, "06:00:00", "Stop 1/1", "Stop 4/4"),
+      // Grid coordinates are written ARITHMETICALLY (44.5 + r*0.0023,
+      // 10.8 + c*0.01) so DuckDB reproduces the generator's exact IEEE
+      // doubles instead of re-parsing a decimal rendering. The pinned
+      // itinerary is the canonical equal-cost pick: it ties the direct
+      // 1-change route (wait 27 min at Stop 4/1) to the same T-RH-4-1
+      // 06:42:00 arrival, and the smallest-pred backward walk selects
+      // this 3-change chain — hand-verified optimal (the only earlier
+      // target arrivals, RV-4 06:14 and RVN-4 06:39, are unreachable
+      // from the 06:04 source).
+      Some("""SELECT hop, trip, departure, line, starting_stop_name, starting_stop_id,
+             | CAST(start_lat AS DOUBLE) AS start_lat, CAST(start_lon AS DOUBLE) AS start_lon,
+             | next_trip, next_stop, next_stop_id,
+             | CAST(next_lat AS DOUBLE) AS next_lat, CAST(next_lon AS DOUBLE) AS next_lon,
+             | next_line, arrival
+             |FROM (VALUES
+             | (1,'T-RV-1-0','06:04:00','RV-1','Stop 1/1','S-1-1',44.5+1*0.0023,10.8+1*0.01,'T-RV-1-0','Stop 2/1','S-2-1',44.5+2*0.0023,10.8+1*0.01,'RV-1','06:05:30'),
+             | (2,'T-RV-1-0','06:06:00','RV-1','Stop 2/1','S-2-1',44.5+2*0.0023,10.8+1*0.01,'T-RV-1-0','Stop 3/1','S-3-1',44.5+3*0.0023,10.8+1*0.01,'RV-1','06:07:30'),
+             | (3,'T-RV-1-0','06:08:00','RV-1','Stop 3/1','S-3-1',44.5+3*0.0023,10.8+1*0.01,'T-RV-1-0','Stop 4/1','S-4-1',44.5+4*0.0023,10.8+1*0.01,'RV-1','06:09:30'),
+             | (4,'T-RV-1-0','06:10:00','RV-1','Stop 4/1','S-4-1',44.5+4*0.0023,10.8+1*0.01,'T-RV-1-0','Stop 5/1','S-5-1',44.5+5*0.0023,10.8+1*0.01,'RV-1','06:11:30'),
+             | (5,'T-RV-1-0','06:12:00','RV-1','Stop 5/1','S-5-1',44.5+5*0.0023,10.8+1*0.01,'T-RHW-5-0','Stop 5/1','S-5-1',44.5+5*0.0023,10.8+1*0.01,'RHW-5','06:14:15'),
+             | (6,'T-RHW-5-0','06:14:45','RHW-5','Stop 5/1','S-5-1',44.5+5*0.0023,10.8+1*0.01,'T-RHW-5-0','Stop 5/0','S-5-0',44.5+5*0.0023,10.8+0*0.01,'RHW-5','06:16:15'),
+             | (7,'T-RHW-5-0','06:16:45','RHW-5','Stop 5/0','S-5-0',44.5+5*0.0023,10.8+0*0.01,'T-RVN-0-1','Stop 5/0','S-5-0',44.5+5*0.0023,10.8+0*0.01,'RVN-0','06:30:00'),
+             | (8,'T-RVN-0-1','06:30:30','RVN-0','Stop 5/0','S-5-0',44.5+5*0.0023,10.8+0*0.01,'T-RVN-0-1','Stop 4/0','S-4-0',44.5+4*0.0023,10.8+0*0.01,'RVN-0','06:32:00'),
+             | (9,'T-RVN-0-1','06:32:30','RVN-0','Stop 4/0','S-4-0',44.5+4*0.0023,10.8+0*0.01,'T-RH-4-1','Stop 4/0','S-4-0',44.5+4*0.0023,10.8+0*0.01,'RH-4','06:34:00'),
+             | (10,'T-RH-4-1','06:34:30','RH-4','Stop 4/0','S-4-0',44.5+4*0.0023,10.8+0*0.01,'T-RH-4-1','Stop 4/1','S-4-1',44.5+4*0.0023,10.8+1*0.01,'RH-4','06:36:00'),
+             | (11,'T-RH-4-1','06:36:30','RH-4','Stop 4/1','S-4-1',44.5+4*0.0023,10.8+1*0.01,'T-RH-4-1','Stop 4/2','S-4-2',44.5+4*0.0023,10.8+2*0.01,'RH-4','06:38:00'),
+             | (12,'T-RH-4-1','06:38:30','RH-4','Stop 4/2','S-4-2',44.5+4*0.0023,10.8+2*0.01,'T-RH-4-1','Stop 4/3','S-4-3',44.5+4*0.0023,10.8+3*0.01,'RH-4','06:40:00'),
+             | (13,'T-RH-4-1','06:40:30','RH-4','Stop 4/3','S-4-3',44.5+4*0.0023,10.8+3*0.01,'T-RH-4-1','Stop 4/4','S-4-4',44.5+4*0.0023,10.8+4*0.01,'RH-4','06:42:00'))
+             | AS t(hop, trip, departure, line, starting_stop_name, starting_stop_id, start_lat, start_lon,
+             |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
+             |ORDER BY hop""".stripMargin)),
+
     // The production STORAGE path under the hash gate: the same routing
     // flow as gtfs_routing_golden, but the stoptime table goes through the
     // bucketed warehouse round-trip first — written day-partitioned +
