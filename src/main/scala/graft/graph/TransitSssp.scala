@@ -109,6 +109,39 @@ object TransitSssp {
   @volatile private[graft] var serializedGrid: Boolean =
     !sys.env.get("SPARK_GRAFT_SSSP_SER").contains("0")
 
+  /** The sparse-tail BASE looks like the opposite storage trade from the
+    * round churn that justified the serialized default above: written ONCE
+    * at tail entry, then fully SCANNED 2×/round for the rest of the run
+    * (slice pull + candidate-target probe) — a long tail (the 30× grid
+    * center dribbles ~17 rounds) re-pays the decode dozens of times.
+    * Measured at exactly that worst case (back-to-back 30× center-pair
+    * runs, COVERAGE.md tail section): NO repeatable win — tail sums
+    * 216 s serialized vs 206 s deserialized vs 248 s with pins also
+    * deserialized, all inside the per-round GC/scheduler spike band. The
+    * tail round's floor is scheduling/planning-bound (3 broadcasts + 3
+    * AQE jobs per round), not decode-bound, so the default stays OFF
+    * (follow the grid level); SPARK_GRAFT_SSSP_TAIL_DESER=1 re-runs the
+    * A/B. */
+  @volatile private[graft] var deserializedTailBase: Boolean =
+    sys.env.get("SPARK_GRAFT_SSSP_TAIL_DESER").contains("1")
+
+  /** Same scan-many/write-once profile for the STATIC pins (trip prefix +
+    * CHANGE slice): pinned once per projection, streamed in full on every
+    * round of every routing call. SPARK_GRAFT_SSSP_PIN_DESER=1 stores them
+    * deserialized for A/B against the serialized default — measured at the
+    * 30× center pair: 458 s vs the 462 s all-serialized baseline, i.e. no
+    * repeatable delta (COVERAGE.md tail section); default stays
+    * serialized. */
+  @volatile private[graft] var deserializedPins: Boolean =
+    sys.env.get("SPARK_GRAFT_SSSP_PIN_DESER").contains("1")
+
+  /** Checkpoint at the PIN storage level (static frames). */
+  private[graph] def ckptPin(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.flattenStats(
+      if (serializedGrid && !deserializedPins) df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else df.localCheckpoint(true))
+
   /** Eager local checkpoint at the configured grid storage level. The
     * result is rewrapped WITHOUT origin statistics
     * (CheckpointBridge.flattenStats): each round's plan joins the grid
@@ -177,7 +210,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         sum("hop_w").over(wTrip.rowsBetween(Window.unboundedPreceding, 0)),
         lit(0.0)))
       .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
-      .transform(TransitSssp.ckpt)
+      .transform(TransitSssp.ckptPin)
       .transform(bridge.rePin(_, nPart, Seq("trip_id"), Seq.empty))
     TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     preparedForced = true
@@ -218,7 +251,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         (col("s_acum") + col("w") - col("d_acum")).as("w_rel"))
       .repartition(n, col("s_trip"))
       .sortWithinPartitions("s_trip", "s_seq")
-      .transform(TransitSssp.ckpt)
+      .transform(TransitSssp.ckptPin)
       .transform(bridge.rePin(_, n, Seq("s_trip"), Seq("s_trip", "s_seq")))
     TransitSssp.tlog(f"change-slice pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     changeForced = true
@@ -424,7 +457,18 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   private def sparseTail(lastFull: DataFrame, itStart: Int,
       maxIterations: Int): (DataFrame, Int) = {
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-    val base = lastFull
+    // Scan-many, write-once: re-materialize the frozen base deserialized
+    // (see deserializedTailBase) so the 2-scans-per-round tail doesn't
+    // re-pay SER decode on every slice pull and candidate probe.
+    val base =
+      if (TransitSssp.deserializedTailBase && TransitSssp.serializedGrid) {
+        val t0 = System.nanoTime()
+        val b = org.apache.spark.sql.graftbridge.CheckpointBridge.flattenStats(
+          lastFull.localCheckpoint(true))
+        rel(lastFull)
+        TransitSssp.tlog(f"tail base deser copy ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        b
+      } else lastFull
     val posKey = Seq("src", "trip_id", "stop_sequence")
     var ov = base.filter(col("fresh"))
       .select(col("src"), col("trip_id"), col("stop_sequence"),
@@ -434,6 +478,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     var converged = false
     while (it < maxIterations && !converged) {
       val itT0 = System.nanoTime()
+      def lap(t0: Long): String = f"${(System.nanoTime() - t0) / 1e9}%.2f"
       val trips = ov.filter(col("fresh")).select("src", "trip_id").distinct()
       val slice = base.join(broadcast(trips), Seq("src", "trip_id"))
       val cur = slice
@@ -445,6 +490,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // The slice is overlay-sized — pin it so the three consumers below
       // (changed/candMin, rideImp) don't each re-run the base scan + window
       val ride = cur.withColumn("rdist", rideCol).transform(TransitSssp.ckpt)
+      val tRide = lap(itT0)
       val changed = ride.filter(col("rdist").isNotNull &&
         (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
       // broadcast the FRONTIER side: the pinned CHANGE slice is
@@ -474,9 +520,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         .filter(col("cur").isNull || col("cdist") < col("cur"))
         .select(col("src"), col("trip_id"), col("stop_sequence"),
           col("cdist").as("dist"), lit(true).as("fresh"))
+      val tImp0 = System.nanoTime()
       val imp = rideImp.unionByName(candImp).transform(TransitSssp.ckpt)
       rel(ride)
       val nImp = imp.count()
+      val tImp = lap(tImp0)
       if (nImp == 0L) { converged = true; rel(imp) }
       else {
         // processed fresh rows have fired all effects — clear the flag;
@@ -492,7 +540,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         ov = mergedOv
       }
       TransitSssp.tlog(f"sparse round $it%d improved=$nImp%d " +
-        f"${(System.nanoTime() - itT0) / 1e9}%.2f s")
+        f"${(System.nanoTime() - itT0) / 1e9}%.2f s " +
+        f"(slice+ride $tRide, cand+imp $tImp)")
       it += 1
     }
     if (!converged) throw new IllegalStateException(

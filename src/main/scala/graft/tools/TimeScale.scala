@@ -102,10 +102,17 @@ object TimeScale {
       // agree (adjudicated on the CSR twin, COVERAGE.md round 11); the
       // timing still measures the full flood + ranking, which is the cost
       // under test.
-      val pairs = Seq(
+      // SPARK_GRAFT_SCALE_PAIRS=1 (comma list, 0-based) routes a subset —
+      // focused A/Bs on one pair (e.g. the grid-center long-tail flood at
+      // 30×) without paying the full three-pair campaign per knob setting.
+      val allPairs = Seq(
         ("Stop 0/0", "Stop 10/10"),
         (s"Stop ${n / 2}/${n / 2}", s"Stop ${n / 2 + 10}/${n / 2 + 10}"),
         (s"Stop ${n / 4}/${n / 4}", s"Stop ${n / 4 + 5}/${n / 4 + 5}"))
+      val pairs = sys.env.get("SPARK_GRAFT_SCALE_PAIRS") match {
+        case Some(sel) => sel.split(",").map(_.trim.toInt).toSeq.map(allPairs)
+        case None => allPairs
+      }
       val routeSecs = pairs.map { case (a, b) =>
         val (rows, s) = timed {
           eng.routing("2024-01-18", 1.0, "08:00:00", a, b).collect()
@@ -117,7 +124,8 @@ object TimeScale {
         f"$csrSec%6.2f $idxSec%8.2f ${routeSecs.map(s => f"$s%.2f").mkString("/")}%13s " +
         (if (isLocal) "[csr]" else "[transit-distributed]"))
 
-      if (regime == "distributed" && !isLocal) {
+      if (regime == "distributed" && !isLocal &&
+          !sys.env.get("SPARK_GRAFT_SCALE_NOPROBE").contains("1")) {
         // Split one traversal's cost: Pregel relaxation vs pointer-doubling
         // path extraction. Source = the earliest departure after 08:00 at
         // the first pair's origin; target = the farthest vertex that source
