@@ -52,7 +52,7 @@ object TimeScale {
 
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
-    val dims = Map(1 -> 50, 3 -> 87, 10 -> 158, 30 -> 274)
+    val dims = Map(1 -> 50, 3 -> 87, 10 -> 158, 30 -> 274, 100 -> 500)
     val regime = sys.env.getOrElse("SPARK_GRAFT_SCALE_REGIME", "csr")
     val threshold = regime match {
       case "distributed" => graft.graph.ShortestPaths.LocalDijkstraMaxEdges
@@ -109,7 +109,11 @@ object TimeScale {
         ("Stop 0/0", "Stop 10/10"),
         (s"Stop ${n / 2}/${n / 2}", s"Stop ${n / 2 + 10}/${n / 2 + 10}"),
         (s"Stop ${n / 4}/${n / 4}", s"Stop ${n / 4 + 5}/${n / 4 + 5}"))
+      // "none" selects NO pairs — probe-only runs (e.g. the 100× point,
+      // where one full multi-source route costs tens of minutes but the
+      // 1-source probe is the scale-invariance signal being measured)
       val pairs = sys.env.get("SPARK_GRAFT_SCALE_PAIRS") match {
+        case Some("none") => Seq.empty
         case Some(sel) => sel.split(",").map(_.trim.toInt).toSeq.map(allPairs)
         case None => allPairs
       }
@@ -131,7 +135,7 @@ object TimeScale {
         // the first pair's origin; target = the farthest vertex that source
         // reaches (worst-case path length for the extraction step).
         val src = proj.nodes
-          .filter(col("stop_name") === pairs.head._1 && col("dep_secs") > 8 * 3600)
+          .filter(col("stop_name") === allPairs.head._1 && col("dep_secs") > 8 * 3600)
           .orderBy("dep_secs").limit(1).select("id").collect()(0).getLong(0)
         val (dist, pregelSec) = timed {
           val d = proj.sssp.run(Set(src)).cache(); d.count(); d
@@ -145,7 +149,8 @@ object TimeScale {
         println(f"  scale $sc%d distributed probe: sssp.run $pregelSec%.2f s, " +
           f"pathDistributed $pathSec%.2f s (${path.size}%d hops)")
 
-        if (!parityDone) {
+        if (!parityDone && pairs.nonEmpty &&
+            !sys.env.get("SPARK_GRAFT_SCALE_NOPARITY").contains("1")) {
           parityDone = true
           // Branch parity at scale, once, at the smallest distributed size:
           // a raised-threshold twin engine routes the same OD pair on the
