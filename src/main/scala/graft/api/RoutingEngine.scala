@@ -275,7 +275,23 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     // resolution is per-(source, vertex) independent). The k-sources
     // resolution this replaces was a measurable slice of every
     // distributed routing call (COVERAGE.md, distributed scale section).
-    val staged = g.sssp.runStaged(srcIds)
+    //
+    // Horizon cost cap: every rankable target departs before
+    // t0 + horizon, and path cost = clock elapsed + Σ per-change walks
+    // with each walk ≤ its change's wait (boarding requires
+    // s_arr + walk < t_dep), so cost ≤ 2 × clock elapsed
+    // < 2 × (horizon_end + 60 − s_dep). The capped flood stops at the
+    // horizon instead of relaxing the rest of the service day — exact for
+    // ranking and for the winner's pred chain (cost is monotone along
+    // paths; see TransitSssp.staged).
+    // dep_secs is IntegerType on CSV-loaded feeds and LongType on others
+    // Clock cap: every stoptime on a path to a target departing before
+    // the horizon itself departs before the horizon (event clocks only
+    // move forward), so the grid drops beyond-horizon rows outright.
+    val minDep = srcLocal.map(_.getAs[Number]("s_dep").longValue()).min
+    val horizonEnd = t0 + maxDurationHours * 3600L
+    val costCap = 2.0 * ((horizonEnd + 60L) - minDep).max(0L)
+    val staged = g.sssp.runStaged(srcIds, costCap, horizonEnd.toDouble)
     val dist = staged.distances.cache()
     var predOne: DataFrame = null
     // try/finally, not happy-path cleanup: a throw (or early return) out of

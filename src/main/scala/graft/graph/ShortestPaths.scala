@@ -231,7 +231,7 @@ object ShortestPaths {
 
   final class Sssp(edges: DataFrame, localThreshold: Long = LocalDijkstraMaxEdges,
       distributedRunner: Option[Set[Long] => DataFrame] = None,
-      distributedStaged: Option[Set[Long] => DistRun] = None) {
+      distributedStaged: Option[(Set[Long], Double, Double) => DistRun] = None) {
     private val spark = edges.sparkSession
     private val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double"))
@@ -270,9 +270,18 @@ object ShortestPaths {
     /** Staged run for rank-then-path callers (see [[DistRun]]). With a
       * structure-aware staged runner (the transit projection) the ranking
       * phase skips predecessor resolution entirely; otherwise both frames
-      * derive from the ordinary full run. */
-    def runStaged(sources: Set[Long]): DistRun = distributedStaged match {
-      case Some(f) if !isLocal => f(sources)
+      * derive from the ordinary full run.
+      *
+      * `costCap` / `clockCap` are OPTIMIZATION HINTS: the caller promises
+      * to read only distances ≤ costCap toward vertices whose event clock
+      * is ≤ clockCap, letting a structure-aware runner stop relaxing
+      * beyond them (TransitSssp.staged documents the exactness argument).
+      * The generic fallback and the local CSR ignore them. */
+    def runStaged(sources: Set[Long],
+        costCap: Double = Double.PositiveInfinity,
+        clockCap: Double = Double.PositiveInfinity): DistRun =
+      distributedStaged match {
+      case Some(f) if !isLocal => f(sources, costCap, clockCap)
       case _ =>
         // Cache the one full run: without it, ranking (distances) and path
         // resolution would each re-execute the whole SSSP — a latent 2×

@@ -209,7 +209,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .withColumn("acum", coalesce(
         sum("hop_w").over(wTrip.rowsBetween(Window.unboundedPreceding, 0)),
         lit(0.0)))
-      .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"))
+      // dep_secs stays on the pin so a clock-capped run can drop
+      // beyond-horizon rows from the grid at construction (see staged)
+      .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"),
+        col("dep_secs"))
       .transform(TransitSssp.ckptPin)
       .transform(bridge.rePin(_, nPart, Seq("trip_id"), Seq.empty))
     TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -248,7 +251,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .join(srcPos, Seq("e_src"))
       .select(col("e_src"), col("e_dst"), col("s_trip"), col("s_seq"),
         col("d_trip"), col("d_seq"),
-        (col("s_acum") + col("w") - col("d_acum")).as("w_rel"))
+        (col("s_acum") + col("w") - col("d_acum")).as("w_rel"),
+        // d_acum rides on the slice (+8 B/row) so a capped run can test a
+        // candidate's ABSOLUTE cost (rel + d_acum) without a second join
+        col("d_acum"))
       .repartition(n, col("s_trip"))
       .sortWithinPartitions("s_trip", "s_seq")
       .transform(TransitSssp.ckptPin)
@@ -293,10 +299,33 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(state)
   }
 
-  /** See [[Staged]]. `sources` must be non-empty. */
-  def staged(sources: Set[Long], maxIterations: Int = 1000): Staged = {
+  /** See [[Staged]]. `sources` must be non-empty.
+    *
+    * `costCap`: prune candidate merges whose ABSOLUTE cost (rel + A)
+    * exceeds the cap. Exact for any consumer that only reads distances
+    * ≤ cap: cost is monotone along time-expanded paths (every edge weight
+    * is a non-negative elapsed increment), so a beyond-cap candidate can
+    * never lie on an optimal path to a within-cap vertex, and the optimal
+    * predecessor chain of a within-cap vertex is entirely within cap. The
+    * routing engine passes its temporal-horizon bound — the flood then
+    * stops at the horizon instead of relaxing the rest of the service day
+    * (the 30×-grid measurement: most of the multi-million-row flood and
+    * the long change-depth dribble tail arrive after the horizon). The
+    * full-table contract (oracle `run`, TransitBetweenness) stays
+    * uncapped. */
+  /** `clockCap`: additionally drop grid rows whose departure clock exceeds
+    * the cap BEFORE iterating. Exact for the same consumers: event times
+    * increase monotonically along a time-expanded path, so every stoptime
+    * on a path to a target departing before the horizon itself departs
+    * before the horizon. This shrinks the GRID (every scan, window,
+    * checkpoint, and tail slice), where the cost cap only shrinks the
+    * candidate flow — measured the dominant effect at 10×/30×. */
+  def staged(sources: Set[Long], maxIterations: Int = 1000,
+      costCap: Double = Double.PositiveInfinity,
+      clockCap: Double = Double.PositiveInfinity): Staged = {
     require(sources.nonEmpty, "staged() needs at least one seed")
-    new Staged(converge(sources, maxIterations), sources.toSeq.sorted)
+    new Staged(converge(sources, maxIterations, costCap, clockCap),
+      sources.toSeq.sorted)
   }
 
   /** Label-correcting iteration to the fixpoint; returns the converged
@@ -306,15 +335,19 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * (ride weight = Δposition, change weight = 1 — same operator, where
     * A(u) = pos(u) − 1 so dist_abs = rel + stop_sequence − 1), then
     * derives sigma/delta from the grid. */
-  private[graph] def converge(sources: Set[Long], maxIterations: Int = 1000): DataFrame =
-    convergeCounted(sources, maxIterations)._1
+  private[graph] def converge(sources: Set[Long], maxIterations: Int = 1000,
+      costCap: Double = Double.PositiveInfinity,
+      clockCap: Double = Double.PositiveInfinity): DataFrame =
+    convergeCounted(sources, maxIterations, costCap, clockCap)._1
 
   /** converge plus the iteration count the run took — the count bounds the
     * change-depth of every optimal path, which downstream phases
     * (TransitBetweenness's sigma/delta sweeps) use as their own round
     * budget. */
   private[graph] def convergeCounted(sources: Set[Long],
-      maxIterations: Int): (DataFrame, Int) = {
+      maxIterations: Int,
+      costCap: Double = Double.PositiveInfinity,
+      clockCap: Double = Double.PositiveInfinity): (DataFrame, Int) = {
     import spark.implicits._
     // The iteration STATE is the full (source × stoptime) grid with a
     // nullable dist and a `fresh` flag (dist arrived via a CHANGE merge
@@ -327,7 +360,16 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // layout — see below) moves only the candidate side. Every iteration
     // runs with the grid pinned in place, flood rounds included.
     val srcDim = sources.toSeq.sorted.toDF("src")
-    var state = prepared.crossJoin(broadcast(srcDim))
+    // Clock-capped grid: beyond-horizon rows never lie on a path to a
+    // within-horizon target (event times only move forward), so a capped
+    // run excludes them from the ITERATION STATE entirely — the window,
+    // the candidate merge (out-of-grid candidate targets die in the left
+    // join), every checkpoint, and the sparse-tail slices all shrink to
+    // the horizon's share of the service day.
+    val gridBase =
+      if (clockCap.isPosInfinity) prepared
+      else prepared.filter(col("dep_secs") <= clockCap)
+    var state = gridBase.crossJoin(broadcast(srcDim))
       .withColumn("dist", when(col("id") === col("src"), -col("acum")))
       .withColumn("fresh", col("dist").isNotNull)
       .select("src", "trip_id", "stop_sequence", "dist", "fresh")
@@ -370,10 +412,13 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // sides (r11): the frontier inherits the grid's hash(trip_id) and
       // the slice is pinned on hash(s_trip) at the same partition count,
       // so only the frontier-sized sort runs.
-      val candMin = changed
+      val candRaw = changed
         .select(col("src"), col("trip_id"), col("stop_sequence"), col("rdist"))
         .join(change, col("trip_id") === col("s_trip") &&
           col("stop_sequence") === col("s_seq"))
+      val candMin =
+        (if (costCap.isPosInfinity) candRaw
+         else candRaw.filter(col("rdist") + col("w_rel") + col("d_acum") <= costCap))
         .groupBy(col("src"), col("d_trip"), col("d_seq"))
         .agg(min(col("rdist") + col("w_rel")).as("cdist"))
         .withColumnRenamed("d_trip", "trip_id")
@@ -419,7 +464,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       state = newState
       it += 1
     }
-    if (sparse) return sparseTail(state, it, maxIterations)
+    if (sparse) return sparseTail(state, it, maxIterations, costCap)
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
         "optimal paths deeper than the bound (raise maxIterations)")
@@ -455,7 +500,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * (threshold floor 1024 rows), so every routing parity spec and the
     * per-round `gtfs_routing_distributed` oracle exercise it. */
   private def sparseTail(lastFull: DataFrame, itStart: Int,
-      maxIterations: Int): (DataFrame, Int) = {
+      maxIterations: Int,
+      costCap: Double = Double.PositiveInfinity): (DataFrame, Int) = {
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
     // Scan-many, write-once: re-materialize the frozen base deserialized
     // (see deserializedTailBase) so the 2-scans-per-round tail doesn't
@@ -497,11 +543,14 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // edge-count-sized (millions of rows at 10×) and an un-hinted join
       // would sort/shuffle all of it per round to meet a few hundred
       // frontier rows — the hint turns it into one streamed scan
-      val candMin = change
+      val candRaw = change
         .join(broadcast(changed.select(col("src"), col("trip_id"),
           col("stop_sequence"), col("rdist"))),
           col("trip_id") === col("s_trip") &&
             col("stop_sequence") === col("s_seq"))
+      val candMin =
+        (if (costCap.isPosInfinity) candRaw
+         else candRaw.filter(col("rdist") + col("w_rel") + col("d_acum") <= costCap))
         .groupBy(col("src"), col("d_trip"), col("d_seq"))
         .agg(min(col("rdist") + col("w_rel")).as("cdist"))
         .withColumnRenamed("d_trip", "trip_id")

@@ -100,8 +100,8 @@ final class TimeExpandedGraph(val nodes: DataFrame,
       nodes, edges.filter(col("type") === "CHANGE"))
     new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold,
       distributedRunner = Some(srcs => transit.run(srcs)),
-      distributedStaged = Some { srcs =>
-        val st = transit.staged(srcs)
+      distributedStaged = Some { (srcs, costCap, clockCap) =>
+        val st = transit.staged(srcs, costCap = costCap, clockCap = clockCap)
         new graft.graph.ShortestPaths.DistRun(
           st.distances, s => st.resolve(s), () => st.release())
       })

@@ -103,6 +103,32 @@ class TransitSsspSpec extends SparkSpec {
     } finally dist.unpersist()
   }
 
+  test("horizon-capped staged run equals the uncapped run within the cap") {
+    // The cap prunes candidate merges whose absolute cost exceeds it —
+    // exact for consumers reading only dists ≤ cap (cost is monotone along
+    // time-expanded paths). Within-cap rows must be IDENTICAL (dist and
+    // resolved pred chains); beyond-cap rows may be absent. The routing
+    // engine's capped path is additionally pinned end-to-end by the
+    // forced-distributed golden (gtfs_routing_distributed) and the
+    // CanonicalTieSpec itinerary parity.
+    val sources = g.nodes.orderBy("id").limit(2).select("id")
+      .as[Long].collect().toSet
+    val ts = new TransitSssp(g.nodes, changeEdges)
+    val full = ts.staged(sources)
+    val fullRows = full.distances.as[(Long, Long, Double)].collect().toSet
+    full.release()
+    // a cap that bisects the observed cost range exercises real pruning
+    val cap = fullRows.map(_._3).toSeq.sorted.apply(fullRows.size / 2)
+    val capped = ts.staged(sources, costCap = cap)
+    val cappedRows = capped.distances.as[(Long, Long, Double)].collect().toSet
+    capped.release()
+    assert(fullRows.filter(_._3 <= cap).subsetOf(cappedRows),
+      "capped run lost a within-cap distance")
+    cappedRows.filter(_._3 <= cap).foreach { r =>
+      assert(fullRows.contains(r), s"capped run invented/changed $r")
+    }
+  }
+
   test("empty sources and unreachable seeds degrade gracefully") {
     assert(TransitSssp.run(g.nodes, changeEdges, Set.empty).isEmpty)
     // a seed absent from the projection still reports itself at dist 0
