@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
   * Grids: 1× = 50×50 (250,000 stoptimes — the Modena preset), 3× = 87×87
   * (756,900), 10× = 158×158 (2,496,400), 30× = 274×274 (7,507,600 — run
   * with SPARK_DRIVER_MEM=48g; the serialized+disk checkpoint path
-  * actually spills here).
+  * actually spills here), 100× = 500×500 (25,000,000 / 85.6M edges —
+  * probe-only recommended: SPARK_GRAFT_SCALE_PAIRS=none).
+  *
+  * Focused A/Bs: SPARK_GRAFT_SCALE_PAIRS selects routed pairs (0-based
+  * comma list, or "none"); SPARK_GRAFT_SCALE_NOPROBE=1 skips the 1-source
+  * probe block; SPARK_GRAFT_SCALE_NOPARITY=1 skips the CSR-twin parity
+  * assert. Routing calls go through the horizon-capped staged path (the
+  * production flow); the probe's sssp.run stays uncapped by contract, so
+  * its column measures the raw full-table flood.
   *
   * SPARK_GRAFT_SCALE_REGIME picks the ROUTING branch being measured:
   *  - "csr" (default): ssspLocalThreshold raised to 100M edges so every
