@@ -117,6 +117,22 @@ class GtfsEngineSpec extends SparkSpec {
     assert(segD.length == 5)
   }
 
+  test("past-midnight routing survives the horizon clock cap, both branches") {
+    // A 23:00 query's horizon ends at 27:00 (97200 s): T6's past-midnight
+    // rows (dep_secs 86700 / 89400) must survive the capped grid — raw
+    // seconds-since-midnight keep ordering across 24:00, so the cap
+    // arithmetic needs no day wraparound. Both branches must return the
+    // 1-segment T6 itinerary.
+    val engD = new graft.api.RoutingEngine(graft.api.DemoGtfs.tables(spark),
+      ssspLocalThreshold = 0L)
+    val segD = engD.routing(Day, 1.0, "23:00:00", "Alpha", "Epsilon").collect()
+    val segL = engine.routing(Day, 1.0, "23:00:00", "Alpha", "Epsilon").collect()
+    assert(segD.toSeq == segL.toSeq)
+    assert(segD.length == 1 && segD.head.getAs[String]("trip") == "T6")
+    assert(segD.head.getAs[String]("departure") == "24:05:00")
+    assert(segD.head.getAs[String]("arrival") == "24:50:00")
+  }
+
   test("concurrent routing calls do not corrupt each other's paths") {
     // two threads route different OD pairs against the SAME engine (shared
     // projection + Sssp handle); each TargetRun owns its own path state, so
