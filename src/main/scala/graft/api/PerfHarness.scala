@@ -29,7 +29,11 @@ object PerfHarness {
       segments: Long, buildSec: Double, itineraryDigest: Long,
       twinDigestOk: Option[Boolean])
 
-  /** Canonical content hash of a collected itinerary (ordered rows). */
+  /** Canonical content hash of a collected itinerary (ordered rows).
+    * Fields are joined with \u0001 — a byte that cannot appear in any
+    * GTFS-derived label/time field — so rows with shifted field
+    * boundaries ("ab","c" vs "a","bc") hash differently (r11 ADVICE
+    * flagged the unseparated form). */
   def itineraryDigest(rows: Array[org.apache.spark.sql.Row]): Long = {
     if (rows.isEmpty) return 0L
     val md = java.security.MessageDigest.getInstance("MD5")

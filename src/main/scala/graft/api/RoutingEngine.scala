@@ -276,22 +276,34 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     // resolution this replaces was a measurable slice of every
     // distributed routing call (COVERAGE.md, distributed scale section).
     //
-    // Horizon cost cap: every rankable target departs before
-    // t0 + horizon, and path cost = clock elapsed + Σ per-change walks
-    // with each walk ≤ its change's wait (boarding requires
+    // Horizon cost cap, anchored at the candidate TARGETS' max event
+    // clock (r11 ADVICE): rankable targets need only DEPART before the
+    // horizon (`main.py:91`), and SSSP distances anchor at the target
+    // stoptime's ARRIVAL — on a clean feed arr ≤ dep < horizon_end so
+    // the horizon bounds every clock on an optimal path, but a feed with
+    // irregular rows (arrival clock > departure clock, e.g. dirty data)
+    // can carry path clocks past the horizon. Anchoring at
+    // max(horizon_end, max over targets of max(arr, dep)) restores the
+    // argument unconditionally: path cost = clock elapsed + Σ per-change
+    // walks with each walk ≤ its change's wait (boarding requires
     // s_arr + walk < t_dep), so cost ≤ 2 × clock elapsed
-    // < 2 × (horizon_end + 60 − s_dep). The capped flood stops at the
-    // horizon instead of relaxing the rest of the service day — exact for
+    // < 2 × (anchor + 60 − s_dep), and every stoptime on an optimal path
+    // to a target departs at or before the target's anchor clock (event
+    // clocks only move forward), so the clock cap keeps the whole pred
+    // chain — intermediate rows of a final leg included. Exact for
     // ranking and for the winner's pred chain (cost is monotone along
-    // paths; see TransitSssp.staged).
+    // paths; see TransitSssp.staged). On clean feeds the anchor equals
+    // horizon_end and both caps are unchanged.
     // dep_secs is IntegerType on CSV-loaded feeds and LongType on others
-    // Clock cap: every stoptime on a path to a target departing before
-    // the horizon itself departs before the horizon (event clocks only
-    // move forward), so the grid drops beyond-horizon rows outright.
     val minDep = srcLocal.map(_.getAs[Number]("s_dep").longValue()).min
     val horizonEnd = t0 + maxDurationHours * 3600L
-    val costCap = 2.0 * ((horizonEnd + 60L) - minDep).max(0L)
-    val staged = g.sssp.runStaged(srcIds, costCap, horizonEnd.toDouble)
+    val maxTargetClockRow = targets
+      .agg(max(greatest(col("t_arr").cast("long"), col("t_dep").cast("long"))))
+      .head()
+    if (maxTargetClockRow.isNullAt(0)) return Nil // no rankable targets
+    val capAnchor = math.max(horizonEnd, maxTargetClockRow.getLong(0))
+    val costCap = 2.0 * ((capAnchor + 60L) - minDep).max(0L)
+    val staged = g.sssp.runStaged(srcIds, costCap, capAnchor.toDouble)
     val dist = staged.distances.cache()
     var predOne: DataFrame = null
     // try/finally, not happy-path cleanup: a throw (or early return) out of

@@ -99,14 +99,16 @@ object Betweenness {
     val n = spark.sessionState.conf.numShufflePartitions
     def ckptFlat(df: DataFrame): DataFrame =
       bridge.flattenStats(df.localCheckpoint(true))
-    // checkpoint + re-attach the layout metadata AQE strips (see
-    // CheckpointBridge.rePin; count-guarded). Ordering is only claimed
-    // where the plan's LAST layout-affecting operator provably sorted.
+    // checkpoint + re-attach the layout metadata AQE strips. The helper
+    // ARRANGES the claimed repartition/sort itself right before the
+    // checkpoint (CheckpointBridge.pinnedCheckpoint), so the claim is
+    // true by construction — raw rePin's misuse mode (r11 ADVICE) is
+    // structurally impossible here.
     def ckptPin(partCols: Seq[String], sortCols: Seq[String])(
         df: DataFrame): DataFrame =
-      bridge.rePin(df.localCheckpoint(true), n, partCols, sortCols)
-    val eBySrc = e.repartition(n, col("src")).sortWithinPartitions("src")
-      .transform(ckptPin(Seq("src"), Seq("src")))
+      bridge.pinnedCheckpoint(df, n, partCols, sortCols,
+        d => d.localCheckpoint(true))
+    val eBySrc = e.transform(ckptPin(Seq("src"), Seq("src")))
     val srcList = sources.distinct
     val words = (srcList.size + 63) / 64
     val bitOfS = expr("shiftleft(1L, s % 64)")
@@ -127,10 +129,8 @@ object Betweenness {
       .join(maskDelta(initPairs), Seq("v"), "left")
       .select(col("v"),
         coalesce(col("delta"), expr(s"array_repeat(0L, $words)")).as("mask"))
-      .repartition(n, col("v")).sortWithinPartitions("v")
       .transform(ckptPin(Seq("v"), Seq("v")))
     var frontier = initPairs.withColumn("sigma", lit(1.0))
-      .repartition(n, col("v")).sortWithinPartitions("v")
       .transform(ckptPin(Seq("v"), Seq("v")))
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var frontierSize = frontier.count()
@@ -169,8 +169,7 @@ object Betweenness {
     bridge.unpersistCheckpoint(eBySrc)
     // Reverse-direction pin for the dependency sweep (delta flows across
     // DAG edges u→v probed BY v — the per-level join below keys on dst).
-    val eByDst = e.repartition(n, col("dst")).sortWithinPartitions("dst")
-      .transform(ckptPin(Seq("dst"), Seq("dst")))
+    val eByDst = e.transform(ckptPin(Seq("dst"), Seq("dst")))
     e.unpersist()
 
     // Backward sweep: delta(u) += sigma_u/sigma_v · (1 + delta(v)) over DAG

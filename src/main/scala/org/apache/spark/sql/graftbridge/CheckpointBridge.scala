@@ -77,6 +77,16 @@ object CheckpointBridge {
     * are parity-green; an AQE runtime join/stage choice evidently does
     * not preserve the order the static plan implies, so the induction
     * argument is unsound under AQE. */
+  /** CONTRACT (r11 ADVICE): the guard below checks only the backing RDD's
+    * partition COUNT plus column existence — it cannot verify the data is
+    * actually hash-distributed on `partCols`. A caller passing the wrong
+    * columns with a matching count would attach a false claim and silently
+    * skip required Exchanges, corrupting joins/aggregates. Production code
+    * must therefore go through [[pinnedCheckpoint]], which ARRANGES the
+    * claimed layout itself (claim true by construction); call rePin
+    * directly only when the checkpointed plan's last layout-affecting
+    * operators are literally `repartition(n, partCols)` followed (when
+    * sortCols is non-empty) by `sortWithinPartitions(sortCols)`. */
   def rePin(df: Dataset[_], expectedPartitions: Int,
       partCols: Seq[String], sortCols: Seq[String]): DataFrame =
     df.queryExecution.analyzed match {
@@ -96,6 +106,26 @@ object CheckpointBridge {
             lr.stream)(session))
       case _ => flattenStats(df)
     }
+
+  /** Checkpoint with a layout claim that is TRUE BY CONSTRUCTION: this
+    * helper itself arranges `repartition(n, partCols)` (and, when
+    * `sortCols` is non-empty, `sortWithinPartitions(sortCols)`) as the
+    * LAST operators before the checkpoint, then re-attaches the exact
+    * matching metadata via [[rePin]]. A caller cannot mis-state a layout
+    * it did not arrange — the misuse mode r11 ADVICE flagged on raw
+    * rePin. An explicit-count repartition is never AQE-coalesced, so the
+    * count guard always matches and the pin always sticks. `ckpt` is the
+    * caller's checkpoint function (it chooses the storage level). */
+  def pinnedCheckpoint(df: Dataset[_], n: Int, partCols: Seq[String],
+      sortCols: Seq[String], ckpt: DataFrame => DataFrame): DataFrame = {
+    require(partCols.nonEmpty, "pinnedCheckpoint needs at least one partition column")
+    val base = df.toDF()
+    val laid0 = base.repartition(n, partCols.map(base.col): _*)
+    val laid =
+      if (sortCols.isEmpty) laid0
+      else laid0.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+    rePin(ckpt(laid), n, partCols, sortCols)
+  }
 
   /** Release the storage of a `localCheckpoint(true)` result the caller has
     * finished with (every downstream consumer already materialized). No-op

@@ -47,6 +47,24 @@ class BetweennessSpec extends SparkSpec {
     distNz.foreach { case (k, v) => assert(math.abs(v - local(k)) < 1e-9, s"vertex $k") }
   }
 
+  test("distributed Brandes with >64 pivots exercises the multi-word bitmask") {
+    // r11 ADVICE: every distributed-branch test used ≤ 5 sources, so the
+    // words > 1 path (zip_with mask fold, m[i] word indexing for s ≥ 64)
+    // never ran. 70 pivots force ceil(70/64) = 2 mask words; parity with
+    // runLocal pins both words' bit math.
+    val rng = new scala.util.Random(21)
+    val edges = Seq.fill(500)((rng.nextInt(70).toLong, rng.nextInt(70).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = (0L until 70L).toSeq
+    val dist = Betweenness.run(edges.toDF("src", "dst"), sources, localThreshold = 0)
+      .as[(Long, Double)].collect().toMap
+    val local = Betweenness.runLocal(edges.toArray, sources).filter(_._2 != 0.0)
+    val distNz = dist.filter(_._2 != 0.0)
+    assert(distNz.keySet == local.keySet)
+    distNz.foreach { case (k, v) =>
+      assert(math.abs(v - local(k)) < 1e-9, s"vertex $k") }
+  }
+
   test("sampled Brandes approximates exact within tolerance on a chain+shortcut graph") {
     // 0→1→…→79 chain with shortcuts i→i+7: interior vertices carry large
     // scores. Sample half the sources by the same hash order ofProjection

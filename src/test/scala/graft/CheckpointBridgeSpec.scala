@@ -95,4 +95,25 @@ class CheckpointBridgeSpec extends SparkSpec {
       .outputPartitioning.toString.contains("Unknown"),
       "a partition-count mismatch must degrade to the unpinned plan")
   }
+
+  test("pinnedCheckpoint lays out and pins in one step (claim true by construction)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.LogicalRDD
+    // the caller hands over an UNARRANGED frame — the helper itself
+    // repartitions/sorts before checkpointing, so the attached claim
+    // cannot diverge from the data (r11 ADVICE misuse mode on raw rePin)
+    val pinned = CheckpointBridge.pinnedCheckpoint(
+      spark.range(1000).toDF("v").withColumn("w", col("v") * 2),
+      7, Seq("v"), Seq("v"), df => df.localCheckpoint(true))
+    val lr = pinned.queryExecution.analyzed.asInstanceOf[LogicalRDD]
+    assert(lr.rdd.getNumPartitions == 7)
+    assert(lr.outputPartitioning.toString.startsWith("hashpartitioning"),
+      s"expected a hash pin, got ${lr.outputPartitioning}")
+    assert(lr.outputOrdering.nonEmpty)
+    val plan = pinned.groupBy("v").count().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"hash(v) pin must satisfy the aggregation; plan:\n$plan")
+    assert(pinned.count() == 1000L)
+    CheckpointBridge.unpersistCheckpoint(pinned)
+  }
 }

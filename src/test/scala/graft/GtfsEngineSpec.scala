@@ -133,6 +133,55 @@ class GtfsEngineSpec extends SparkSpec {
     assert(segD.head.getAs[String]("arrival") == "24:50:00")
   }
 
+  test("irregular feed: target arriving past the horizon keeps its full capped itinerary") {
+    // r11 ADVICE regression: rankable targets need only DEPART before the
+    // horizon, and SSSP distances anchor at the target's ARRIVAL clock —
+    // this feed's final leg carries an irregular target row (arrival clock
+    // 18:40 > departure clock 17:00) and an intermediate row departing
+    // 18:20, PAST the 17:50 horizon but before the target's arrival. A
+    // horizon-anchored clock cap drops that intermediate row from the
+    // capped grid: distances stay exact (rel-space ride is
+    // position-independent) but predecessor resolution skips the row, so
+    // the distributed itinerary loses a segment vs the uncapped CSR
+    // branch. The target-clock-anchored cap keeps the whole pred chain.
+    import graft.functions.TimeFunctions.secondsSinceMidnight
+    val agency = Seq(("A", "http://example.org", "Europe/Rome"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    val routes = Seq(("R1", "1", "Start-Mid0", 3), ("R2", "2", "Mid0-End", 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = Seq(("R1", "S1", "TA"), ("R2", "S1", "TB"))
+      .map { case (r, s, t) => (r, s, t, "0", "SH", "h") }
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id",
+        "trip_headsign")
+    val stops = Seq(
+      ("SA", "Start", 44.6000, 10.9000), ("SB", "Mid0", 44.6100, 10.9000),
+      ("SM", "Mid", 44.6200, 10.9000), ("ST", "End", 44.6300, 10.9100))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    val stopTimes = Seq(
+      ("TA", "14:00:00", "14:00:00", "SA", 1),
+      ("TA", "14:20:00", "14:21:00", "SB", 2),
+      ("TB", "14:25:00", "14:30:00", "SB", 1),
+      ("TB", "18:10:00", "18:20:00", "SM", 2),
+      ("TB", "18:40:00", "17:00:00", "ST", 3)) // irregular: arr > dep
+      .toDF("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")
+      .withColumn("arr_secs", secondsSinceMidnight(col("arrival_time")))
+      .withColumn("dep_secs", secondsSinceMidnight(col("departure_time")))
+    val calendar = Seq(("S1", java.sql.Date.valueOf("2024-01-18"), "1"))
+      .toDF("service_id", "day", "exception_type")
+    val tables = graft.model.GtfsTables(agency, routes, trips, stops,
+      stopTimes, calendar)
+    val engD = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L)
+    val engL = new graft.api.RoutingEngine(tables)
+    val segD = engD.routing(Day, 1.0, "13:50:00", "Start", "End").collect()
+    val segL = engL.routing(Day, 1.0, "13:50:00", "Start", "End").collect()
+    assert(segD.toSeq == segL.toSeq,
+      s"capped distributed itinerary diverged:\nD=${segD.toSeq}\nL=${segL.toSeq}")
+    // the intermediate past-horizon stop must appear (the pre-fix capped
+    // run skipped it)
+    assert(segD.map(_.getAs[String]("next_stop")).contains("Mid"))
+    assert(segD.length == 4) // SA→SB(TA), SB→SB(change), SB→SM, SM→ST
+  }
+
   test("concurrent routing calls do not corrupt each other's paths") {
     // two threads route different OD pairs against the SAME engine (shared
     // projection + Sssp handle); each TargetRun owns its own path state, so
