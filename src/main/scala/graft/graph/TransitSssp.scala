@@ -135,6 +135,18 @@ object TransitSssp {
   @volatile private[graft] var deserializedPins: Boolean =
     sys.env.get("SPARK_GRAFT_SSSP_PIN_DESER").contains("1")
 
+  /** Max ride∘change depths batched per materialized sparse-tail round
+    * (see sparseTail): each materialized round pays the O(grid) slice
+    * pull + fixed scheduling floor ONCE and then iterates the operator up
+    * to this many times over slice-sized frames. The r11 verdict measured
+    * the un-batched tail at ~216 s of a 30× center pair (~17 rounds ×
+    * O(grid) × scheduling floor) and ≈600 s of the 100× probe — round
+    * count and per-round base touch are exactly what batching divides.
+    * SPARK_GRAFT_SSSP_TAIL_K overrides (1 = the r11 un-batched shape,
+    * kept reachable for A/B). */
+  @volatile private[graft] var tailK: Int =
+    sys.env.get("SPARK_GRAFT_SSSP_TAIL_K").map(_.toInt).getOrElse(8)
+
   /** Checkpoint at the PIN storage level (static frames). */
   private[graph] def ckptPin(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.CheckpointBridge.flattenStats(
@@ -213,8 +225,13 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // beyond-horizon rows from the grid at construction (see staged)
       .select(col("id"), col("trip_id"), col("stop_sequence"), col("acum"),
         col("dep_secs"))
-      .transform(TransitSssp.ckptPin)
-      .transform(bridge.rePin(_, nPart, Seq("trip_id"), Seq.empty))
+      // by-construction pin (r12): the helper itself lays the frame out
+      // on hash(trip_id) before checkpointing, so the attached claim can
+      // never diverge from the data (one extra one-time Exchange per
+      // projection — the window above already left hash(trip_id), but
+      // the explicit repartition is what makes the claim verifiable)
+      .transform(bridge.pinnedCheckpoint(_, nPart, Seq("trip_id"), Seq.empty,
+        TransitSssp.ckptPin))
     TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     preparedForced = true
     p
@@ -255,13 +272,26 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         // d_acum rides on the slice (+8 B/row) so a capped run can test a
         // candidate's ABSOLUTE cost (rel + d_acum) without a second join
         col("d_acum"))
-      .repartition(n, col("s_trip"))
-      .sortWithinPartitions("s_trip", "s_seq")
-      .transform(TransitSssp.ckptPin)
-      .transform(bridge.rePin(_, n, Seq("s_trip"), Seq("s_trip", "s_seq")))
+      .transform(bridge.pinnedCheckpoint(_, n, Seq("s_trip"),
+        Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
     TransitSssp.tlog(f"change-slice pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     changeForced = true
     c
+  }
+
+  /** Trip-level CHANGE adjacency (s_trip → d_trip, distinct) — the
+    * dimension the sparse tail expands its frontier trip set through
+    * before pulling a slice (see sparseTail). Tiny next to the edge
+    * slice (one row per trip PAIR with any transfer), derived and pinned
+    * lazily on first tail engagement only. */
+  @volatile private var tripAdjForced = false
+  private lazy val tripAdj = {
+    val t0 = System.nanoTime()
+    val a = change.select(col("s_trip"), col("d_trip")).distinct()
+      .transform(TransitSssp.ckptPin)
+    TransitSssp.tlog(f"trip-adjacency pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    tripAdjForced = true
+    a
   }
 
   /** sources: seed vertex ids (dist 0, pred −1). Output matches
@@ -498,7 +528,33 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * re-Exchanges base. All per-round actions run over overlay-sized
     * frames; fixture-scale runs switch to this loop after round 0
     * (threshold floor 1024 rows), so every routing parity spec and the
-    * per-round `gtfs_routing_distributed` oracle exercise it. */
+    * per-round `gtfs_routing_distributed` oracle exercise it.
+    *
+    * K-DEPTH BATCHING (r12 — the r11 verdict's top item): the un-batched
+    * tail paid the O(grid) base touch (slice pull + candidate-target
+    * probe) plus a fixed ~3-broadcast/3-AQE-job scheduling floor on EVERY
+    * round, for rounds merging only O(1k) improvements — ≈216 s of a 30×
+    * center pair, ≈600 s of the 100× probe. A materialized round now
+    * expands the frontier's (src, trip) set up to [[TransitSssp.tailK]]
+    * change-hops through the pinned trip-level adjacency (tripAdj — tiny:
+    * one row per trip pair with any transfer), pulls ONE base slice and
+    * ONE change slice covering the expansion, and then iterates the
+    * ride∘change operator up to k times entirely against those
+    * slice-sized frames: inner depth d's frontier sits within d hops of
+    * the original frontier, so its candidates land within d+1 ≤ k hops —
+    * inside the slice by construction — and the candidate probe reads the
+    * slice's own current values, never base. The O(grid) touch and the
+    * grid-scheduling floor are paid once per k depths instead of once per
+    * depth. Two adaptive regimes: an expansion that CLOSES (no new trips
+    * — the end-game) runs inner rounds to convergence with no further
+    * pulls at all; an expansion that would exceed ~1/256 of base's
+    * (src, trip) pairs (hub-skew feeds) stops where it is — at zero hops
+    * that degenerates to exactly the r11 un-batched shape (frontier-trip
+    * slice, full-base probe, one depth), so the batch path never costs
+    * more than the shape it replaces. Inner rounds share the full round's
+    * operators verbatim; a zero-improvement inner round is the same
+    * global fixpoint test (every fresh row's effects were evaluated
+    * in-slice), so convergence is unchanged. */
   private def sparseTail(lastFull: DataFrame, itStart: Int,
       maxIterations: Int,
       costCap: Double = Double.PositiveInfinity): (DataFrame, Int) = {
@@ -520,78 +576,151 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .select(col("src"), col("trip_id"), col("stop_sequence"),
         col("dist"), col("fresh"))
       .transform(TransitSssp.ckpt)
+    // Expansion budget: ~tripLen grid rows ride on each expanded
+    // (src, trip) pair, so capping pairs at base/256 keeps a batched
+    // slice near ≤10 % of base; the count is one cached-block scan paid
+    // once per tail entry.
+    val baseCount = base.count()
+    val pairBudget = math.max(4096L, baseCount / 256L)
+    val kMax = math.max(1, TransitSssp.tailK)
     var it = itStart
     var converged = false
     while (it < maxIterations && !converged) {
-      val itT0 = System.nanoTime()
+      val mT0 = System.nanoTime()
       def lap(t0: Long): String = f"${(System.nanoTime() - t0) / 1e9}%.2f"
-      val trips = ov.filter(col("fresh")).select("src", "trip_id").distinct()
-      val slice = base.join(broadcast(trips), Seq("src", "trip_id"))
-      val cur = slice
-        .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
-          col("dist").as("o_dist"), col("fresh").as("o_fresh")), posKey, "left")
-        .select(col("src"), col("trip_id"), col("stop_sequence"),
-          coalesce(col("o_dist"), col("dist")).as("dist"),
-          coalesce(col("o_fresh"), col("fresh")).as("fresh"))
-      // The slice is overlay-sized — pin it so the three consumers below
-      // (changed/candMin, rideImp) don't each re-run the base scan + window
-      val ride = cur.withColumn("rdist", rideCol).transform(TransitSssp.ckpt)
-      val tRide = lap(itT0)
-      val changed = ride.filter(col("rdist").isNotNull &&
-        (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
-      // broadcast the FRONTIER side: the pinned CHANGE slice is
-      // edge-count-sized (millions of rows at 10×) and an un-hinted join
-      // would sort/shuffle all of it per round to meet a few hundred
-      // frontier rows — the hint turns it into one streamed scan
-      val candRaw = change
-        .join(broadcast(changed.select(col("src"), col("trip_id"),
-          col("stop_sequence"), col("rdist"))),
-          col("trip_id") === col("s_trip") &&
-            col("stop_sequence") === col("s_seq"))
-      val candMin =
-        (if (costCap.isPosInfinity) candRaw
-         else candRaw.filter(col("rdist") + col("w_rel") + col("d_acum") <= costCap))
-        .groupBy(col("src"), col("d_trip"), col("d_seq"))
-        .agg(min(col("rdist") + col("w_rel")).as("cdist"))
-        .withColumnRenamed("d_trip", "trip_id")
-        .withColumnRenamed("d_seq", "stop_sequence")
-      val rideImp = ride
-        .filter(col("rdist").isNotNull &&
-          (col("dist").isNull || col("rdist") < col("dist")))
-        .select(col("src"), col("trip_id"), col("stop_sequence"),
-          col("rdist").as("dist"), lit(false).as("fresh"))
-      // candidate targets probed against base + overlay (their CURRENT
-      // value); strict-improvement filters keep the overlay minimal
-      val candImp = base.join(broadcast(candMin), posKey)
-        .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
-          col("dist").as("o_dist")), posKey, "left")
-        .withColumn("cur", coalesce(col("o_dist"), col("dist")))
-        .filter(col("cur").isNull || col("cdist") < col("cur"))
-        .select(col("src"), col("trip_id"), col("stop_sequence"),
-          col("cdist").as("dist"), lit(true).as("fresh"))
-      val tImp0 = System.nanoTime()
-      val imp = rideImp.unionByName(candImp).transform(TransitSssp.ckpt)
-      rel(ride)
-      val nImp = imp.count()
-      val tImp = lap(tImp0)
-      if (nImp == 0L) { converged = true; rel(imp) }
-      else {
-        // processed fresh rows have fired all effects — clear the flag;
-        // per position keep the best dist (ties prefer fresh = refire,
-        // which is monotone-safe)
-        val wPick = Window.partitionBy(posKey.map(col): _*)
-          .orderBy(col("dist").asc, col("fresh").desc)
-        val mergedOv = ov.withColumn("fresh", lit(false)).unionByName(imp)
-          .withColumn("rn", row_number().over(wPick))
-          .filter(col("rn") === 1).drop("rn")
-          .transform(TransitSssp.ckpt)
-        rel(ov); rel(imp)
-        ov = mergedOv
+      // ---- expansion: frontier trips + up to kMax change hops ----
+      val frontTrips = ov.filter(col("fresh")).select("src", "trip_id")
+        .distinct().transform(TransitSssp.ckpt)
+      var expanded = frontTrips
+      var expCount = expanded.count()
+      var hops = 0
+      var closed = false
+      var budgetHit = expCount > pairBudget
+      while (hops < kMax && !closed && !budgetHit) {
+        val grown = expanded.unionByName(
+            expanded.withColumnRenamed("trip_id", "s_trip")
+              .join(tripAdj, Seq("s_trip"))
+              .select(col("src"), col("d_trip").as("trip_id")))
+          .distinct().transform(TransitSssp.ckpt)
+        val c = grown.count()
+        if (c > pairBudget) { rel(grown); budgetHit = true }
+        else {
+          if (expanded ne frontTrips) rel(expanded)
+          closed = c == expCount
+          expanded = grown; expCount = c; hops += 1
+        }
       }
-      TransitSssp.tlog(f"sparse round $it%d improved=$nImp%d " +
-        f"${(System.nanoTime() - itT0) / 1e9}%.2f s " +
-        f"(slice+ride $tRide, cand+imp $tImp)")
-      it += 1
+      val batched = hops > 0
+      // closed expansion = the reachable trip set is adjacency-complete:
+      // every future candidate lands in-slice, so inner rounds may run to
+      // convergence without ever re-pulling
+      val kEff = if (!batched) 1 else if (closed) Int.MaxValue else hops
+      val (sliceBase, candEdges) =
+        if (batched) {
+          val distinctTrips = expanded.select("trip_id").distinct()
+            .withColumnRenamed("trip_id", "s_trip")
+          // ONE partition-local base scan and ONE change scan for the
+          // whole batch; both slices are expansion-sized
+          (base.join(broadcast(expanded), Seq("src", "trip_id"))
+             .transform(TransitSssp.ckpt),
+           change.join(broadcast(distinctTrips), Seq("s_trip"))
+             .transform(TransitSssp.ckpt))
+        } else (null: DataFrame, change)
+      val tPull = lap(mT0)
+      var depth = 0
+      while (depth < kEff && !converged && it < maxIterations) {
+        val itT0 = System.nanoTime()
+        val curBase =
+          if (batched) sliceBase
+          // un-batched shape: frontier-trip slice, full-base probe below
+          else base.join(broadcast(
+            if (depth == 0) frontTrips
+            else ov.filter(col("fresh")).select("src", "trip_id").distinct()),
+            Seq("src", "trip_id"))
+        val cur = curBase
+          .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
+            col("dist").as("o_dist"), col("fresh").as("o_fresh")), posKey, "left")
+          .select(col("src"), col("trip_id"), col("stop_sequence"),
+            coalesce(col("o_dist"), col("dist")).as("dist"),
+            coalesce(col("o_fresh"), col("fresh")).as("fresh"))
+        // The slice is overlay-sized — pin it so the three consumers below
+        // (changed/candMin, rideImp) don't each re-run the scan + window
+        val ride = cur.withColumn("rdist", rideCol).transform(TransitSssp.ckpt)
+        val tRide = lap(itT0)
+        val changed = ride.filter(col("rdist").isNotNull &&
+          (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
+        // broadcast the FRONTIER side: the un-batched CHANGE slice is
+        // edge-count-sized (millions of rows at 10×) and an un-hinted join
+        // would sort/shuffle all of it per round to meet a few hundred
+        // frontier rows — the hint turns it into one streamed scan (of the
+        // expansion-sized candEdges when batched)
+        val candRaw = candEdges
+          .join(broadcast(changed.select(col("src"), col("trip_id"),
+            col("stop_sequence"), col("rdist"))),
+            col("trip_id") === col("s_trip") &&
+              col("stop_sequence") === col("s_seq"))
+        val candMin =
+          (if (costCap.isPosInfinity) candRaw
+           else candRaw.filter(col("rdist") + col("w_rel") + col("d_acum") <= costCap))
+          .groupBy(col("src"), col("d_trip"), col("d_seq"))
+          .agg(min(col("rdist") + col("w_rel")).as("cdist"))
+          .withColumnRenamed("d_trip", "trip_id")
+          .withColumnRenamed("d_seq", "stop_sequence")
+        val rideImp = ride
+          .filter(col("rdist").isNotNull &&
+            (col("dist").isNull || col("rdist") < col("dist")))
+          .select(col("src"), col("trip_id"), col("stop_sequence"),
+            col("rdist").as("dist"), lit(false).as("fresh"))
+        // candidate targets probed against their CURRENT value; strict-
+        // improvement filters keep the overlay minimal. Batched: targets
+        // land ≤ depth+1 ≤ hops change-hops out — in-slice by
+        // construction — and `ride` already carries slice ∪ overlay ∪
+        // this round's ride values (rdist), so no base touch at all.
+        val candImp =
+          if (batched)
+            ride.join(broadcast(candMin), posKey)
+              .filter(col("rdist").isNull || col("cdist") < col("rdist"))
+              .select(col("src"), col("trip_id"), col("stop_sequence"),
+                col("cdist").as("dist"), lit(true).as("fresh"))
+          else
+            base.join(broadcast(candMin), posKey)
+              .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
+                col("dist").as("o_dist")), posKey, "left")
+              .withColumn("cur", coalesce(col("o_dist"), col("dist")))
+              .filter(col("cur").isNull || col("cdist") < col("cur"))
+              .select(col("src"), col("trip_id"), col("stop_sequence"),
+                col("cdist").as("dist"), lit(true).as("fresh"))
+        val tImp0 = System.nanoTime()
+        val imp = rideImp.unionByName(candImp).transform(TransitSssp.ckpt)
+        rel(ride)
+        val nImp = imp.count()
+        val tImp = lap(tImp0)
+        if (nImp == 0L) { converged = true; rel(imp) }
+        else {
+          // processed fresh rows have fired all effects — clear the flag;
+          // per position keep the best dist (ties prefer fresh = refire,
+          // which is monotone-safe)
+          val wPick = Window.partitionBy(posKey.map(col): _*)
+            .orderBy(col("dist").asc, col("fresh").desc)
+          val mergedOv = ov.withColumn("fresh", lit(false)).unionByName(imp)
+            .withColumn("rn", row_number().over(wPick))
+            .filter(col("rn") === 1).drop("rn")
+            .transform(TransitSssp.ckpt)
+          rel(ov); rel(imp)
+          ov = mergedOv
+        }
+        TransitSssp.tlog(f"sparse round $it%d depth=$depth%d improved=$nImp%d " +
+          f"${(System.nanoTime() - itT0) / 1e9}%.2f s " +
+          f"(slice+ride $tRide, cand+imp $tImp)")
+        it += 1
+        depth += 1
+      }
+      if (batched) { rel(sliceBase); rel(candEdges) }
+      if (expanded ne frontTrips) rel(expanded)
+      rel(frontTrips)
+      TransitSssp.tlog(f"sparse batch hops=$hops%d closed=$closed%s " +
+        f"budgetHit=$budgetHit%s pairs=$expCount%d depths=$depth%d " +
+        f"pull $tPull ${(System.nanoTime() - mT0) / 1e9}%.2f s")
     }
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
