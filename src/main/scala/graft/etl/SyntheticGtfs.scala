@@ -88,4 +88,67 @@ object SyntheticGtfs {
     grid(spark, rows = 50, cols = 50, tripsPerRoute = 25,
       baseSecs = 5 * 3600, headwaySecs = 2300, hopSecs = 90, directions = 2,
       rowStepDeg = 0.0032)
+
+  /** Hub-and-spoke stress topology (r11 verdict #6): `nSpokes` linear
+    * routes of `stopsPerSpoke` stops that ALL pass through ONE shared
+    * interchange stop (`HUB`) at their midpoint. Every trip of every
+    * route can transfer to every other route at the hub, so the CHANGE
+    * generation, the per-trip transfer fan, and the candidate
+    * reduction's (src, d_trip, d_seq) key distribution are skewed far
+    * beyond the uniform grid — the worst case for the distributed
+    * candidate stage and for the sparse tail's trip-adjacency expansion
+    * (the hub makes the trip graph near-complete, so the expansion
+    * budget must trip and fall back). Spokes radiate from the hub with
+    * ~700 m stop spacing (above the 300 m walk radius → WALK_TO stays
+    * self-loops); stop i of spoke k sits at radius |i − mid| on bearing
+    * 2πk/nSpokes. Stoptimes are generated distributedly from
+    * spark.range like [[grid]]. */
+  def hub(spark: SparkSession, nSpokes: Int, stopsPerSpoke: Int,
+      tripsPerRoute: Int, day: String = "2024-01-18",
+      baseSecs: Int = 6 * 3600, headwaySecs: Int = 115,
+      hopSecs: Int = 90): GtfsTables = {
+    import spark.implicits._
+    require(stopsPerSpoke >= 3, "a spoke needs stops on both sides of the hub")
+    val mid = stopsPerSpoke / 2
+    val stops = ((for (k <- 0 until nSpokes; i <- 0 until stopsPerSpoke
+                       if i != mid) yield {
+      val theta = 2.0 * math.Pi * k / nSpokes
+      val r = 0.0063 * (i - mid) // ~700 m per hop
+      (s"S-$k-$i", s"Spoke $k/$i",
+        44.5 + r * math.cos(theta), 10.8 + r * math.sin(theta))
+    }) :+ (("HUB", "Hub", 44.5, 10.8)))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    val routeIds = (0 until nSpokes).map(k => s"RS-$k")
+    val routes = routeIds.map(r => (r, r, r, 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = (for (r <- routeIds; t <- 0 until tripsPerRoute) yield
+      (r, "SVC", s"T-$r-$t", "0", "sh", "hs"))
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id",
+        "trip_headsign")
+    val stopTimes = spark
+      .range(nSpokes.toLong * tripsPerRoute * stopsPerSpoke)
+      .select(
+        expr(s"id div ${tripsPerRoute.toLong * stopsPerSpoke}")
+          .cast("int").as("k"),
+        expr(s"(id div $stopsPerSpoke) % $tripsPerRoute").cast("int").as("t"),
+        expr(s"id % $stopsPerSpoke").cast("int").as("i"))
+      .select(
+        concat(lit("T-RS-"), col("k"), lit("-"), col("t")).as("trip_id"),
+        when(col("i") === mid, lit("HUB"))
+          .otherwise(concat(lit("S-"), col("k"), lit("-"), col("i")))
+          .as("stop_id"),
+        (col("i") + 1).as("stop_sequence"),
+        (lit(baseSecs) + col("t") * headwaySecs + col("k") * 60 +
+          col("i") * hopSecs).as("arr_secs"))
+      .withColumn("dep_secs", col("arr_secs") + 30)
+      .withColumn("arrival_time", hmsString(col("arr_secs")))
+      .withColumn("departure_time", hmsString(col("dep_secs")))
+      .select("trip_id", "arrival_time", "departure_time", "stop_id",
+        "stop_sequence", "arr_secs", "dep_secs")
+    val calendar = Seq(("SVC", java.sql.Date.valueOf(day), "1"))
+      .toDF("service_id", "day", "exception_type")
+    val agency = Seq(("synthetic-hub", "http://example.org", "UTC"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    GtfsTables(agency, routes, trips, stops, stopTimes, calendar)
+  }
 }

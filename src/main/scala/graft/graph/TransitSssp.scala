@@ -147,6 +147,16 @@ object TransitSssp {
   @volatile private[graft] var tailK: Int =
     sys.env.get("SPARK_GRAFT_SSSP_TAIL_K").map(_.toInt).getOrElse(8)
 
+  /** Tail batching only engages when the frozen base has at least this
+    * many rows: below it a tail round is already sub-second and the
+    * expansion machinery (one checkpoint job per hop) would cost more
+    * than the base touches it saves — fixture-scale runs and the
+    * per-round oracle keep the exact r11 un-batched loop. Specs lower it
+    * to 0 to force the batched path onto fixture graphs. */
+  @volatile private[graft] var tailBatchMinBase: Long =
+    sys.env.get("SPARK_GRAFT_SSSP_TAIL_MINBASE").map(_.toLong)
+      .getOrElse(1L << 20)
+
   /** Checkpoint at the PIN storage level (static frames). */
   private[graph] def ckptPin(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.CheckpointBridge.flattenStats(
@@ -281,9 +291,9 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
 
   /** Trip-level CHANGE adjacency (s_trip → d_trip, distinct) — the
     * dimension the sparse tail expands its frontier trip set through
-    * before pulling a slice (see sparseTail). Tiny next to the edge
-    * slice (one row per trip PAIR with any transfer), derived and pinned
-    * lazily on first tail engagement only. */
+    * before pulling a slice (see sparseTail). One row per trip PAIR with
+    * any transfer; derived and pinned lazily on first batched-tail
+    * engagement only. */
   @volatile private var tripAdjForced = false
   private lazy val tripAdj = {
     val t0 = System.nanoTime()
@@ -292,6 +302,18 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     TransitSssp.tlog(f"trip-adjacency pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     tripAdjForced = true
     a
+  }
+
+  /** Per-trip grid row count — the expansion budget is ROW-based (trip
+    * lengths vary 2 .. 500+ across feeds, so a pair count misprices the
+    * slice). From the UNCAPPED prefix: a clock-capped grid has fewer
+    * rows per trip, so the estimate only overstates — conservative. */
+  @volatile private var tripLenForced = false
+  private lazy val tripLen = {
+    val d = prepared.groupBy("trip_id").agg(count(lit(1)).as("len"))
+      .transform(TransitSssp.ckptPin)
+    tripLenForced = true
+    d
   }
 
   /** sources: seed vertex ids (dist 0, pred −1). Output matches
@@ -545,16 +567,23 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * inside the slice by construction — and the candidate probe reads the
     * slice's own current values, never base. The O(grid) touch and the
     * grid-scheduling floor are paid once per k depths instead of once per
-    * depth. Two adaptive regimes: an expansion that CLOSES (no new trips
-    * — the end-game) runs inner rounds to convergence with no further
-    * pulls at all; an expansion that would exceed ~1/256 of base's
-    * (src, trip) pairs (hub-skew feeds) stops where it is — at zero hops
-    * that degenerates to exactly the r11 un-batched shape (frontier-trip
-    * slice, full-base probe, one depth), so the batch path never costs
-    * more than the shape it replaces. Inner rounds share the full round's
-    * operators verbatim; a zero-improvement inner round is the same
-    * global fixpoint test (every fresh row's effects were evaluated
-    * in-slice), so convergence is unchanged. */
+    * depth. Adaptivity, all measured-first: (a) batching only engages at
+    * all above [[TransitSssp.tailBatchMinBase]] grid rows — below it tail
+    * rounds are sub-second and the expansion's per-hop checkpoint job
+    * costs more than the base touches it saves (measured at 3×: 6.8 s
+    * single-depth batched rounds vs ~1–2 s un-batched); (b) the expansion
+    * budget is ROW-based through the tripLen dimension (trip lengths vary
+    * 2..500+ across feeds — a pair count misprices grid-style feeds),
+    * bounded at ~1/6 of base so k inner rounds cost about one full-base
+    * round; (c) an expansion that CLOSES (no new trips — the end-game)
+    * runs inner rounds to convergence with no further pulls at all;
+    * (d) an un-closed expansion with fewer than 2 hops (hub-dense
+    * adjacency hitting the budget immediately) falls back to the plain
+    * un-batched round, so the batch path never costs more than the shape
+    * it replaces. Inner rounds share the full round's operators verbatim;
+    * a zero-improvement inner round is the same global fixpoint test
+    * (every fresh row's effects were evaluated in-slice), so convergence
+    * is unchanged. */
   private def sparseTail(lastFull: DataFrame, itStart: Int,
       maxIterations: Int,
       costCap: Double = Double.PositiveInfinity): (DataFrame, Int) = {
@@ -576,151 +605,197 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .select(col("src"), col("trip_id"), col("stop_sequence"),
         col("dist"), col("fresh"))
       .transform(TransitSssp.ckpt)
-    // Expansion budget: ~tripLen grid rows ride on each expanded
-    // (src, trip) pair, so capping pairs at base/256 keeps a batched
-    // slice near ≤10 % of base; the count is one cached-block scan paid
-    // once per tail entry.
     val baseCount = base.count()
-    val pairBudget = math.max(4096L, baseCount / 256L)
+    val batchEnabled = baseCount >= TransitSssp.tailBatchMinBase
+    // ROW-based expansion budget (trip lengths vary 2..500+ across
+    // feeds): a batched slice stays ≤ ~1/6 of base, so k inner rounds
+    // over it cost about one full-base round while replacing k base
+    // touches. The pair cap bounds the broadcast the slice pull ships.
+    val rowBudget = math.max(65536L, baseCount / 6L)
+    val pairMax = 512L * 1024L
     val kMax = math.max(1, TransitSssp.tailK)
     var it = itStart
     var converged = false
-    while (it < maxIterations && !converged) {
-      val mT0 = System.nanoTime()
+
+    // One ride∘change application over (curBase ∪ overlay). `inSlice`:
+    // candidate targets are guaranteed inside curBase (a batched slice
+    // covering every reachable trip this depth), so the probe reads the
+    // ride frame's own current values; otherwise they are probed against
+    // full base + overlay. The improvement count rides the checkpoint job
+    // via observe() — same one-job pattern as the full loop.
+    def round(curBase: DataFrame, candEdges: DataFrame,
+        inSlice: Boolean, label: String): Long = {
+      val itT0 = System.nanoTime()
       def lap(t0: Long): String = f"${(System.nanoTime() - t0) / 1e9}%.2f"
-      // ---- expansion: frontier trips + up to kMax change hops ----
-      val frontTrips = ov.filter(col("fresh")).select("src", "trip_id")
-        .distinct().transform(TransitSssp.ckpt)
+      val cur = curBase
+        .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
+          col("dist").as("o_dist"), col("fresh").as("o_fresh")), posKey, "left")
+        .select(col("src"), col("trip_id"), col("stop_sequence"),
+          coalesce(col("o_dist"), col("dist")).as("dist"),
+          coalesce(col("o_fresh"), col("fresh")).as("fresh"))
+      // The slice is overlay-sized — pin it so the three consumers below
+      // (changed/candMin, rideImp) don't each re-run the scan + window
+      val ride = cur.withColumn("rdist", rideCol).transform(TransitSssp.ckpt)
+      val tRide = lap(itT0)
+      val changed = ride.filter(col("rdist").isNotNull &&
+        (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
+      // broadcast the FRONTIER side: the un-batched CHANGE slice is
+      // edge-count-sized and an un-hinted join would sort/shuffle all of
+      // it per round to meet a few hundred frontier rows — the hint turns
+      // it into one streamed scan (of the expansion-sized candEdges when
+      // batched)
+      val candRaw = candEdges
+        .join(broadcast(changed.select(col("src"), col("trip_id"),
+          col("stop_sequence"), col("rdist"))),
+          col("trip_id") === col("s_trip") &&
+            col("stop_sequence") === col("s_seq"))
+      val candMin =
+        (if (costCap.isPosInfinity) candRaw
+         else candRaw.filter(col("rdist") + col("w_rel") + col("d_acum") <= costCap))
+        .groupBy(col("src"), col("d_trip"), col("d_seq"))
+        .agg(min(col("rdist") + col("w_rel")).as("cdist"))
+        .withColumnRenamed("d_trip", "trip_id")
+        .withColumnRenamed("d_seq", "stop_sequence")
+      val rideImp = ride
+        .filter(col("rdist").isNotNull &&
+          (col("dist").isNull || col("rdist") < col("dist")))
+        .select(col("src"), col("trip_id"), col("stop_sequence"),
+          col("rdist").as("dist"), lit(false).as("fresh"))
+      // candidate targets probed against their CURRENT value; strict-
+      // improvement filters keep the overlay minimal. In-slice: targets
+      // land within the expansion by construction and `ride` already
+      // carries slice ∪ overlay (rdist = current best incl. this round's
+      // rides), so no base touch at all.
+      val candImp =
+        if (inSlice)
+          ride.join(broadcast(candMin), posKey)
+            .filter(col("rdist").isNull || col("cdist") < col("rdist"))
+            .select(col("src"), col("trip_id"), col("stop_sequence"),
+              col("cdist").as("dist"), lit(true).as("fresh"))
+        else
+          base.join(broadcast(candMin), posKey)
+            .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
+              col("dist").as("o_dist")), posKey, "left")
+            .withColumn("cur", coalesce(col("o_dist"), col("dist")))
+            .filter(col("cur").isNull || col("cdist") < col("cur"))
+            .select(col("src"), col("trip_id"), col("stop_sequence"),
+              col("cdist").as("dist"), lit(true).as("fresh"))
+      val tImp0 = System.nanoTime()
+      val obs = org.apache.spark.sql.Observation(
+        s"transit-tail-${TransitSssp.runSeq.incrementAndGet()}")
+      val imp = rideImp.unionByName(candImp)
+        .observe(obs, count(lit(1)).as("n"))
+        .transform(TransitSssp.ckpt)
+      rel(ride)
+      val nImp = obs.get("n").asInstanceOf[Long]
+      val tImp = lap(tImp0)
+      if (nImp == 0L) rel(imp)
+      else {
+        // processed fresh rows have fired all effects — clear the flag;
+        // per position keep the best dist (ties prefer fresh = refire,
+        // which is monotone-safe)
+        val wPick = Window.partitionBy(posKey.map(col): _*)
+          .orderBy(col("dist").asc, col("fresh").desc)
+        val mergedOv = ov.withColumn("fresh", lit(false)).unionByName(imp)
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1).drop("rn")
+          .transform(TransitSssp.ckpt)
+        rel(ov); rel(imp)
+        ov = mergedOv
+      }
+      TransitSssp.tlog(f"sparse round $it%d $label%s improved=$nImp%d " +
+        f"${(System.nanoTime() - itT0) / 1e9}%.2f s " +
+        f"(slice+ride $tRide, cand+imp $tImp)")
+      nImp
+    }
+
+    def frontierTrips = ov.filter(col("fresh")).select("src", "trip_id").distinct()
+
+    if (!batchEnabled) {
+      // fixture/small-scale shape — identical to the un-batched loop
+      while (it < maxIterations && !converged) {
+        val n = round(base.join(broadcast(frontierTrips), Seq("src", "trip_id")),
+          change, inSlice = false, "legacy")
+        converged = n == 0L
+        it += 1
+      }
+    } else while (it < maxIterations && !converged) {
+      val mT0 = System.nanoTime()
+      // ---- expansion: frontier trips + up to kMax change hops, each hop
+      // ONE checkpoint job (pair count + slice-row estimate ride on it
+      // via observe) ----
+      def counted(df: DataFrame): (DataFrame, Long, Long) = {
+        val obs = org.apache.spark.sql.Observation(
+          s"transit-exp-${TransitSssp.runSeq.incrementAndGet()}")
+        val d = df
+          .observe(obs, count(lit(1)).as("cnt"),
+            coalesce(sum(col("len")), lit(0L)).as("rows"))
+          .transform(TransitSssp.ckpt)
+        (d, obs.get("cnt").asInstanceOf[Long], obs.get("rows").asInstanceOf[Long])
+      }
+      val (frontTrips, fCnt, fRows) =
+        counted(frontierTrips.join(broadcast(tripLen), Seq("trip_id"))
+          .select(col("src"), col("trip_id"), col("len")))
       var expanded = frontTrips
-      var expCount = expanded.count()
+      var expCnt = fCnt
+      var expRows = fRows
       var hops = 0
       var closed = false
-      var budgetHit = expCount > pairBudget
+      var budgetHit = expRows > rowBudget || expCnt > pairMax
       while (hops < kMax && !closed && !budgetHit) {
-        val grown = expanded.unionByName(
-            expanded.withColumnRenamed("trip_id", "s_trip")
+        val (grown, c, r) = counted(expanded.unionByName(
+            expanded.select(col("src"), col("trip_id").as("s_trip"))
               .join(tripAdj, Seq("s_trip"))
-              .select(col("src"), col("d_trip").as("trip_id")))
-          .distinct().transform(TransitSssp.ckpt)
-        val c = grown.count()
-        if (c > pairBudget) { rel(grown); budgetHit = true }
+              .select(col("src"), col("d_trip").as("trip_id"))
+              .join(broadcast(tripLen), Seq("trip_id"))
+              .select(col("src"), col("trip_id"), col("len")))
+          .distinct())
+        if (c > pairMax || r > rowBudget) { rel(grown); budgetHit = true }
         else {
           if (expanded ne frontTrips) rel(expanded)
-          closed = c == expCount
-          expanded = grown; expCount = c; hops += 1
+          closed = c == expCnt
+          expanded = grown; expCnt = c; expRows = r; hops += 1
         }
       }
-      val batched = hops > 0
-      // closed expansion = the reachable trip set is adjacency-complete:
-      // every future candidate lands in-slice, so inner rounds may run to
-      // convergence without ever re-pulling
-      val kEff = if (!batched) 1 else if (closed) Int.MaxValue else hops
-      val (sliceBase, candEdges) =
-        if (batched) {
-          val distinctTrips = expanded.select("trip_id").distinct()
-            .withColumnRenamed("trip_id", "s_trip")
-          // ONE partition-local base scan and ONE change scan for the
-          // whole batch; both slices are expansion-sized
-          (base.join(broadcast(expanded), Seq("src", "trip_id"))
-             .transform(TransitSssp.ckpt),
-           change.join(broadcast(distinctTrips), Seq("s_trip"))
-             .transform(TransitSssp.ckpt))
-        } else (null: DataFrame, change)
-      val tPull = lap(mT0)
-      var depth = 0
-      while (depth < kEff && !converged && it < maxIterations) {
-        val itT0 = System.nanoTime()
-        val curBase =
-          if (batched) sliceBase
-          // un-batched shape: frontier-trip slice, full-base probe below
-          else base.join(broadcast(
-            if (depth == 0) frontTrips
-            else ov.filter(col("fresh")).select("src", "trip_id").distinct()),
-            Seq("src", "trip_id"))
-        val cur = curBase
-          .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
-            col("dist").as("o_dist"), col("fresh").as("o_fresh")), posKey, "left")
-          .select(col("src"), col("trip_id"), col("stop_sequence"),
-            coalesce(col("o_dist"), col("dist")).as("dist"),
-            coalesce(col("o_fresh"), col("fresh")).as("fresh"))
-        // The slice is overlay-sized — pin it so the three consumers below
-        // (changed/candMin, rideImp) don't each re-run the scan + window
-        val ride = cur.withColumn("rdist", rideCol).transform(TransitSssp.ckpt)
-        val tRide = lap(itT0)
-        val changed = ride.filter(col("rdist").isNotNull &&
-          (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
-        // broadcast the FRONTIER side: the un-batched CHANGE slice is
-        // edge-count-sized (millions of rows at 10×) and an un-hinted join
-        // would sort/shuffle all of it per round to meet a few hundred
-        // frontier rows — the hint turns it into one streamed scan (of the
-        // expansion-sized candEdges when batched)
-        val candRaw = candEdges
-          .join(broadcast(changed.select(col("src"), col("trip_id"),
-            col("stop_sequence"), col("rdist"))),
-            col("trip_id") === col("s_trip") &&
-              col("stop_sequence") === col("s_seq"))
-        val candMin =
-          (if (costCap.isPosInfinity) candRaw
-           else candRaw.filter(col("rdist") + col("w_rel") + col("d_acum") <= costCap))
-          .groupBy(col("src"), col("d_trip"), col("d_seq"))
-          .agg(min(col("rdist") + col("w_rel")).as("cdist"))
-          .withColumnRenamed("d_trip", "trip_id")
-          .withColumnRenamed("d_seq", "stop_sequence")
-        val rideImp = ride
-          .filter(col("rdist").isNotNull &&
-            (col("dist").isNull || col("rdist") < col("dist")))
-          .select(col("src"), col("trip_id"), col("stop_sequence"),
-            col("rdist").as("dist"), lit(false).as("fresh"))
-        // candidate targets probed against their CURRENT value; strict-
-        // improvement filters keep the overlay minimal. Batched: targets
-        // land ≤ depth+1 ≤ hops change-hops out — in-slice by
-        // construction — and `ride` already carries slice ∪ overlay ∪
-        // this round's ride values (rdist), so no base touch at all.
-        val candImp =
-          if (batched)
-            ride.join(broadcast(candMin), posKey)
-              .filter(col("rdist").isNull || col("cdist") < col("rdist"))
-              .select(col("src"), col("trip_id"), col("stop_sequence"),
-                col("cdist").as("dist"), lit(true).as("fresh"))
-          else
-            base.join(broadcast(candMin), posKey)
-              .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
-                col("dist").as("o_dist")), posKey, "left")
-              .withColumn("cur", coalesce(col("o_dist"), col("dist")))
-              .filter(col("cur").isNull || col("cdist") < col("cur"))
-              .select(col("src"), col("trip_id"), col("stop_sequence"),
-                col("cdist").as("dist"), lit(true).as("fresh"))
-        val tImp0 = System.nanoTime()
-        val imp = rideImp.unionByName(candImp).transform(TransitSssp.ckpt)
-        rel(ride)
-        val nImp = imp.count()
-        val tImp = lap(tImp0)
-        if (nImp == 0L) { converged = true; rel(imp) }
-        else {
-          // processed fresh rows have fired all effects — clear the flag;
-          // per position keep the best dist (ties prefer fresh = refire,
-          // which is monotone-safe)
-          val wPick = Window.partitionBy(posKey.map(col): _*)
-            .orderBy(col("dist").asc, col("fresh").desc)
-          val mergedOv = ov.withColumn("fresh", lit(false)).unionByName(imp)
-            .withColumn("rn", row_number().over(wPick))
-            .filter(col("rn") === 1).drop("rn")
-            .transform(TransitSssp.ckpt)
-          rel(ov); rel(imp)
-          ov = mergedOv
+      // Batch only when it can actually batch: a closed expansion (the
+      // reachable trip set is adjacency-complete — every future candidate
+      // lands in-slice, inner rounds may run to convergence with no
+      // further pulls) or ≥ 2 depths. hops < 2 un-closed means the
+      // expansion budget bit immediately (hub-dense adjacency) — the
+      // slice machinery would cost more than the one base touch it
+      // saves, so run the plain un-batched round instead.
+      if (closed || hops >= 2) {
+        val kEff = if (closed) Int.MaxValue else hops
+        val pairs = expanded.select("src", "trip_id")
+        val distinctTrips = expanded.select("trip_id").distinct()
+          .withColumnRenamed("trip_id", "s_trip")
+        // ONE partition-local base scan and ONE change scan for the
+        // whole batch; both slices are expansion-sized
+        val sliceBase = base.join(broadcast(pairs), Seq("src", "trip_id"))
+          .transform(TransitSssp.ckpt)
+        val candEdges = change.join(broadcast(distinctTrips), Seq("s_trip"))
+          .transform(TransitSssp.ckpt)
+        val tPull = f"${(System.nanoTime() - mT0) / 1e9}%.2f"
+        var depth = 0
+        while (depth < kEff && !converged && it < maxIterations) {
+          converged = round(sliceBase, candEdges, inSlice = true,
+            s"batch-depth-$depth") == 0L
+          it += 1
+          depth += 1
         }
-        TransitSssp.tlog(f"sparse round $it%d depth=$depth%d improved=$nImp%d " +
-          f"${(System.nanoTime() - itT0) / 1e9}%.2f s " +
-          f"(slice+ride $tRide, cand+imp $tImp)")
+        rel(sliceBase); rel(candEdges)
+        TransitSssp.tlog(f"sparse batch hops=$hops%d closed=$closed%s " +
+          f"pairs=$expCnt%d rows=$expRows%d depths=$depth%d pull $tPull " +
+          f"${(System.nanoTime() - mT0) / 1e9}%.2f s")
+      } else {
+        converged = round(
+          base.join(broadcast(frontTrips.select("src", "trip_id")),
+            Seq("src", "trip_id")),
+          change, inSlice = false, "unbatched") == 0L
         it += 1
-        depth += 1
       }
-      if (batched) { rel(sliceBase); rel(candEdges) }
       if (expanded ne frontTrips) rel(expanded)
       rel(frontTrips)
-      TransitSssp.tlog(f"sparse batch hops=$hops%d closed=$closed%s " +
-        f"budgetHit=$budgetHit%s pairs=$expCount%d depths=$depth%d " +
-        f"pull $tPull ${(System.nanoTime() - mT0) / 1e9}%.2f s")
     }
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
@@ -746,6 +821,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
     if (preparedForced) rel(prepared)
     if (changeForced) rel(change)
+    if (tripAdjForced) rel(tripAdj)
+    if (tripLenForced) rel(tripLen)
   }
 
   /** Predecessor resolution against the CONVERGED rel distances:

@@ -57,6 +57,35 @@ class TransitSsspSpec extends SparkSpec {
     assert(ser == deser && ser.nonEmpty)
   }
 
+  test("batched sparse tail (forced) equals the un-batched loop and Pregel") {
+    // tailBatchMinBase = 0 forces the k-depth batched tail onto the
+    // fixture graph (normally gated to ≥1M-row grids); distances and
+    // predecessors must match the un-batched shape exactly. Also runs a
+    // k=1 batched point (closed-expansion inner looping with minimal
+    // depth) for the degenerate knob setting.
+    val sources = g.nodes.orderBy("id").limit(3).select("id")
+      .as[Long].collect().toSet
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vertex_id", "source_id", "dist", "pred")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val unbatched = key(TransitSssp.run(g.nodes, changeEdges, sources))
+    val (minB, k) = (TransitSssp.tailBatchMinBase, TransitSssp.tailK)
+    val batched = try {
+      TransitSssp.tailBatchMinBase = 0L
+      key(TransitSssp.run(g.nodes, changeEdges, sources))
+    } finally TransitSssp.tailBatchMinBase = minB
+    val batchedK1 = try {
+      TransitSssp.tailBatchMinBase = 0L; TransitSssp.tailK = 1
+      key(TransitSssp.run(g.nodes, changeEdges, sources))
+    } finally { TransitSssp.tailBatchMinBase = minB; TransitSssp.tailK = k }
+    assert(batched == unbatched && batched.nonEmpty)
+    assert(batchedK1 == unbatched)
+    val pregel = ShortestPaths.fromDF(g.weightedEdges, sources, localThreshold = 0)
+      .select("vertex_id", "source_id", "dist")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batched.map(t => (t._1, t._2, t._3)) == pregel)
+  }
+
   test("pred chain is a valid shortest-path tree pathDistributed can walk") {
     val src = g.nodes.orderBy("id").limit(1).select("id").as[Long].head()
     val dist = TransitSssp.run(g.nodes, changeEdges, Set(src)).cache()
@@ -127,6 +156,17 @@ class TransitSsspSpec extends SparkSpec {
     cappedRows.filter(_._3 <= cap).foreach { r =>
       assert(fullRows.contains(r), s"capped run invented/changed $r")
     }
+    // cap × batched-tail interaction: the cost-cap filter runs inside the
+    // batched inner rounds too — force the batch path and re-check
+    val minB = TransitSssp.tailBatchMinBase
+    val cappedBatched = try {
+      TransitSssp.tailBatchMinBase = 0L
+      val st = ts.staged(sources, costCap = cap)
+      val rows = st.distances.as[(Long, Long, Double)].collect().toSet
+      st.release(); rows
+    } finally TransitSssp.tailBatchMinBase = minB
+    assert(cappedBatched == cappedRows,
+      "batched capped run diverged from the un-batched capped run")
   }
 
   test("empty sources and unreachable seeds degrade gracefully") {
