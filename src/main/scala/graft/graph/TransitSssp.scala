@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -156,6 +156,54 @@ object TransitSssp {
   @volatile private[graft] var tailBatchMinBase: Long =
     sys.env.get("SPARK_GRAFT_SSSP_TAIL_MINBASE").map(_.toLong)
       .getOrElse(1L << 20)
+
+  /** Largest frontier key list the tail turns into a chunked-In
+    * batch-pruning predicate; above it the probe falls back to a full
+    * scan + broadcast join (the r11 shape). The per-ROW cost of the
+    * predicate is keys×rows-surviving int compares, so the cap bounds
+    * the worst case where pruning skips nothing — measured at 3×, a
+    * ~1600-key chunked-In cost 20–47 s/round against a scan the
+    * fallback shape does in 2–4 s. */
+  @volatile private[graft] var tailPruneMaxKeys: Int =
+    sys.env.get("SPARK_GRAFT_SSSP_PRUNE_MAXKEYS").map(_.toInt).getOrElse(256)
+
+  /** Cached-batch row target for the tail's sorted probe caches. At the
+    * session default (10000) a batch spans ~90 trips at 3× Modena, so a
+    * few-hundred-trip frontier matches EVERY batch and pruning buys
+    * nothing; at ~1024 a batch spans ~1 trip at 30×+ and the same
+    * frontier skips >95 % of batches. Applied only to the two
+    * tail-local caches (the conf is captured per-relation at persist
+    * time and restored immediately). */
+  @volatile private[graft] var tailPruneBatchSize: Int =
+    sys.env.get("SPARK_GRAFT_SSSP_PRUNE_BATCH").map(_.toInt).getOrElse(1024)
+
+  /** Specs set this to exercise the pruned-probe path on fixture-scale
+    * graphs where the granularity gate (rows/trip ≥ batch/4) would
+    * otherwise disable it. */
+  @volatile private[graft] var tailPruneForce: Boolean = false
+
+  /** Membership predicate that SURVIVES cached-batch stat pruning.
+    * Spark's SimpleMetricsCachedBatchSerializer.buildFilter prunes
+    * in-memory-cache batches for In(attr, literals) / And / Or /
+    * comparisons — but NOT for InSet, and the optimizer rewrites In to
+    * InSet above spark.sql.optimizer.inSetConversionThreshold (default
+    * 10). Chunking the list into ≤10-literal Ins OR'd together keeps
+    * every chunk below that threshold, so a probe against a SORTED
+    * cached copy skips every batch whose min/max range misses all keys —
+    * O(matched batches) per probe instead of O(frame). Keys are the
+    * INT hash buckets of [[tbCol]], not the trip strings: int equality
+    * keeps the row-level evaluation cheap and the generated code
+    * compact, and a hash collision only lets extra rows through to the
+    * exact join behind the filter. */
+  private[graph] def isinPruned(c: Column, vals: Seq[Any]): Column =
+    vals.grouped(10).map(g => c.isin(g: _*)).reduce(_ || _)
+
+  /** Deterministic int bucket of a trip id — the sort/prune key of the
+    * tail's cached probe copies. 2^30 buckets ≈ collision-free at any
+    * plausible trip count; collisions are correctness-neutral (the
+    * exact equi-join runs behind the filter). */
+  private[graph] def tbCol(tripCol: Column): Column =
+    pmod(xxhash64(tripCol), lit(1 << 30)).cast("int")
 
   /** Checkpoint at the PIN storage level (static frames). */
   private[graph] def ckptPin(df: DataFrame): DataFrame =
@@ -552,45 +600,71 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * (threshold floor 1024 rows), so every routing parity spec and the
     * per-round `gtfs_routing_distributed` oracle exercise it.
     *
-    * K-DEPTH BATCHING (r12 — the r11 verdict's top item): the un-batched
-    * tail paid the O(grid) base touch (slice pull + candidate-target
-    * probe) plus a fixed ~3-broadcast/3-AQE-job scheduling floor on EVERY
-    * round, for rounds merging only O(1k) improvements — ≈216 s of a 30×
-    * center pair, ≈600 s of the 100× probe. A materialized round now
-    * expands the frontier's (src, trip) set up to [[TransitSssp.tailK]]
-    * change-hops through the pinned trip-level adjacency (tripAdj — tiny:
-    * one row per trip pair with any transfer), pulls ONE base slice and
-    * ONE change slice covering the expansion, and then iterates the
-    * ride∘change operator up to k times entirely against those
-    * slice-sized frames: inner depth d's frontier sits within d hops of
-    * the original frontier, so its candidates land within d+1 ≤ k hops —
-    * inside the slice by construction — and the candidate probe reads the
-    * slice's own current values, never base. The O(grid) touch and the
-    * grid-scheduling floor are paid once per k depths instead of once per
-    * depth. Adaptivity, all measured-first: (a) batching only engages at
-    * all above [[TransitSssp.tailBatchMinBase]] grid rows — below it tail
-    * rounds are sub-second and the expansion's per-hop checkpoint job
-    * costs more than the base touches it saves (measured at 3×: 6.8 s
-    * single-depth batched rounds vs ~1–2 s un-batched); (b) the expansion
-    * budget is ROW-based through the tripLen dimension (trip lengths vary
-    * 2..500+ across feeds — a pair count misprices grid-style feeds),
-    * bounded at ~1/6 of base so k inner rounds cost about one full-base
-    * round; (c) an expansion that CLOSES (no new trips — the end-game)
-    * runs inner rounds to convergence with no further pulls at all;
-    * (d) an un-closed expansion with fewer than 2 hops (hub-dense
-    * adjacency hitting the budget immediately) falls back to the plain
-    * un-batched round, so the batch path never costs more than the shape
-    * it replaces. Inner rounds share the full round's operators verbatim;
-    * a zero-improvement inner round is the same global fixpoint test
-    * (every fresh row's effects were evaluated in-slice), so convergence
-    * is unchanged. */
+    * K-DEPTH BATCHING + PENDING PIPELINING + BATCH-PRUNED PROBES (r12 —
+    * the r11 verdict's top item). The r11 tail paid THREE frame-sized
+    * touches per round (base slice pull, full-CHANGE candidate scan,
+    * base candidate-target probe) plus a fixed ~3-job scheduling floor,
+    * for rounds merging only O(1k) improvements — ≈216 s of a 30× center
+    * pair, ≈600 s of the 100× probe. Three composable attacks:
+    *
+    * 1. BATCH-PRUNED PROBES: the tail freezes base and the CHANGE slice,
+    *    so both are re-materialized ONCE per tail entry as SORTED
+    *    columnar caches (sortWithinPartitions on the existing pinned
+    *    hash layouts — no Exchange). Every per-round probe then filters
+    *    by the round's frontier trip ids via [[TransitSssp.isinPruned]]
+    *    chunked-In predicates, and the in-memory cache's per-batch
+    *    min/max stats skip every non-matching batch: a probe reads
+    *    O(matched batches), not O(grid). This removes the O(grid) term
+    *    from the round floor for the frontier sizes the tail sees
+    *    (tens of trips).
+    * 2. PENDING PIPELINING: an un-batched round no longer probes
+    *    candidate targets against base at all. The cap-filtered,
+    *    overlay-prefiltered candidate mins are carried to the NEXT
+    *    round as a small `pending` frame and folded into that round's
+    *    slice — whose trip set includes the pending targets' trips by
+    *    construction — where an improving candidate applies and fires
+    *    BOTH its ride effects (the prefix-min window runs after the
+    *    fold) and its transfer effects (the fold marks the row changed)
+    *    in the same round. One base touch per round instead of two,
+    *    same one-change-depth-per-round cadence. Converged = a round
+    *    whose pending output is EMPTY: every improvement's effects fire
+    *    in its own round, so empty pending means no outstanding work
+    *    (entry fresh rows are covered because the first round's slice
+    *    spans all fresh trips and its forced merge clears the flags;
+    *    afterwards pipelined rounds never set fresh, so the frontier is
+    *    carried entirely by pending).
+    * 3. K-DEPTH BATCHING (above [[TransitSssp.tailBatchMinBase]] grid
+    *    rows): a round may expand the frontier's (src, trip) set up to
+    *    [[TransitSssp.tailK]] change-hops through the pinned trip-level
+    *    adjacency, pull ONE base slice + ONE change slice covering the
+    *    expansion, and iterate ride∘change entirely in-slice — depth
+    *    d's candidates land within d+1 ≤ k hops, inside the slice by
+    *    construction, applied in-round against the slice's own values
+    *    (entering the overlay FRESH; their out-edges fire next inner
+    *    round — the r11-proven shape). The expansion budget is
+    *    ROW-based via the tripLen dimension (trip lengths vary
+    *    2..500+), counts riding each hop's checkpoint via observe();
+    *    an expansion that CLOSES runs inner rounds to convergence with
+    *    no further pulls; an un-closed expansion under 2 hops
+    *    (hub-dense adjacency) falls back to the pipelined round, so
+    *    batching never costs more than the shape it replaces. Carried
+    *    pending folds into the first inner depth (its targets sit in
+    *    the expansion seed).
+    *
+    * Correctness: all three reuse the full round's operators verbatim.
+    * Termination: improvements strictly decrease per-position dists
+    * over a finite path-cost set; a round with pending but zero
+    * improvements and no fresh rows yields an empty changed set, hence
+    * empty pending, hence convergence next round. The overlay prefilter
+    * only drops candidates whose target's best-KNOWN value is already
+    * ≤ the candidate (monotone-safe); pruned probes are storage-level
+    * only (the same rows reach the same joins). Pinned by the forced
+    * fixture-scale parity specs, cap-parity, both routing oracles, and
+    * the cross-regime twin digests. */
   private def sparseTail(lastFull: DataFrame, itStart: Int,
       maxIterations: Int,
       costCap: Double = Double.PositiveInfinity): (DataFrame, Int) = {
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-    // Scan-many, write-once: re-materialize the frozen base deserialized
-    // (see deserializedTailBase) so the 2-scans-per-round tail doesn't
-    // re-pay SER decode on every slice pull and candidate probe.
     val base =
       if (TransitSssp.deserializedTailBase && TransitSssp.serializedGrid) {
         val t0 = System.nanoTime()
@@ -605,7 +679,43 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .select(col("src"), col("trip_id"), col("stop_sequence"),
         col("dist"), col("fresh"))
       .transform(TransitSssp.ckpt)
-    val baseCount = base.count()
+    // Sorted columnar-cache copies of the two frozen probe inputs
+    // (attack #1): built once per tail entry — partition-local sorts on
+    // the pinned hash layouts, no Exchange — and released with the
+    // tail. Each carries the trip's int hash bucket t_b as its leading
+    // sort column, and is built with narrow (~1k-row) batches so a
+    // batch's t_b min/max spans ~1 trip at 30×+ scale; the build passes
+    // cost about one round's worth of full scans, and every later round
+    // reads only the batches its frontier trips touch.
+    val cT0 = System.nanoTime()
+    val spark = base.sparkSession
+    val batchKey = "spark.sql.inMemoryColumnarStorage.batchSize"
+    val batchPrev = spark.conf.get(batchKey)
+    val (baseCached, changeCached) =
+      try {
+        spark.conf.set(batchKey, TransitSssp.tailPruneBatchSize.toString)
+        (base.withColumn("t_b", TransitSssp.tbCol(col("trip_id")))
+           .sortWithinPartitions("t_b", "trip_id", "src", "stop_sequence")
+           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+         change.withColumn("t_b", TransitSssp.tbCol(col("s_trip")))
+           .sortWithinPartitions("t_b", "s_trip", "s_seq")
+           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      } finally spark.conf.set(batchKey, batchPrev)
+    val cStats = baseCached
+      .agg(count(lit(1)), approx_count_distinct(col("trip_id"))).head()
+    val baseCount = cStats.getLong(0)
+    val nTrips = math.max(1L, cStats.getLong(1))
+    changeCached.count()
+    // Granularity gate: pruning pays only when a batch spans few trips
+    // (rows/trip ≥ batch/4 ⟺ ≤ ~4 trips/batch) — below that most
+    // batches match any frontier and the predicate is pure row-level
+    // overhead (measured 20–47 s/round at 3×). Specs force-enable to
+    // pin the pruned path's parity at fixture scale.
+    val pruneEnabled = TransitSssp.tailPruneForce ||
+      baseCount / nTrips >= TransitSssp.tailPruneBatchSize / 4
+    TransitSssp.tlog(f"tail sorted cache copies ($baseCount%d base rows, " +
+      f"~$nTrips%d trips, prune=$pruneEnabled%s) " +
+      f"${(System.nanoTime() - cT0) / 1e9}%.2f s")
     val batchEnabled = baseCount >= TransitSssp.tailBatchMinBase
     // ROW-based expansion budget (trip lengths vary 2..500+ across
     // feeds): a batched slice stays ≤ ~1/6 of base, so k inner rounds
@@ -616,34 +726,74 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     val kMax = math.max(1, TransitSssp.tailK)
     var it = itStart
     var converged = false
+    // entry overlay rows carry the full loop's fresh flags; the first
+    // merge (forced) clears them once their effects have fired
+    var ovHasFresh = true
+    // the previous pipelined round's candidate frame
+    // (src, trip_id, stop_sequence, dist) and its backing checkpoint
+    var pending: DataFrame = null
+    var pendingSrc: DataFrame = null
 
-    // One ride∘change application over (curBase ∪ overlay). `inSlice`:
-    // candidate targets are guaranteed inside curBase (a batched slice
-    // covering every reachable trip this depth), so the probe reads the
-    // ride frame's own current values; otherwise they are probed against
-    // full base + overlay. The improvement count rides the checkpoint job
-    // via observe() — same one-job pattern as the full loop.
-    def round(curBase: DataFrame, candEdges: DataFrame,
-        inSlice: Boolean, label: String): Long = {
+    def seedPairs: DataFrame = {
+      val fresh = ov.filter(col("fresh")).select("src", "trip_id")
+      (if (pending == null) fresh
+       else fresh.unionByName(pending.select("src", "trip_id"))).distinct()
+    }
+
+    // Batch-pruned probe: chunked-In on the cached copy's t_b bucket
+    // when pruning is enabled and the key list is small (tail frontiers
+    // are tens of trips in the dribble that matters). Above the cap —
+    // or below the granularity gate — the probe falls back to the r11
+    // full-scan + broadcast-join shape, so it never costs more.
+    def prunedScan(cached: DataFrame, keys: Seq[Int]): DataFrame =
+      if (pruneEnabled && keys.nonEmpty &&
+          keys.size <= TransitSssp.tailPruneMaxKeys)
+        cached.filter(TransitSssp.isinPruned(col("t_b"), keys))
+      else cached
+
+    // One ride∘change application over curBase ∪ overlay ∪ pend.
+    // inSlice=true (batched segments): candidate targets are inside
+    // curBase by construction — applied in-round against the ride
+    // frame's own values, entering the overlay FRESH (out-edges fire
+    // next inner round); pending output is empty. inSlice=false
+    // (pipelined): candidates never touch base — they are returned as
+    // the next round's pending. Returns (nImp, nPend, outcome ckpt);
+    // outcome carries improvement rows (pend=false) and next-pending
+    // rows (pend=true); the CALLER owns its release.
+    def round(curBase: DataFrame, candEdges: DataFrame, inSlice: Boolean,
+        pend: DataFrame, forceMerge: Boolean, label: String)
+        : (Long, Long, DataFrame) = {
       val itT0 = System.nanoTime()
       def lap(t0: Long): String = f"${(System.nanoTime() - t0) / 1e9}%.2f"
-      val cur = curBase
+      val cur0 = curBase
         .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
           col("dist").as("o_dist"), col("fresh").as("o_fresh")), posKey, "left")
         .select(col("src"), col("trip_id"), col("stop_sequence"),
           coalesce(col("o_dist"), col("dist")).as("dist"),
           coalesce(col("o_fresh"), col("fresh")).as("fresh"))
-      // The slice is overlay-sized — pin it so the three consumers below
-      // (changed/candMin, rideImp) don't each re-run the scan + window
+      // fold carried candidates in (attack #2): an improving pending
+      // value becomes the row's dist and marks it changed, so its ride
+      // AND transfer effects fire in THIS round; applied rows enter
+      // the overlay non-fresh
+      val cur =
+        if (pend == null) cur0.withColumn("p_app", lit(false))
+        else cur0
+          .join(broadcast(pend.select(col("src"), col("trip_id"),
+            col("stop_sequence"), col("dist").as("p_dist"))), posKey, "left")
+          .withColumn("p_app", col("p_dist").isNotNull &&
+            (col("dist").isNull || col("p_dist") < col("dist")))
+          .select(col("src"), col("trip_id"), col("stop_sequence"),
+            when(col("p_app"), col("p_dist")).otherwise(col("dist")).as("dist"),
+            (col("fresh") || col("p_app")).as("fresh"), col("p_app"))
+      // The slice is overlay-sized — pin it so the consumers below
+      // don't each re-run the scan + window
       val ride = cur.withColumn("rdist", rideCol).transform(TransitSssp.ckpt)
       val tRide = lap(itT0)
       val changed = ride.filter(col("rdist").isNotNull &&
         (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
-      // broadcast the FRONTIER side: the un-batched CHANGE slice is
-      // edge-count-sized and an un-hinted join would sort/shuffle all of
-      // it per round to meet a few hundred frontier rows — the hint turns
-      // it into one streamed scan (of the expansion-sized candEdges when
-      // batched)
+      // broadcast the FRONTIER side: candEdges streams once (batch-
+      // pruned or expansion-sized) instead of shuffling to meet a few
+      // hundred frontier rows
       val candRaw = candEdges
         .join(broadcast(changed.select(col("src"), col("trip_id"),
           col("stop_sequence"), col("rdist"))),
@@ -661,69 +811,98 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           (col("dist").isNull || col("rdist") < col("dist")))
         .select(col("src"), col("trip_id"), col("stop_sequence"),
           col("rdist").as("dist"), lit(false).as("fresh"))
-      // candidate targets probed against their CURRENT value; strict-
-      // improvement filters keep the overlay minimal. In-slice: targets
-      // land within the expansion by construction and `ride` already
-      // carries slice ∪ overlay (rdist = current best incl. this round's
-      // rides), so no base touch at all.
-      val candImp =
+      val imps =
+        if (pend == null) rideImp
+        else rideImp.unionByName(ride.filter(col("p_app"))
+          .select(col("src"), col("trip_id"), col("stop_sequence"),
+            col("dist"), lit(false).as("fresh")))
+      val tagged =
         if (inSlice)
-          ride.join(broadcast(candMin), posKey)
-            .filter(col("rdist").isNull || col("cdist") < col("rdist"))
-            .select(col("src"), col("trip_id"), col("stop_sequence"),
-              col("cdist").as("dist"), lit(true).as("fresh"))
+          imps.unionByName(ride.join(broadcast(candMin), posKey)
+              .filter(col("rdist").isNull || col("cdist") < col("rdist"))
+              .select(col("src"), col("trip_id"), col("stop_sequence"),
+                col("cdist").as("dist"), lit(true).as("fresh")))
+            .withColumn("pend", lit(false))
         else
-          base.join(broadcast(candMin), posKey)
-            .join(ov.select(col("src"), col("trip_id"), col("stop_sequence"),
-              col("dist").as("o_dist")), posKey, "left")
-            .withColumn("cur", coalesce(col("o_dist"), col("dist")))
-            .filter(col("cur").isNull || col("cdist") < col("cur"))
-            .select(col("src"), col("trip_id"), col("stop_sequence"),
-              col("cdist").as("dist"), lit(true).as("fresh"))
-      val tImp0 = System.nanoTime()
+          // overlay prefilter: candidates provably not improving the
+          // best-KNOWN value are dropped; the rest carry to the next
+          // round's fold (targets absent from ov may still lose to
+          // their base value there — the fold is the exact check)
+          imps.withColumn("pend", lit(false)).unionByName(
+            candMin
+              .join(broadcast(ov.select(col("src"), col("trip_id"),
+                col("stop_sequence"), col("dist").as("o_dist"))),
+                posKey, "left")
+              .filter(col("o_dist").isNull || col("cdist") < col("o_dist"))
+              .select(col("src"), col("trip_id"), col("stop_sequence"),
+                col("cdist").as("dist"), lit(false).as("fresh"),
+                lit(true).as("pend")))
+      val tOut0 = System.nanoTime()
       val obs = org.apache.spark.sql.Observation(
         s"transit-tail-${TransitSssp.runSeq.incrementAndGet()}")
-      val imp = rideImp.unionByName(candImp)
-        .observe(obs, count(lit(1)).as("n"))
+      val out = tagged
+        .observe(obs, count(when(!col("pend"), lit(1))).as("nimp"),
+          count(when(col("pend"), lit(1))).as("npend"))
         .transform(TransitSssp.ckpt)
       rel(ride)
-      val nImp = obs.get("n").asInstanceOf[Long]
-      val tImp = lap(tImp0)
-      if (nImp == 0L) rel(imp)
-      else {
-        // processed fresh rows have fired all effects — clear the flag;
-        // per position keep the best dist (ties prefer fresh = refire,
-        // which is monotone-safe)
+      val nImp = obs.get("nimp").asInstanceOf[Long]
+      val nPend = obs.get("npend").asInstanceOf[Long]
+      val tOut = lap(tOut0)
+      if (nImp > 0L || forceMerge) {
+        // processed fresh rows have fired all effects — clear the
+        // flag; per position keep the best dist (ties prefer fresh =
+        // refire, which is monotone-safe)
         val wPick = Window.partitionBy(posKey.map(col): _*)
           .orderBy(col("dist").asc, col("fresh").desc)
-        val mergedOv = ov.withColumn("fresh", lit(false)).unionByName(imp)
+        val mergedOv = ov.withColumn("fresh", lit(false))
+          .unionByName(out.filter(!col("pend")).drop("pend"))
           .withColumn("rn", row_number().over(wPick))
           .filter(col("rn") === 1).drop("rn")
           .transform(TransitSssp.ckpt)
-        rel(ov); rel(imp)
+        rel(ov)
         ov = mergedOv
       }
       TransitSssp.tlog(f"sparse round $it%d $label%s improved=$nImp%d " +
-        f"${(System.nanoTime() - itT0) / 1e9}%.2f s " +
-        f"(slice+ride $tRide, cand+imp $tImp)")
-      nImp
+        f"pending=$nPend%d ${(System.nanoTime() - itT0) / 1e9}%.2f s " +
+        f"(slice+ride $tRide, cand+out $tOut)")
+      (nImp, nPend, out)
     }
 
-    def frontierTrips = ov.filter(col("fresh")).select("src", "trip_id").distinct()
+    def pipelinedRound(): Unit = {
+      val pairs = seedPairs
+      val trips =
+        if (pruneEnabled)
+          pairs.select(TransitSssp.tbCol(col("trip_id")).as("t_b"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        else IndexedSeq.empty[Int]
+      val slice = prunedScan(baseCached, trips)
+        .join(broadcast(pairs), Seq("src", "trip_id"))
+      val (nImp, nPend, out) = round(slice,
+        prunedScan(changeCached, trips),
+        inSlice = false, pending, forceMerge = ovHasFresh, "pipelined")
+      ovHasFresh = false
+      if (pendingSrc != null) rel(pendingSrc)
+      if (nPend == 0L) {
+        rel(out); pending = null; pendingSrc = null
+        converged = true
+      } else {
+        pendingSrc = out
+        pending = out.filter(col("pend"))
+          .select(col("src"), col("trip_id"), col("stop_sequence"), col("dist"))
+      }
+      it += 1
+    }
 
     if (!batchEnabled) {
-      // fixture/small-scale shape — identical to the un-batched loop
-      while (it < maxIterations && !converged) {
-        val n = round(base.join(broadcast(frontierTrips), Seq("src", "trip_id")),
-          change, inSlice = false, "legacy")
-        converged = n == 0L
-        it += 1
-      }
+      // fixture/small-scale shape: pipelined rounds only — no
+      // expansion machinery (its per-hop checkpoint jobs cost more
+      // than the base touches they save below ~1M grid rows)
+      while (it < maxIterations && !converged) pipelinedRound()
     } else while (it < maxIterations && !converged) {
       val mT0 = System.nanoTime()
-      // ---- expansion: frontier trips + up to kMax change hops, each hop
-      // ONE checkpoint job (pair count + slice-row estimate ride on it
-      // via observe) ----
+      // ---- expansion: frontier ∪ pending trips + up to kMax change
+      // hops, each hop ONE checkpoint job (pair count + slice-row
+      // estimate ride on it via observe) ----
       def counted(df: DataFrame): (DataFrame, Long, Long) = {
         val obs = org.apache.spark.sql.Observation(
           s"transit-exp-${TransitSssp.runSeq.incrementAndGet()}")
@@ -734,7 +913,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         (d, obs.get("cnt").asInstanceOf[Long], obs.get("rows").asInstanceOf[Long])
       }
       val (frontTrips, fCnt, fRows) =
-        counted(frontierTrips.join(broadcast(tripLen), Seq("trip_id"))
+        counted(seedPairs.join(broadcast(tripLen), Seq("trip_id"))
           .select(col("src"), col("trip_id"), col("len")))
       var expanded = frontTrips
       var expCnt = fCnt
@@ -758,45 +937,63 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         }
       }
       // Batch only when it can actually batch: a closed expansion (the
-      // reachable trip set is adjacency-complete — every future candidate
-      // lands in-slice, inner rounds may run to convergence with no
-      // further pulls) or ≥ 2 depths. hops < 2 un-closed means the
-      // expansion budget bit immediately (hub-dense adjacency) — the
-      // slice machinery would cost more than the one base touch it
-      // saves, so run the plain un-batched round instead.
+      // reachable trip set is adjacency-complete — every future
+      // candidate lands in-slice, inner rounds may run to convergence
+      // with no further pulls) or ≥ 2 depths. hops < 2 un-closed means
+      // the expansion budget bit immediately (hub-dense adjacency) —
+      // the slice machinery would cost more than the base touch it
+      // saves, so run the pipelined round instead.
       if (closed || hops >= 2) {
         val kEff = if (closed) Int.MaxValue else hops
         val pairs = expanded.select("src", "trip_id")
-        val distinctTrips = expanded.select("trip_id").distinct()
-          .withColumnRenamed("trip_id", "s_trip")
-        // ONE partition-local base scan and ONE change scan for the
-        // whole batch; both slices are expansion-sized
-        val sliceBase = base.join(broadcast(pairs), Seq("src", "trip_id"))
+        val expTrips =
+          if (pruneEnabled)
+            expanded.select(TransitSssp.tbCol(col("trip_id")).as("t_b"))
+              .distinct().collect().map(_.getInt(0)).toIndexedSeq
+          else IndexedSeq.empty[Int]
+        // ONE batch-pruned base scan and ONE change scan for the whole
+        // batch; both slices are expansion-sized (above the key cap the
+        // pull scans unpruned, paid once per k depths)
+        val sliceBase = prunedScan(baseCached, expTrips)
+          .join(broadcast(pairs), Seq("src", "trip_id"))
+          .drop("t_b")
           .transform(TransitSssp.ckpt)
-        val candEdges = change.join(broadcast(distinctTrips), Seq("s_trip"))
+        val candEdges = prunedScan(changeCached, expTrips)
+          .join(broadcast(expanded.select(col("trip_id").as("s_trip"))
+            .distinct()), Seq("s_trip"))
+          .drop("t_b")
           .transform(TransitSssp.ckpt)
         val tPull = f"${(System.nanoTime() - mT0) / 1e9}%.2f"
         var depth = 0
         while (depth < kEff && !converged && it < maxIterations) {
-          converged = round(sliceBase, candEdges, inSlice = true,
-            s"batch-depth-$depth") == 0L
+          val (nImp, _, out) = round(sliceBase, candEdges, inSlice = true,
+            if (depth == 0) pending else null,
+            forceMerge = ovHasFresh, s"batch-depth-$depth")
+          ovHasFresh = false
+          if (depth == 0 && pendingSrc != null) {
+            rel(pendingSrc); pending = null; pendingSrc = null
+          }
+          rel(out)
+          converged = nImp == 0L
           it += 1
           depth += 1
         }
+        // an exhausted (non-converged) segment's last inner round left
+        // candidate rows FRESH — the next round's forced merge clears
+        // them after their effects fire
+        if (!converged) ovHasFresh = true
         rel(sliceBase); rel(candEdges)
         TransitSssp.tlog(f"sparse batch hops=$hops%d closed=$closed%s " +
           f"pairs=$expCnt%d rows=$expRows%d depths=$depth%d pull $tPull " +
           f"${(System.nanoTime() - mT0) / 1e9}%.2f s")
       } else {
-        converged = round(
-          base.join(broadcast(frontTrips.select("src", "trip_id")),
-            Seq("src", "trip_id")),
-          change, inSlice = false, "unbatched") == 0L
-        it += 1
+        pipelinedRound()
       }
       if (expanded ne frontTrips) rel(expanded)
       rel(frontTrips)
     }
+    baseCached.unpersist(false)
+    changeCached.unpersist(false)
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
         "optimal paths deeper than the bound (raise maxIterations)")

@@ -86,6 +86,33 @@ class TransitSsspSpec extends SparkSpec {
     assert(batched.map(t => (t._1, t._2, t._3)) == pregel)
   }
 
+  test("batch-pruned tail probes (forced) equal the unpruned shape") {
+    // tailPruneForce bypasses the granularity gate so the chunked-In
+    // t_b predicates run on the fixture's cached copies — every tail
+    // probe goes through the pruned scan; results must be identical.
+    // Run both with batching forced too, so pruned batch PULLS are
+    // exercised alongside pruned pipelined rounds.
+    val sources = g.nodes.orderBy("id").limit(3).select("id")
+      .as[Long].collect().toSet
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vertex_id", "source_id", "dist", "pred")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val plain = key(TransitSssp.run(g.nodes, changeEdges, sources))
+    val minB = TransitSssp.tailBatchMinBase
+    val pruned = try {
+      TransitSssp.tailPruneForce = true
+      key(TransitSssp.run(g.nodes, changeEdges, sources))
+    } finally TransitSssp.tailPruneForce = false
+    val prunedBatched = try {
+      TransitSssp.tailPruneForce = true; TransitSssp.tailBatchMinBase = 0L
+      key(TransitSssp.run(g.nodes, changeEdges, sources))
+    } finally {
+      TransitSssp.tailPruneForce = false; TransitSssp.tailBatchMinBase = minB
+    }
+    assert(pruned == plain && pruned.nonEmpty)
+    assert(prunedBatched == plain)
+  }
+
   test("pred chain is a valid shortest-path tree pathDistributed can walk") {
     val src = g.nodes.orderBy("id").limit(1).select("id").as[Long].head()
     val dist = TransitSssp.run(g.nodes, changeEdges, Set(src)).cache()
