@@ -182,6 +182,18 @@ object TransitSssp {
     * otherwise disable it. */
   @volatile private[graft] var tailPruneForce: Boolean = false
 
+  /** Tail rounds to run PLAIN (pipelined probes against the raw frozen
+    * base, zero setup) before building the heavy amortized machinery —
+    * the sorted probe caches, the trip adjacency, and the k-depth
+    * expansion attempts. A horizon-capped route often dribbles only 2-3
+    * tail rounds, where the ~10 s of setup can never pay for itself
+    * (measured at the 30× center pair: 17.9 s tail with eager setup vs
+    * 11.4 s for the r11 shape); long tails (the 100× probe's ~24
+    * rounds) amortize it many times over. Specs set 0 to force the
+    * machinery onto fixture graphs. */
+  @volatile private[graft] var tailLazyRounds: Int =
+    sys.env.get("SPARK_GRAFT_SSSP_TAIL_LAZY").map(_.toInt).getOrElse(3)
+
   /** Membership predicate that SURVIVES cached-batch stat pruning.
     * Spark's SimpleMetricsCachedBatchSerializer.buildFilter prunes
     * in-memory-cache batches for In(attr, literals) / And / Or /
@@ -679,43 +691,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .select(col("src"), col("trip_id"), col("stop_sequence"),
         col("dist"), col("fresh"))
       .transform(TransitSssp.ckpt)
-    // Sorted columnar-cache copies of the two frozen probe inputs
-    // (attack #1): built once per tail entry — partition-local sorts on
-    // the pinned hash layouts, no Exchange — and released with the
-    // tail. Each carries the trip's int hash bucket t_b as its leading
-    // sort column, and is built with narrow (~1k-row) batches so a
-    // batch's t_b min/max spans ~1 trip at 30×+ scale; the build passes
-    // cost about one round's worth of full scans, and every later round
-    // reads only the batches its frontier trips touch.
-    val cT0 = System.nanoTime()
-    val spark = base.sparkSession
-    val batchKey = "spark.sql.inMemoryColumnarStorage.batchSize"
-    val batchPrev = spark.conf.get(batchKey)
-    val (baseCached, changeCached) =
-      try {
-        spark.conf.set(batchKey, TransitSssp.tailPruneBatchSize.toString)
-        (base.withColumn("t_b", TransitSssp.tbCol(col("trip_id")))
-           .sortWithinPartitions("t_b", "trip_id", "src", "stop_sequence")
-           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-         change.withColumn("t_b", TransitSssp.tbCol(col("s_trip")))
-           .sortWithinPartitions("t_b", "s_trip", "s_seq")
-           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      } finally spark.conf.set(batchKey, batchPrev)
-    val cStats = baseCached
-      .agg(count(lit(1)), approx_count_distinct(col("trip_id"))).head()
-    val baseCount = cStats.getLong(0)
-    val nTrips = math.max(1L, cStats.getLong(1))
-    changeCached.count()
-    // Granularity gate: pruning pays only when a batch spans few trips
-    // (rows/trip ≥ batch/4 ⟺ ≤ ~4 trips/batch) — below that most
-    // batches match any frontier and the predicate is pure row-level
-    // overhead (measured 20–47 s/round at 3×). Specs force-enable to
-    // pin the pruned path's parity at fixture scale.
-    val pruneEnabled = TransitSssp.tailPruneForce ||
-      baseCount / nTrips >= TransitSssp.tailPruneBatchSize / 4
-    TransitSssp.tlog(f"tail sorted cache copies ($baseCount%d base rows, " +
-      f"~$nTrips%d trips, prune=$pruneEnabled%s) " +
-      f"${(System.nanoTime() - cT0) / 1e9}%.2f s")
+    val baseCount = base.count()
     val batchEnabled = baseCount >= TransitSssp.tailBatchMinBase
     // ROW-based expansion budget (trip lengths vary 2..500+ across
     // feeds): a batched slice stays ≤ ~1/6 of base, so k inner rounds
@@ -733,6 +709,48 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // (src, trip_id, stop_sequence, dist) and its backing checkpoint
     var pending: DataFrame = null
     var pendingSrc: DataFrame = null
+    // Lazy amortized probe state (attack #1): plain rounds probe the raw
+    // frozen base/change; once the tail proves LONG (tailLazyRounds),
+    // both are re-materialized as SORTED columnar caches — partition-
+    // local sorts on the pinned hash layouts, no Exchange — with the
+    // trip's int hash bucket t_b leading the sort and narrow (~1k-row)
+    // batches, so a batch's t_b min/max spans ~1 trip at 30×+ scale and
+    // chunked-In probes read O(matched batches). Short tails (the common
+    // horizon-capped shape) never pay the build.
+    var probeBase = base
+    var probeChange = change
+    var pruneEnabled = false
+    var cachesReady = false
+    def ensureCaches(): Unit = if (!cachesReady) {
+      val cT0 = System.nanoTime()
+      val spark = base.sparkSession
+      val batchKey = "spark.sql.inMemoryColumnarStorage.batchSize"
+      val batchPrev = spark.conf.get(batchKey)
+      val (bc, cc) =
+        try {
+          spark.conf.set(batchKey, TransitSssp.tailPruneBatchSize.toString)
+          (base.withColumn("t_b", TransitSssp.tbCol(col("trip_id")))
+             .sortWithinPartitions("t_b", "trip_id", "src", "stop_sequence")
+             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+           change.withColumn("t_b", TransitSssp.tbCol(col("s_trip")))
+             .sortWithinPartitions("t_b", "s_trip", "s_seq")
+             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        } finally spark.conf.set(batchKey, batchPrev)
+      val nTrips = math.max(1L,
+        bc.agg(approx_count_distinct(col("trip_id"))).head().getLong(0))
+      cc.count()
+      // Granularity gate: pruning pays only when a batch spans few
+      // trips (rows/trip ≥ batch/4 ⟺ ≤ ~4 trips/batch) — below that
+      // most batches match any frontier and the predicate is pure
+      // row-level overhead (measured 20–47 s/round at 3×). Specs
+      // force-enable to pin the pruned path's parity at fixture scale.
+      pruneEnabled = TransitSssp.tailPruneForce ||
+        baseCount / nTrips >= TransitSssp.tailPruneBatchSize / 4
+      probeBase = bc; probeChange = cc; cachesReady = true
+      TransitSssp.tlog(f"tail sorted cache copies ($baseCount%d base rows, " +
+        f"~$nTrips%d trips, prune=$pruneEnabled%s) " +
+        f"${(System.nanoTime() - cT0) / 1e9}%.2f s")
+    }
 
     def seedPairs: DataFrame = {
       val fresh = ov.filter(col("fresh")).select("src", "trip_id")
@@ -875,10 +893,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           pairs.select(TransitSssp.tbCol(col("trip_id")).as("t_b"))
             .distinct().collect().map(_.getInt(0)).toIndexedSeq
         else IndexedSeq.empty[Int]
-      val slice = prunedScan(baseCached, trips)
+      val slice = prunedScan(probeBase, trips)
         .join(broadcast(pairs), Seq("src", "trip_id"))
       val (nImp, nPend, out) = round(slice,
-        prunedScan(changeCached, trips),
+        prunedScan(probeChange, trips),
         inSlice = false, pending, forceMerge = ovHasFresh, "pipelined")
       ovHasFresh = false
       if (pendingSrc != null) rel(pendingSrc)
@@ -893,6 +911,16 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       it += 1
     }
 
+    var tailRounds = 0
+    while (it < maxIterations && !converged
+        && tailRounds < TransitSssp.tailLazyRounds) {
+      // plain early rounds: pipelined probes on the raw frozen base —
+      // zero setup, one base touch per round (short capped tails end
+      // here without ever paying the cache/adjacency builds)
+      pipelinedRound()
+      tailRounds += 1
+    }
+    if (!converged) ensureCaches()
     if (!batchEnabled) {
       // fixture/small-scale shape: pipelined rounds only — no
       // expansion machinery (its per-hop checkpoint jobs cost more
@@ -954,11 +982,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         // ONE batch-pruned base scan and ONE change scan for the whole
         // batch; both slices are expansion-sized (above the key cap the
         // pull scans unpruned, paid once per k depths)
-        val sliceBase = prunedScan(baseCached, expTrips)
+        val sliceBase = prunedScan(probeBase, expTrips)
           .join(broadcast(pairs), Seq("src", "trip_id"))
           .drop("t_b")
           .transform(TransitSssp.ckpt)
-        val candEdges = prunedScan(changeCached, expTrips)
+        val candEdges = prunedScan(probeChange, expTrips)
           .join(broadcast(expanded.select(col("trip_id").as("s_trip"))
             .distinct()), Seq("s_trip"))
           .drop("t_b")
@@ -992,8 +1020,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       if (expanded ne frontTrips) rel(expanded)
       rel(frontTrips)
     }
-    baseCached.unpersist(false)
-    changeCached.unpersist(false)
+    if (cachesReady) {
+      probeBase.unpersist(false)
+      probeChange.unpersist(false)
+    }
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
         "optimal paths deeper than the bound (raise maxIterations)")

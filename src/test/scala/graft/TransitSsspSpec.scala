@@ -69,15 +69,22 @@ class TransitSsspSpec extends SparkSpec {
       df.select("vertex_id", "source_id", "dist", "pred")
         .as[(Long, Long, Double, Long)].collect().toSet
     val unbatched = key(TransitSssp.run(g.nodes, changeEdges, sources))
-    val (minB, k) = (TransitSssp.tailBatchMinBase, TransitSssp.tailK)
+    val (minB, k, lz) = (TransitSssp.tailBatchMinBase, TransitSssp.tailK,
+      TransitSssp.tailLazyRounds)
     val batched = try {
-      TransitSssp.tailBatchMinBase = 0L
+      TransitSssp.tailBatchMinBase = 0L; TransitSssp.tailLazyRounds = 0
       key(TransitSssp.run(g.nodes, changeEdges, sources))
-    } finally TransitSssp.tailBatchMinBase = minB
+    } finally {
+      TransitSssp.tailBatchMinBase = minB; TransitSssp.tailLazyRounds = lz
+    }
     val batchedK1 = try {
       TransitSssp.tailBatchMinBase = 0L; TransitSssp.tailK = 1
+      TransitSssp.tailLazyRounds = 0
       key(TransitSssp.run(g.nodes, changeEdges, sources))
-    } finally { TransitSssp.tailBatchMinBase = minB; TransitSssp.tailK = k }
+    } finally {
+      TransitSssp.tailBatchMinBase = minB; TransitSssp.tailK = k
+      TransitSssp.tailLazyRounds = lz
+    }
     assert(batched == unbatched && batched.nonEmpty)
     assert(batchedK1 == unbatched)
     val pregel = ShortestPaths.fromDF(g.weightedEdges, sources, localThreshold = 0)
@@ -98,16 +105,20 @@ class TransitSsspSpec extends SparkSpec {
       df.select("vertex_id", "source_id", "dist", "pred")
         .as[(Long, Long, Double, Long)].collect().toSet
     val plain = key(TransitSssp.run(g.nodes, changeEdges, sources))
-    val minB = TransitSssp.tailBatchMinBase
+    val (minB, lz) = (TransitSssp.tailBatchMinBase, TransitSssp.tailLazyRounds)
     val pruned = try {
-      TransitSssp.tailPruneForce = true
+      TransitSssp.tailPruneForce = true; TransitSssp.tailLazyRounds = 0
       key(TransitSssp.run(g.nodes, changeEdges, sources))
-    } finally TransitSssp.tailPruneForce = false
+    } finally {
+      TransitSssp.tailPruneForce = false; TransitSssp.tailLazyRounds = lz
+    }
     val prunedBatched = try {
       TransitSssp.tailPruneForce = true; TransitSssp.tailBatchMinBase = 0L
+      TransitSssp.tailLazyRounds = 0
       key(TransitSssp.run(g.nodes, changeEdges, sources))
     } finally {
       TransitSssp.tailPruneForce = false; TransitSssp.tailBatchMinBase = minB
+      TransitSssp.tailLazyRounds = lz
     }
     assert(pruned == plain && pruned.nonEmpty)
     assert(prunedBatched == plain)
@@ -185,13 +196,15 @@ class TransitSsspSpec extends SparkSpec {
     }
     // cap × batched-tail interaction: the cost-cap filter runs inside the
     // batched inner rounds too — force the batch path and re-check
-    val minB = TransitSssp.tailBatchMinBase
+    val (minB, lz) = (TransitSssp.tailBatchMinBase, TransitSssp.tailLazyRounds)
     val cappedBatched = try {
-      TransitSssp.tailBatchMinBase = 0L
+      TransitSssp.tailBatchMinBase = 0L; TransitSssp.tailLazyRounds = 0
       val st = ts.staged(sources, costCap = cap)
       val rows = st.distances.as[(Long, Long, Double)].collect().toSet
       st.release(); rows
-    } finally TransitSssp.tailBatchMinBase = minB
+    } finally {
+      TransitSssp.tailBatchMinBase = minB; TransitSssp.tailLazyRounds = lz
+    }
     assert(cappedBatched == cappedRows,
       "batched capped run diverged from the un-batched capped run")
   }
