@@ -31,7 +31,16 @@ object TimeBetweenness {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).repartition(4).count()
 
-    val raw = graft.etl.SyntheticGtfs.modena(spark)
+    // SPARK_GRAFT_BW_SCALE picks the grid dimension (1× Modena = 50,
+    // 3× = 87 → ≈2.9M projected edges, ABOVE the 2M CSR gate by
+    // construction — the size where the level-sync regime engages on
+    // its own threshold rather than by force).
+    val dim = sys.env.getOrElse("SPARK_GRAFT_BW_SCALE", "50").toInt
+    val raw =
+      if (dim == 50) graft.etl.SyntheticGtfs.modena(spark)
+      else graft.etl.SyntheticGtfs.grid(spark, dim, dim, 25,
+        baseSecs = 5 * 3600, headwaySecs = 2300, hopSecs = 90,
+        directions = 2, rowStepDeg = 0.0032)
     val g = raw.copy(stopTimes = raw.stopTimes.cache(), stops = raw.stops.cache())
     val eng = new graft.api.RoutingEngine(g)
     val proj = eng.projected(java.sql.Date.valueOf("2024-01-18"), 1.0)

@@ -140,10 +140,14 @@ object TimeScale {
           !sys.env.get("SPARK_GRAFT_SCALE_NOPROBE").contains("1")) {
         // Split one traversal's cost: Pregel relaxation vs pointer-doubling
         // path extraction. Source = the earliest departure after 08:00 at
-        // the first pair's origin; target = the farthest vertex that source
-        // reaches (worst-case path length for the extraction step).
+        // the first pair's origin (or SPARK_GRAFT_SCALE_PROBE_STOP — e.g.
+        // the grid center, whose uncapped flood has the longest sparse
+        // tail); target = the farthest vertex that source reaches
+        // (worst-case path length for the extraction step).
+        val probeStop = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_STOP",
+          allPairs.head._1)
         val src = proj.nodes
-          .filter(col("stop_name") === allPairs.head._1 && col("dep_secs") > 8 * 3600)
+          .filter(col("stop_name") === probeStop && col("dep_secs") > 8 * 3600)
           .orderBy("dep_secs").limit(1).select("id").collect()(0).getLong(0)
         val (dist, pregelSec) = timed {
           val d = proj.sssp.run(Set(src)).cache(); d.count(); d
