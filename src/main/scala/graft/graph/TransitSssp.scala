@@ -188,11 +188,16 @@ object TransitSssp {
     * expansion attempts. A horizon-capped route often dribbles only 2-3
     * tail rounds, where the ~10 s of setup can never pay for itself
     * (measured at the 30× center pair: 17.9 s tail with eager setup vs
-    * 11.4 s for the r11 shape); long tails (the 100× probe's ~24
-    * rounds) amortize it many times over. Specs set 0 to force the
-    * machinery onto fixture graphs. */
+    * 11.4 s for the r11 shape; at 10× capped the setup landed at round
+    * 3 of an 8-round dying dribble — pure overhead). Long tails — the
+    * shapes the machinery exists for — run 17–23 rounds at 30×/100×
+    * and amortize it many times over, so the gate sits at 12 — only a
+    * genuinely long dribble pays the builds (a 10× capped pair-2 A/B:
+    * 80.5 s at gate 3, 63.0 at 6, vs the 52.2 s r11 control; the
+    * machinery was pure overhead on every ≤14-round tail measured).
+    * Specs set 0 to force the machinery onto fixture graphs. */
   @volatile private[graft] var tailLazyRounds: Int =
-    sys.env.get("SPARK_GRAFT_SSSP_TAIL_LAZY").map(_.toInt).getOrElse(3)
+    sys.env.get("SPARK_GRAFT_SSSP_TAIL_LAZY").map(_.toInt).getOrElse(12)
 
   /** Membership predicate that SURVIVES cached-batch stat pruning.
     * Spark's SimpleMetricsCachedBatchSerializer.buildFilter prunes
@@ -709,6 +714,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // (src, trip_id, stop_sequence, dist) and its backing checkpoint
     var pending: DataFrame = null
     var pendingSrc: DataFrame = null
+    var expansionDead = false
+    var zeroHopAttempts = 0
     // Lazy amortized probe state (attack #1): plain rounds probe the raw
     // frozen base/change; once the tail proves LONG (tailLazyRounds),
     // both are re-materialized as SORTED columnar caches — partition-
@@ -931,6 +938,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // than the base touches they save below ~1M grid rows)
       while (it < maxIterations && !converged) pipelinedRound()
     } else while (it < maxIterations && !converged) {
+      if (expansionDead) { pipelinedRound() }
+      else {
       val mT0 = System.nanoTime()
       // ---- expansion: frontier ∪ pending trips + up to kMax change
       // hops, each hop ONE checkpoint job (pair count + slice-row
@@ -1021,8 +1030,18 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       } else {
         pipelinedRound()
       }
+      // Promiscuous trip adjacency (grids, hub feeds) budget-hits at
+      // hop 1 on every attempt — the attempts themselves cost one or
+      // two checkpoint jobs per round, so after two consecutive
+      // zero-hop failures the loop stops trying (a later round's
+      // SMALLER frontier rarely changes the feed's fan-out).
+      if (hops == 0 && !closed) {
+        zeroHopAttempts += 1
+        if (zeroHopAttempts >= 2) expansionDead = true
+      } else zeroHopAttempts = 0
       if (expanded ne frontTrips) rel(expanded)
       rel(frontTrips)
+      }
     }
     if (cachesReady) {
       probeBase.unpersist(false)
