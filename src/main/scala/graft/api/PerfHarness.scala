@@ -38,7 +38,7 @@ object PerfHarness {
     if (rows.isEmpty) return 0L
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach { r =>
-      md.update(r.mkString("").getBytes("UTF-8")); md.update(10.toByte)
+      md.update(r.mkString("\u0001").getBytes("UTF-8")); md.update(10.toByte)
     }
     java.nio.ByteBuffer.wrap(md.digest()).getLong
   }

@@ -284,13 +284,18 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     // irregular rows (arrival clock > departure clock, e.g. dirty data)
     // can carry path clocks past the horizon. Anchoring at
     // max(horizon_end, max over targets of max(arr, dep)) restores the
-    // argument unconditionally: path cost = clock elapsed + Σ per-change
-    // walks with each walk ≤ its change's wait (boarding requires
-    // s_arr + walk < t_dep), so cost ≤ 2 × clock elapsed
+    // argument for the arr>dep-at-target case: path cost = clock elapsed
+    // + Σ per-change walks with each walk ≤ its change's wait (boarding
+    // requires s_arr + walk < t_dep), so cost ≤ 2 × clock elapsed
     // < 2 × (anchor + 60 − s_dep), and every stoptime on an optimal path
     // to a target departs at or before the target's anchor clock (event
     // clocks only move forward), so the clock cap keeps the whole pred
-    // chain — intermediate rows of a final leg included. Exact for
+    // chain — intermediate rows of a final leg included. Residual
+    // assumption (r12 ADVICE): intra-trip clocks on the FINAL leg do not
+    // exceed the target anchor — a dirty feed with a non-monotone
+    // intermediate row whose dep clock exceeds every target's
+    // max(arr, dep) would have that row clock-capped out of the grid,
+    // losing a pred-chain segment vs the uncapped CSR branch. Exact for
     // ranking and for the winner's pred chain (cost is monotone along
     // paths; see TransitSssp.staged). On clean feeds the anchor equals
     // horizon_end and both caps are unchanged.

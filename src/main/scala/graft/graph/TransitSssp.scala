@@ -212,8 +212,25 @@ object TransitSssp {
     * keeps the row-level evaluation cheap and the generated code
     * compact, and a hash collision only lets extra rows through to the
     * exact join behind the filter. */
-  private[graph] def isinPruned(c: Column, vals: Seq[Any]): Column =
-    vals.grouped(10).map(g => c.isin(g: _*)).reduce(_ || _)
+  private[graph] def isinPruned(c: Column, vals: Seq[Any]): Column = {
+    // Chunk at min(10, inSetConversionThreshold): a session configured
+    // below the default 10 would rewrite 10-literal Ins to InSet, which
+    // the cached-batch stat filter ignores — silently disabling pruning
+    // (r12 ADVICE). OptimizeIn converts when size > threshold, so
+    // chunks of exactly the threshold stay In.
+    val thresh = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.optimizer.inSetConversionThreshold", "10").toInt
+    val chunk = math.max(1, math.min(10, thresh))
+    vals.grouped(chunk).map(g => c.isin(g: _*)).reduce(_ || _)
+  }
+
+  /** Serializes the tail-cache build's set/persist/restore of the shared
+    * session conf `spark.sql.inMemoryColumnarStorage.batchSize`: two
+    * concurrent routing calls on one engine (a supported pattern) could
+    * otherwise interleave the pairs and leave the session pinned at the
+    * tiny tail batch size (r12 ADVICE). Coarse JVM-global lock — the
+    * build is rare (gated at tailLazyRounds) and seconds-long. */
+  private[graph] val cacheBuildLock = new Object
 
   /** Deterministic int bucket of a trip id — the sort/prune key of the
     * tail's cached probe copies. 2^30 buckets ≈ collision-free at any
@@ -277,7 +294,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   /** Ride closure in rel space: rel after riding from any earlier same-trip
     * row — transitively complete in one window pass (pure prefix-min; the
     * A(u) offsets are already folded out of the representation). */
-  private val rideCol = least(col("dist"), min(col("dist")).over(pref))
+  private[graph] val rideCol = least(col("dist"), min(col("dist")).over(pref))
 
   // Static per-trip ride-cost prefix: A(first) = 0,
   // A(u) = A(u−1) + (arr(u) − dep(u−1)) — so chain cost v→u = A(u) − A(v)
@@ -286,7 +303,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   @volatile private var preparedForced = false
   @volatile private var changeForced = false
 
-  private lazy val prepared = {
+  private[graph] lazy val prepared = {
     val t0 = System.nanoTime()
     val p = nodes
       .select(col("id"), col("trip_id"), col("stop_sequence"),
@@ -328,7 +345,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   // per-round frontier→edge join moves and sorts only the frontier:
   // both sides satisfy the join's distribution on the trip key, and the
   // slice's pinned sort already matches the SMJ order.
-  private lazy val change = {
+  private[graph] lazy val change = {
     val t0 = System.nanoTime()
     val srcPos = prepared.select(col("id").as("e_src"),
       col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
@@ -732,8 +749,13 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       val cT0 = System.nanoTime()
       val spark = base.sparkSession
       val batchKey = "spark.sql.inMemoryColumnarStorage.batchSize"
-      val batchPrev = spark.conf.get(batchKey)
-      val (bc, cc) =
+      // Locked: persist() captures the session batchSize at cache
+      // REGISTRATION, so the set/persist/restore triple must not
+      // interleave with a concurrent call's (r12 ADVICE — two
+      // interleaved pairs could leave the session pinned at 1024 and
+      // give unrelated caches tiny batches).
+      val (bc, cc) = TransitSssp.cacheBuildLock.synchronized {
+        val batchPrev = spark.conf.get(batchKey)
         try {
           spark.conf.set(batchKey, TransitSssp.tailPruneBatchSize.toString)
           (base.withColumn("t_b", TransitSssp.tbCol(col("trip_id")))
@@ -747,6 +769,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
              .sortWithinPartitions("t_b", "s_trip", "s_seq")
              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         } finally spark.conf.set(batchKey, batchPrev)
+      }
       val nTrips = math.max(1L,
         bc.agg(approx_count_distinct(col("trip_id"))).head().getLong(0))
       cc.count()
@@ -901,8 +924,13 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       val pairs = seedPairs
       val trips =
         if (pruneEnabled)
+          // limit(cap+1): a dense round would otherwise ship every
+          // distinct t_b to the driver just for prunedScan to discard
+          // them (r12 VERDICT #5); one extra row is enough to overflow
+          // the cap check and fall back to the full scan
           pairs.select(TransitSssp.tbCol(col("trip_id")).as("t_b"))
-            .distinct().collect().map(_.getInt(0)).toIndexedSeq
+            .distinct().limit(TransitSssp.tailPruneMaxKeys + 1)
+            .collect().map(_.getInt(0)).toIndexedSeq
         else IndexedSeq.empty[Int]
       val slice = prunedScan(probeBase, trips)
         .join(broadcast(pairs), Seq("src", "trip_id"))
@@ -990,7 +1018,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         val expTrips =
           if (pruneEnabled)
             expanded.select(TransitSssp.tbCol(col("trip_id")).as("t_b"))
-              .distinct().collect().map(_.getInt(0)).toIndexedSeq
+              .distinct().limit(TransitSssp.tailPruneMaxKeys + 1)
+              .collect().map(_.getInt(0)).toIndexedSeq
           else IndexedSeq.empty[Int]
         // ONE batch-pruned base scan and ONE change scan for the whole
         // batch; both slices are expansion-sized (above the key cap the

@@ -17,7 +17,8 @@ class CoverageFreshnessSpec extends AnyFunSuite {
     * backticks (Spark function names, storage identifiers). Additions need
     * the same scrutiny as a PLANS.md skip-set entry. */
   private val proseAllowlist: Set[String] = Set(
-    "image_dims" // registered SQL function name (GraftExtensions), not a query
+    "image_dims", // registered SQL function name (GraftExtensions), not a query
+    "t_b" // int trip-bucket COLUMN name (TransitSssp probe caches), not a query
   )
 
   test("every query cited in COVERAGE.md is live in the catalog") {
