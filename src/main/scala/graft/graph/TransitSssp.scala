@@ -224,6 +224,29 @@ object TransitSssp {
     vals.grouped(chunk).map(g => c.isin(g: _*)).reduce(_ || _)
   }
 
+  /** Clock-capped runs build a RUN-SCOPED CHANGE slice (edges whose BOTH
+    * endpoints depart within the cap) directly from the projection's edge
+    * list via broadcast position joins, instead of forcing the full
+    * uncapped slice pin — at the 100× point the uncapped pin is 141 s of
+    * one-time cost and every round then streams its 61M rows to meet a
+    * frontier that can only touch the capped ~3 % (r13 diagnosis,
+    * DiagOneTime). The gate bounds the capped position dimension the
+    * build broadcasts (two broadcasts of ~50 B/row live at once); above
+    * it the run falls back to the shared uncapped pin — the status-quo
+    * plan, never a wrong one. */
+  @volatile private[graft] var cappedSliceMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_MAX").map(_.toLong)
+      .getOrElse(2L * 1024L * 1024L)
+
+  /** Capped slices are memoized per clock-cap BUCKET (cap rounded UP to
+    * this granularity — a superset slice is exactly as correct as the
+    * uncapped pin, which is the ultimate superset): a multi-pair harness
+    * issues calls whose cap anchors differ by minutes, and padding lets
+    * them share one slice instead of rebuilding per call. */
+  @volatile private[graft] var cappedSlicePadSecs: Long =
+    sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_PAD").map(_.toLong)
+      .getOrElse(3600L)
+
   /** Serializes the tail-cache build's set/persist/restore of the shared
     * session conf `spark.sql.inMemoryColumnarStorage.batchSize`: two
     * concurrent routing calls on one engine (a supported pattern) could
@@ -386,6 +409,70 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     a
   }
 
+  /** Memoized clock-capped CHANGE slices, keyed by cap bucket (see
+    * [[TransitSssp.cappedSlicePadSecs]]). Values are pinned checkpoints
+    * living for the instance's lifetime (released in [[releasePins]]);
+    * a bucket whose capped prefix exceeds the broadcast gate memoizes
+    * the shared uncapped [[change]] pin instead. */
+  private val cappedSlices =
+    new java.util.concurrent.ConcurrentHashMap[Long, DataFrame]()
+
+  /** The CHANGE slice a run with this clock cap iterates over. Uncapped
+    * runs use the shared whole-day pin; capped runs (the production
+    * routing path) get a horizon-bounded slice built WITHOUT forcing
+    * that pin: the capped position dimension (id, trip, seq, acum — the
+    * rows the capped GRID itself keeps) broadcasts against the raw edge
+    * list, so the build is one scan of the projection's cached edges
+    * plus two broadcast hash joins and a slice-sized pin write.
+    *
+    * Exactness: the capped grid keeps exactly the rows with
+    * dep_secs ≤ cap, so (a) an edge whose SOURCE row is beyond the cap
+    * can never match the frontier (frontier ⊆ grid), and (b) a candidate
+    * to a beyond-cap TARGET dies in the grid-side left join today —
+    * dropping both classes from the slice changes no merge, no
+    * convergence test, and no predecessor fixpoint (resolution joins
+    * reached × reached rows, both within the grid). A PADDED cap builds
+    * a superset slice, which is correct for the same reason the
+    * uncapped pin is. */
+  private def selectRunChange(clockCap: Double): DataFrame =
+    if (clockCap.isPosInfinity) change
+    else {
+      val pad = math.max(1L, TransitSssp.cappedSlicePadSecs)
+      val bucket = math.ceil(clockCap / pad).toLong
+      cappedSlices.computeIfAbsent(bucket, _ => {
+        val padCap = (bucket * pad).toDouble
+        val t0 = System.nanoTime()
+        val cappedPos = prepared.filter(col("dep_secs") <= padCap)
+        val nCapped = cappedPos.count()
+        if (nCapped > TransitSssp.cappedSliceMaxRows) {
+          TransitSssp.tlog(f"capped slice bucket=$bucket%d: $nCapped%d rows " +
+            "over broadcast gate - using the uncapped pin")
+          change
+        } else {
+          val srcPos = cappedPos.select(col("id").as("e_src"),
+            col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
+            col("acum").as("s_acum"))
+          val tgtPos = cappedPos.select(col("id").as("e_dst"),
+            col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"),
+            col("acum").as("d_acum"))
+          val c = changeEdges.select(col("source").as("e_src"),
+            col("target").as("e_dst"),
+            col("waiting_time").cast("double").as("w"))
+            .join(broadcast(tgtPos), Seq("e_dst"))
+            .join(broadcast(srcPos), Seq("e_src"))
+            .select(col("e_src"), col("e_dst"), col("s_trip"), col("s_seq"),
+              col("d_trip"), col("d_seq"),
+              (col("s_acum") + col("w") - col("d_acum")).as("w_rel"),
+              col("d_acum"))
+            .transform(bridge.pinnedCheckpoint(_, nPart, Seq("s_trip"),
+              Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
+          TransitSssp.tlog(f"capped slice bucket=$bucket%d ($nCapped%d pos " +
+            f"rows) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          c
+        }
+      })
+    }
+
   /** Per-trip grid row count — the expansion budget is ROW-based (trip
     * lengths vary 2 .. 500+ across feeds, so a pair count misprices the
     * slice). From the UNCAPPED prefix: a clock-capped grid has fewer
@@ -405,7 +492,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     if (sources.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("vertex_id", "source_id", "dist", "pred")
-    resolveState(converge(sources, maxIterations), sources.toSeq.sorted)
+    resolveState(converge(sources, maxIterations), sources.toSeq.sorted, change)
   }
 
   /** Converged-state handle for callers that rank BEFORE they need a path
@@ -415,7 +502,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * resolution is per-(src, v) independent, so single-source output equals
     * the all-sources output filtered). `release()` frees the converged grid
     * once every derived frame has been consumed. */
-  final class Staged private[TransitSssp] (state: DataFrame, sources: Seq[Long]) {
+  final class Staged private[TransitSssp] (state: DataFrame,
+      sources: Seq[Long], clockCap: Double) {
     // The grid stores rel distances and no ids; ONE position join against
     // the pinned trip prefix restores both (dist = rel + A, id) — the
     // prefix side is already partitioned/sorted on the join key, so only
@@ -427,7 +515,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         (col("dist") + col("acum")).as("dist"))
     def resolve(source: Long): DataFrame = {
       require(sources.contains(source), s"$source is not a seed of this run")
-      resolveState(state.filter(col("src") === source), Seq(source))
+      // the memoized run slice: a capped run resolves over its own
+      // horizon-bounded slice (exact — pred chains of within-cap vertices
+      // join reached × reached rows, both inside the capped grid)
+      resolveState(state.filter(col("src") === source), Seq(source),
+        selectRunChange(clockCap))
     }
     def release(): Unit =
       org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(state)
@@ -459,7 +551,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       clockCap: Double = Double.PositiveInfinity): Staged = {
     require(sources.nonEmpty, "staged() needs at least one seed")
     new Staged(converge(sources, maxIterations, costCap, clockCap),
-      sources.toSeq.sorted)
+      sources.toSeq.sorted, clockCap)
   }
 
   /** Label-correcting iteration to the fixpoint; returns the converged
@@ -503,6 +595,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     val gridBase =
       if (clockCap.isPosInfinity) prepared
       else prepared.filter(col("dep_secs") <= clockCap)
+    // Horizon-bounded CHANGE slice for this run (= the shared uncapped
+    // pin when no cap): every per-round candidate join and the sparse
+    // tail's caches stream this instead of the whole service day.
+    val runChange = selectRunChange(clockCap)
     var state = gridBase.crossJoin(broadcast(srcDim))
       .withColumn("dist", when(col("id") === col("src"), -col("acum")))
       .withColumn("fresh", col("dist").isNotNull)
@@ -548,7 +644,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // so only the frontier-sized sort runs.
       val candRaw = changed
         .select(col("src"), col("trip_id"), col("stop_sequence"), col("rdist"))
-        .join(change, col("trip_id") === col("s_trip") &&
+        .join(runChange, col("trip_id") === col("s_trip") &&
           col("stop_sequence") === col("s_seq"))
       val candMin =
         (if (costCap.isPosInfinity) candRaw
@@ -598,7 +694,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       state = newState
       it += 1
     }
-    if (sparse) return sparseTail(state, it, maxIterations, costCap)
+    if (sparse) return sparseTail(state, it, maxIterations, costCap, runChange)
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
         "optimal paths deeper than the bound (raise maxIterations)")
@@ -697,7 +793,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * the cross-regime twin digests. */
   private def sparseTail(lastFull: DataFrame, itStart: Int,
       maxIterations: Int,
-      costCap: Double = Double.PositiveInfinity): (DataFrame, Int) = {
+      costCap: Double = Double.PositiveInfinity,
+      runChange: DataFrame): (DataFrame, Int) = {
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
     val base =
       if (TransitSssp.deserializedTailBase && TransitSssp.serializedGrid) {
@@ -742,7 +839,24 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // chunked-In probes read O(matched batches). Short tails (the common
     // horizon-capped shape) never pay the build.
     var probeBase = base
-    var probeChange = change
+    var probeChange = runChange
+    // Trip adjacency matching THIS run's slice: for a capped run the
+    // instance-level adjacency would force the uncapped pin this run
+    // avoided; the capped adjacency is the correct (smaller) one anyway —
+    // candidates only flow through runChange edges, so closure over it
+    // is closure over possible candidate flow. Built lazily on first
+    // batched engagement, released with the tail's other caches.
+    var runAdjBuilt: DataFrame = null
+    lazy val runTripAdj: DataFrame =
+      if (runChange eq change) tripAdj
+      else {
+        val t0 = System.nanoTime()
+        runAdjBuilt = runChange.select(col("s_trip"), col("d_trip"))
+          .distinct().transform(TransitSssp.ckptPin)
+        TransitSssp.tlog(f"run trip-adjacency pin " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        runAdjBuilt
+      }
     var pruneEnabled = false
     var cachesReady = false
     def ensureCaches(): Unit = if (!cachesReady) {
@@ -764,7 +878,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
            // the tail's candidate stage never reads the endpoint ids
            // (only post-convergence pred resolution does, off the pinned
            // slice) — dropping them cuts ~20 % of the per-round decode
-           change.drop("e_src", "e_dst")
+           runChange.drop("e_src", "e_dst")
              .withColumn("t_b", TransitSssp.tbCol(col("s_trip")))
              .sortWithinPartitions("t_b", "s_trip", "s_seq")
              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -993,7 +1107,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       while (hops < kMax && !closed && !budgetHit) {
         val (grown, c, r) = counted(expanded.unionByName(
             expanded.select(col("src"), col("trip_id").as("s_trip"))
-              .join(tripAdj, Seq("s_trip"))
+              .join(runTripAdj, Seq("s_trip"))
               .select(col("src"), col("d_trip").as("trip_id"))
               .join(broadcast(tripLen), Seq("trip_id"))
               .select(col("src"), col("trip_id"), col("len")))
@@ -1076,6 +1190,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       probeBase.unpersist(false)
       probeChange.unpersist(false)
     }
+    if (runAdjBuilt != null) rel(runAdjBuilt)
     if (!converged) throw new IllegalStateException(
       s"TransitSssp did not converge in $maxIterations iterations — " +
         "optimal paths deeper than the bound (raise maxIterations)")
@@ -1102,6 +1217,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     if (changeForced) rel(change)
     if (tripAdjForced) rel(tripAdj)
     if (tripLenForced) rel(tripLen)
+    cappedSlices.values.forEach { s =>
+      // a gate-exceeded bucket memoizes the shared pin — released above
+      if (!(changeForced && (s eq change))) rel(s)
+    }
+    cappedSlices.clear()
   }
 
   /** Predecessor resolution against the CONVERGED rel distances:
@@ -1120,7 +1240,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * the filtered lag still pairs immediate neighbors. Per-(src, v)
     * independent, so it may run over a source-filtered grid slice
     * (Staged.resolve). */
-  private def resolveState(state: DataFrame, sources: Seq[Long]): DataFrame = {
+  private def resolveState(state: DataFrame, sources: Seq[Long],
+      slice: DataFrame): DataFrame = {
     import spark.implicits._
     val reached = state.filter(col("dist").isNotNull)
     val rideCand = reached
@@ -1139,7 +1260,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       col("stop_sequence").as("s_seq"), col("dist").as("s_rel"))
     val dt = reached.select(col("src"), col("trip_id").as("d_trip"),
       col("stop_sequence").as("d_seq"), col("dist").as("t_rel"))
-    val changeCand = change
+    val changeCand = slice
       .join(dv, Seq("s_trip", "s_seq"))
       .join(dt, Seq("src", "d_trip", "d_seq"))
       .filter(col("t_rel") === col("s_rel") + col("w_rel"))
