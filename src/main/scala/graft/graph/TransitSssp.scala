@@ -344,9 +344,14 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // on hash(trip_id) before checkpointing, so the attached claim can
       // never diverge from the data (one extra one-time Exchange per
       // projection — the window above already left hash(trip_id), but
-      // the explicit repartition is what makes the claim verifiable)
-      .transform(bridge.pinnedCheckpoint(_, nPart, Seq("trip_id"), Seq.empty,
-        TransitSssp.ckptPin))
+      // the explicit repartition is what makes the claim verifiable).
+      // r13: the (trip_id, stop_sequence) SORT claim (also arranged by
+      // the helper, so the r11 induction hazard does not apply) lets
+      // every position-keyed SMJ against the prefix — Staged.distances,
+      // the resolution joins, the capped-slice acum lookups — skip a
+      // full prefix-side sort per call (25M rows at the 100× point).
+      .transform(bridge.pinnedCheckpoint(_, nPart, Seq("trip_id"),
+        Seq("trip_id", "stop_sequence"), TransitSssp.ckptPin))
     TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     preparedForced = true
     p
@@ -409,13 +414,21 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     a
   }
 
-  /** Memoized clock-capped CHANGE slices, keyed by cap bucket (see
+  /** A run's horizon-bounded static frames: the CHANGE slice every round
+    * joins, and (when capped) the matching position dimension —
+    * [[Staged.distances]] restores ids/absolute distances against `pos`
+    * instead of streaming the whole-day prefix (750k vs 25M rows at the
+    * 100× point). `pos` is None for uncapped runs and gate-exceeded
+    * buckets (callers fall back to [[prepared]]). */
+  private case class RunSlices(slice: DataFrame, pos: Option[DataFrame])
+
+  /** Memoized clock-capped run frames, keyed by cap bucket (see
     * [[TransitSssp.cappedSlicePadSecs]]). Values are pinned checkpoints
     * living for the instance's lifetime (released in [[releasePins]]);
     * a bucket whose capped prefix exceeds the broadcast gate memoizes
     * the shared uncapped [[change]] pin instead. */
   private val cappedSlices =
-    new java.util.concurrent.ConcurrentHashMap[Long, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[Long, RunSlices]()
 
   /** The CHANGE slice a run with this clock cap iterates over. Uncapped
     * runs use the shared whole-day pin; capped runs (the production
@@ -434,25 +447,31 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * reached × reached rows, both within the grid). A PADDED cap builds
     * a superset slice, which is correct for the same reason the
     * uncapped pin is. */
-  private def selectRunChange(clockCap: Double): DataFrame =
-    if (clockCap.isPosInfinity) change
+  private def selectRun(clockCap: Double): RunSlices =
+    if (clockCap.isPosInfinity) RunSlices(change, None)
     else {
       val pad = math.max(1L, TransitSssp.cappedSlicePadSecs)
       val bucket = math.ceil(clockCap / pad).toLong
       cappedSlices.computeIfAbsent(bucket, _ => {
         val padCap = (bucket * pad).toDouble
         val t0 = System.nanoTime()
-        val cappedPos = prepared.filter(col("dep_secs") <= padCap)
-        val nCapped = cappedPos.count()
+        val capped = prepared.filter(col("dep_secs") <= padCap)
+        val nCapped = capped.count()
         if (nCapped > TransitSssp.cappedSliceMaxRows) {
           TransitSssp.tlog(f"capped slice bucket=$bucket%d: $nCapped%d rows " +
             "over broadcast gate - using the uncapped pin")
-          change
+          RunSlices(change, None)
         } else {
-          val srcPos = cappedPos.select(col("id").as("e_src"),
+          // pin the capped position dimension first: the two broadcasts
+          // below and every distances/resolution consumer then read the
+          // slice-sized pin instead of re-filtering the whole-day prefix
+          val posPin = capped.transform(bridge.pinnedCheckpoint(_, nPart,
+            Seq("trip_id"), Seq("trip_id", "stop_sequence"),
+            TransitSssp.ckptPin))
+          val srcPos = posPin.select(col("id").as("e_src"),
             col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
             col("acum").as("s_acum"))
-          val tgtPos = cappedPos.select(col("id").as("e_dst"),
+          val tgtPos = posPin.select(col("id").as("e_dst"),
             col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"),
             col("acum").as("d_acum"))
           val c = changeEdges.select(col("source").as("e_src"),
@@ -468,7 +487,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
               Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
           TransitSssp.tlog(f"capped slice bucket=$bucket%d ($nCapped%d pos " +
             f"rows) ${(System.nanoTime() - t0) / 1e9}%.2f s")
-          c
+          RunSlices(c, Some(posPin))
         }
       })
     }
@@ -509,17 +528,23 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // prefix side is already partitioned/sorted on the join key, so only
     // the reached rows sort. Output-time cost, paid once per routing call
     // instead of 8 B × grid × rounds of checkpoint churn.
-    def distances: DataFrame = state.filter(col("dist").isNotNull)
-      .join(prepared, Seq("trip_id", "stop_sequence"))
-      .select(col("id").as("vertex_id"), col("src").as("source_id"),
-        (col("dist") + col("acum")).as("dist"))
+    def distances: DataFrame = {
+      // capped runs restore ids against the run's capped position pin
+      // (exact: every state row is within the capped grid, and the pin
+      // holds the same (trip, seq) → (id, acum) rows as the prefix)
+      val pos = selectRun(clockCap).pos.getOrElse(prepared)
+      state.filter(col("dist").isNotNull)
+        .join(pos, Seq("trip_id", "stop_sequence"))
+        .select(col("id").as("vertex_id"), col("src").as("source_id"),
+          (col("dist") + col("acum")).as("dist"))
+    }
     def resolve(source: Long): DataFrame = {
       require(sources.contains(source), s"$source is not a seed of this run")
       // the memoized run slice: a capped run resolves over its own
       // horizon-bounded slice (exact — pred chains of within-cap vertices
       // join reached × reached rows, both inside the capped grid)
       resolveState(state.filter(col("src") === source), Seq(source),
-        selectRunChange(clockCap))
+        selectRun(clockCap).slice)
     }
     def release(): Unit =
       org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(state)
@@ -598,7 +623,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // Horizon-bounded CHANGE slice for this run (= the shared uncapped
     // pin when no cap): every per-round candidate join and the sparse
     // tail's caches stream this instead of the whole service day.
-    val runChange = selectRunChange(clockCap)
+    val runChange = selectRun(clockCap).slice
     var state = gridBase.crossJoin(broadcast(srcDim))
       .withColumn("dist", when(col("id") === col("src"), -col("acum")))
       .withColumn("fresh", col("dist").isNotNull)
@@ -1217,9 +1242,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     if (changeForced) rel(change)
     if (tripAdjForced) rel(tripAdj)
     if (tripLenForced) rel(tripLen)
-    cappedSlices.values.forEach { s =>
+    cappedSlices.values.forEach { rs =>
       // a gate-exceeded bucket memoizes the shared pin — released above
-      if (!(changeForced && (s eq change))) rel(s)
+      if (!(changeForced && (rs.slice eq change))) rel(rs.slice)
+      rs.pos.foreach(rel)
     }
     cappedSlices.clear()
   }
