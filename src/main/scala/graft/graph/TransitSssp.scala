@@ -238,6 +238,17 @@ object TransitSssp {
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_MAX").map(_.toLong)
       .getOrElse(2L * 1024L * 1024L)
 
+  /** Node-count floor below which capped runs keep the shared uncapped
+    * pin: on fixture/Modena-1× feeds the whole-day pin costs ~1-4 s once
+    * and per-round scans are already sub-second, so a per-call count job
+    * plus two slice pins is pure overhead there (the same shape as the
+    * r12 tailLazyRounds lesson — heavy machinery only where measurement
+    * says it pays). Specs force the capped path at fixture scale by
+    * zeroing this. */
+  @volatile private[graft] var cappedSliceMinNodes: Long =
+    sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_MIN_NODES").map(_.toLong)
+      .getOrElse(1L * 1000L * 1000L)
+
   /** Capped slices are memoized per clock-cap BUCKET (cap rounded UP to
     * this granularity — a superset slice is exactly as correct as the
     * uncapped pin, which is the ultimate superset): a multi-pair harness
@@ -448,7 +459,8 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * a superset slice, which is correct for the same reason the
     * uncapped pin is. */
   private def selectRun(clockCap: Double): RunSlices =
-    if (clockCap.isPosInfinity) RunSlices(change, None)
+    if (clockCap.isPosInfinity ||
+        nodeCount < TransitSssp.cappedSliceMinNodes) RunSlices(change, None)
     else {
       val pad = math.max(1L, TransitSssp.cappedSlicePadSecs)
       val bucket = math.ceil(clockCap / pad).toLong

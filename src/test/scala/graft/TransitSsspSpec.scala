@@ -209,6 +209,35 @@ class TransitSsspSpec extends SparkSpec {
       "batched capped run diverged from the un-batched capped run")
   }
 
+  test("run-scoped capped CHANGE slice (forced) equals the shared-pin path") {
+    // r13: clock-capped runs above the node-count gate build a
+    // horizon-bounded CHANGE slice + position pin instead of forcing the
+    // whole-day pin. At fixture scale the gate keeps the shared pin, so
+    // force the slice path (min-nodes 0) and pin distances AND resolved
+    // pred chains against the default path under the SAME clock cap.
+    val sources = g.nodes.orderBy("id").limit(2).select("id")
+      .as[Long].collect().toSet
+    val ts = new TransitSssp(g.nodes, changeEdges)
+    val clk = g.nodes.select(col("dep_secs").cast("double"))
+      .as[Double].collect().sorted.apply(g.nodes.count().toInt / 2)
+    def rows(st: TransitSssp#Staged) = {
+      val d = st.distances.as[(Long, Long, Double)].collect().toSet
+      val p = st.resolve(sources.min)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      st.release(); (d, p)
+    }
+    val viaShared = rows(ts.staged(sources, clockCap = clk))
+    val minN = TransitSssp.cappedSliceMinNodes
+    val viaSlice = try {
+      TransitSssp.cappedSliceMinNodes = 0L
+      rows(ts.staged(sources, clockCap = clk))
+    } finally TransitSssp.cappedSliceMinNodes = minN
+    assert(viaSlice._1 == viaShared._1,
+      "capped-slice distances diverged from the shared-pin path")
+    assert(viaSlice._2 == viaShared._2,
+      "capped-slice pred resolution diverged from the shared-pin path")
+  }
+
   test("empty sources and unreachable seeds degrade gracefully") {
     assert(TransitSssp.run(g.nodes, changeEdges, Set.empty).isEmpty)
     // a seed absent from the projection still reports itself at dist 0
