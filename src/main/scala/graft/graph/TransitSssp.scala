@@ -989,11 +989,29 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
             when(col("p_app"), col("p_dist")).otherwise(col("dist")).as("dist"),
             (col("fresh") || col("p_app")).as("fresh"), col("p_app"))
       // The slice is overlay-sized — pin it so the consumers below
-      // don't each re-run the scan + window
-      val ride = cur.withColumn("rdist", rideCol).transform(TransitSssp.ckpt)
+      // don't each re-run the scan + window. The changed-row count rides
+      // on the same job: a terminal round (no fresh rows, no applying
+      // pendings, no ride improvements — the shape pipelining's
+      // pending-empty convergence test produces one round after the last
+      // real improvement) short-circuits before paying the candidate
+      // join + output checkpoint + overlay merge, halving the tax of
+      // the convergence round at every scale.
+      val chObs = org.apache.spark.sql.Observation(
+        s"transit-tail-ch-${TransitSssp.runSeq.incrementAndGet()}")
+      val changedPred = col("rdist").isNotNull &&
+        (col("fresh") || col("dist").isNull || col("rdist") < col("dist"))
+      val ride = cur.withColumn("rdist", rideCol)
+        .observe(chObs, coalesce(sum(changedPred.cast("long")), lit(0L))
+          .as("nch"))
+        .transform(TransitSssp.ckpt)
       val tRide = lap(itT0)
-      val changed = ride.filter(col("rdist").isNotNull &&
-        (col("fresh") || col("dist").isNull || col("rdist") < col("dist")))
+      if (chObs.get("nch").asInstanceOf[Long] == 0L) {
+        rel(ride)
+        TransitSssp.tlog(f"sparse round $it%d $label%s terminal " +
+          f"(no changed rows) ${(System.nanoTime() - itT0) / 1e9}%.2f s")
+        return (0L, 0L, curBase.limit(0))
+      }
+      val changed = ride.filter(changedPred)
       // broadcast the FRONTIER side: candEdges streams once (batch-
       // pruned or expansion-sized) instead of shuffling to meet a few
       // hundred frontier rows
