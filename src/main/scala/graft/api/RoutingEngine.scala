@@ -302,12 +302,58 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     // dep_secs is IntegerType on CSV-loaded feeds and LongType on others
     val minDep = srcLocal.map(_.getAs[Number]("s_dep").longValue()).min
     val horizonEnd = t0 + maxDurationHours * 3600L
-    val maxTargetClockRow = targets
-      .agg(max(greatest(col("t_arr").cast("long"), col("t_dep").cast("long"))))
-      .head()
-    if (maxTargetClockRow.isNullAt(0)) return Nil // no rankable targets
-    val capAnchor = math.max(horizonEnd, maxTargetClockRow.getLong(0))
+    // Bounded collect of the candidate-target dimension — structurally
+    // per-stop schedule rows (departures at the named stops inside the
+    // horizon), not graph-sized. Driver rows serve (a) the cap anchor
+    // without a separate agg job and (b) the capped-CSR regime's
+    // driver-side ranking below. An oversized dimension keeps the
+    // distributed agg + staged flow.
+    val tgtLocal = {
+      val rows = targets.limit(RoutingEngine.TargetCollectMaxRows + 1).collect()
+      if (rows.length > RoutingEngine.TargetCollectMaxRows) None else Some(rows)
+    }
+    def clockOf(r: org.apache.spark.sql.Row): Long = math.max(
+      r.getAs[Number]("t_arr").longValue(), r.getAs[Number]("t_dep").longValue())
+    val capAnchor = tgtLocal match {
+      case Some(rows) =>
+        if (rows.isEmpty) return Nil // no rankable targets
+        math.max(horizonEnd, rows.iterator.map(clockOf).max)
+      case None =>
+        val row = targets
+          .agg(max(greatest(col("t_arr").cast("long"), col("t_dep").cast("long"))))
+          .head()
+        if (row.isNullAt(0)) return Nil // no rankable targets
+        math.max(horizonEnd, row.getLong(0))
+    }
     val costCap = 2.0 * ((capAnchor + 60L) - minDep).max(0L)
+
+    // Capped-CSR regime (r14): when the horizon-bounded subgraph fits the
+    // driver budget (TransitSssp.runForTargetsCapped's gates), SSSP,
+    // ranking, and path extraction all run over in-heap state — the exact
+    // shape routeLocal runs, over the clock-capped subgraph instead of the
+    // whole projection. On cadence-bounded feeds (hubs) this replaces
+    // hundreds of per-CHANGE-depth Spark rounds with ns/edge relaxation.
+    // Ranking key = PairOrder.key, the same definition every branch uses.
+    for (tgtRows <- tgtLocal;
+         run <- g.sssp.runForTargetsCapped(srcIds,
+           tgtRows.iterator.map(_.getAs[Long]("t_id")).toSet, capAnchor.toDouble)) {
+      val ranked = for {
+        s <- srcLocal.toSeq
+        t <- tgtRows
+        if t.getAs[Number]("t_dep").longValue() >
+          s.getAs[Number]("s_dep").longValue() // target departs after source
+        cost <- run.distance(s.getLong(0), t.getAs[Long]("t_id"))
+      } yield (PairOrder.key(t.getAs[Number]("t_arr").longValue(),
+          t.getAs[Double]("t_walk"), cost, s.getAs[Double]("s_walk"),
+          s.getLong(0), t.getAs[Long]("t_id")),
+        s.getLong(0), t.getAs[Long]("t_id"))
+      if (ranked.isEmpty) return Nil
+      val (_, bestSrc, bestTgt) = ranked.minBy(_._1)
+      val path = run.path(bestSrc, bestTgt)
+      if (path.size < 2) return Nil
+      return segments(g, path)
+    }
+
     val staged = g.sssp.runStaged(srcIds, costCap, capAnchor.toDouble)
     val dist = staged.distances.cache()
     var predOne: DataFrame = null
@@ -535,4 +581,14 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       s"${last.getAs[String]("next_stop")} with line: ${last.getAs[String]("next_line")}")
     sb.toString
   }
+}
+
+object RoutingEngine {
+  /** Row bound for routeDistributed's candidate-target collect: targets
+    * are the horizon's departures at the NAMED stops — per-stop schedule
+    * size (hundreds to low tens of thousands on real feeds), not graph
+    * size, so 1M rows (≈ tens of MB driver) covers any plausible call
+    * while a degenerate name list (every stop in a mega-feed) falls back
+    * to the distributed agg + staged flow. */
+  val TargetCollectMaxRows: Int = 1 << 20
 }

@@ -231,7 +231,13 @@ object ShortestPaths {
 
   final class Sssp(edges: DataFrame, localThreshold: Long = LocalDijkstraMaxEdges,
       distributedRunner: Option[Set[Long] => DataFrame] = None,
-      distributedStaged: Option[(Set[Long], Double, Double) => DistRun] = None) {
+      distributedStaged: Option[(Set[Long], Double, Double) => DistRun] = None,
+      /** Clock-capped driver-CSR provider (see [[Sssp.runForTargetsCapped]]):
+        * (sources, targets, clockCap) → a [[TargetRun]] over the
+        * horizon-bounded subgraph when it fits the driver budget, None
+        * otherwise. The transit projection plugs in
+        * [[TransitSssp.runForTargetsCapped]]. */
+      cappedTargets: Option[(Set[Long], Set[Long], Double) => Option[TargetRun]] = None) {
     private val spark = edges.sparkSession
     private val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double"))
@@ -293,33 +299,6 @@ object ShortestPaths {
           () => { full.unpersist(); () })
     }
 
-    private def computeLocal(g: Csr, sources: Set[Long],
-        targets: Option[Set[Long]] = None): Map[Long, (Array[Double], Array[Int])] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      // Target-bounded runs stop each source's Dijkstra once every in-graph
-      // target is SETTLED (first-popped — its distance is final by the
-      // Dijkstra invariant); the flag array is read-only and shared across
-      // the concurrent per-source searches.
-      val stop = targets.map { ts =>
-        val flags = new Array[Boolean](g.n)
-        var c = 0
-        ts.foreach { t =>
-          val ti = g.indexOf(t)
-          if (ti >= 0 && !flags(ti)) { flags(ti) = true; c += 1 }
-        }
-        (flags, c)
-      }
-      val futures = sources.toSeq.sorted.map { src =>
-        src -> Future {
-          val si = g.indexOf(src)
-          if (si < 0) None else Some(dijkstraCsr(g, si, stop))
-        }
-      }
-      futures.flatMap { case (s, f) => Await.result(f, Duration.Inf).map(s -> _) }.toMap
-    }
-
     /** Distances restricted to `targets`. The local path computes the
       * per-source arrays once and emits ONLY target rows — materializing
       * the full (vertex × source) table through toDF was the routing hot
@@ -328,28 +307,78 @@ object ShortestPaths {
       * concurrent routing calls cannot observe each other's paths. */
     def runForTargets(sources: Set[Long], targets: Set[Long]): TargetRun = localCsr match {
       case Some(g) =>
-        import spark.implicits._
         // Early-terminated per-source Dijkstras: final distances are
         // guaranteed for the REQUESTED targets (and every vertex on their
         // shortest-path pred chains) — exactly what TargetRun exposes.
         // A graph with an unreachable requested target degrades to the
         // full exploration (its settle never arrives), never to a wrong
         // answer.
-        val state = computeLocal(g, sources, Some(targets))
-        val b = Seq.newBuilder[(Long, Long, Double, Long)]
-        for ((src, (dist, pred)) <- state; t <- targets) {
-          val ti = g.indexOf(t)
-          if (ti >= 0 && !dist(ti).isInfinity) {
-            val p = if (pred(ti) < 0) -1L else g.ids(pred(ti))
-            b += ((t, src, dist(ti), p))
-          }
-        }
-        new TargetRun(b.result().toDF("vertex_id", "source_id", "dist", "pred"),
-          Some(g), state)
+        runTargetsOnCsr(spark, g, sources, targets)
       case None =>
         new TargetRun(run(sources).filter(col("vertex_id").isin(targets.toSeq: _*)),
           None, Map.empty)
     }
+
+    /** Clock-capped driver-CSR routing run (r14): when a structure-aware
+      * provider can materialize the HORIZON-BOUNDED subgraph as an in-heap
+      * CSR (the caller promises to read only distances/paths toward
+      * vertices whose event clock is ≤ clockCap — the same promise
+      * runStaged's clockCap hint makes), the whole multi-round distributed
+      * relaxation collapses to ns/edge driver work. None when the regime
+      * does not engage (no provider, uncapped call, over-budget subgraph,
+      * or the projection is local anyway) — callers keep the staged
+      * distributed flow, never a wrong plan. */
+    def runForTargetsCapped(sources: Set[Long], targets: Set[Long],
+        clockCap: Double): Option[TargetRun] =
+      if (clockCap.isPosInfinity || isLocal) None
+      else cappedTargets.flatMap(f => f(sources, targets, clockCap))
+  }
+
+  /** Early-terminated multi-source Dijkstra over an in-heap CSR, emitting
+    * the [[Sssp.runForTargets]] contract (target-restricted distance frame
+    * + driver-resident path state). Shared by the local regime and the
+    * clock-capped CSR regime ([[TransitSssp.runForTargetsCapped]]). */
+  private[graph] def runTargetsOnCsr(spark: SparkSession, g: Csr,
+      sources: Set[Long], targets: Set[Long]): TargetRun = {
+    import spark.implicits._
+    val state = computeOnCsr(g, sources, Some(targets))
+    val b = Seq.newBuilder[(Long, Long, Double, Long)]
+    for ((src, (dist, pred)) <- state; t <- targets) {
+      val ti = g.indexOf(t)
+      if (ti >= 0 && !dist(ti).isInfinity) {
+        val p = if (pred(ti) < 0) -1L else g.ids(pred(ti))
+        b += ((t, src, dist(ti), p))
+      }
+    }
+    new TargetRun(b.result().toDF("vertex_id", "source_id", "dist", "pred"),
+      Some(g), state)
+  }
+
+  private def computeOnCsr(g: Csr, sources: Set[Long],
+      targets: Option[Set[Long]] = None): Map[Long, (Array[Double], Array[Int])] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Target-bounded runs stop each source's Dijkstra once every in-graph
+    // target is SETTLED (first-popped — its distance is final by the
+    // Dijkstra invariant); the flag array is read-only and shared across
+    // the concurrent per-source searches.
+    val stop = targets.map { ts =>
+      val flags = new Array[Boolean](g.n)
+      var c = 0
+      ts.foreach { t =>
+        val ti = g.indexOf(t)
+        if (ti >= 0 && !flags(ti)) { flags(ti) = true; c += 1 }
+      }
+      (flags, c)
+    }
+    val futures = sources.toSeq.sorted.map { src =>
+      src -> Future {
+        val si = g.indexOf(src)
+        if (si < 0) None else Some(dijkstraCsr(g, si, stop))
+      }
+    }
+    futures.flatMap { case (s, f) => Await.result(f, Duration.Inf).map(s -> _) }.toMap
   }
 
   /** One runForTargets call's result: the target-restricted distance frame
@@ -357,7 +386,7 @@ object ShortestPaths {
     * immutable (dist, pred) arrays. Distributed-regime callers reconstruct
     * via [[pathDistributed]] over the full table instead — `path` is Nil
     * there by contract. */
-  final class TargetRun private[ShortestPaths] (
+  final class TargetRun private[graph] (
       val distances: DataFrame,
       csr: Option[Csr],
       state: Map[Long, (Array[Double], Array[Int])]) {
@@ -397,13 +426,13 @@ object ShortestPaths {
     * numbering — primitive arrays end to end, so the local Dijkstra runs at
     * in-memory-graph speed (the boxed Map/PriorityQueue version measured
     * ~20× slower at the Modena cardinality). */
-  private final class Csr(val ids: Array[Long], val offsets: Array[Int],
+  private[graph] final class Csr(val ids: Array[Long], val offsets: Array[Int],
       val targets: Array[Int], val weights: Array[Double]) {
     def n: Int = ids.length
     def indexOf(v: Long): Int = java.util.Arrays.binarySearch(ids, v)
   }
 
-  private def buildCsr(rows: Array[(Long, Long, Double)]): Csr = {
+  private[graph] def buildCsr(rows: Array[(Long, Long, Double)]): Csr = {
     val all = new Array[Long](rows.length * 2)
     var i = 0
     while (i < rows.length) {

@@ -89,6 +89,11 @@ object TransitSssp {
   /** Session-unique run counter for observation names (see run()). */
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Counts capped-CSR runs actually SERVED (every gate passed) — specs
+    * assert the forced regime engaged instead of silently falling back. */
+  private[graft] val cappedCsrServed =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** SPARK_GRAFT_SSSP_TRACE=1 prints one line per iteration (round index,
     * improved-row count, wall seconds) plus the one-time pin cost — dev
     * diagnostics for decomposing a routing call's cost; off by default. */
@@ -237,6 +242,49 @@ object TransitSssp {
   @volatile private[graft] var cappedSliceMaxRows: Long =
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_MAX").map(_.toLong)
       .getOrElse(2L * 1024L * 1024L)
+
+  /** Byte companion to the row gate above (r13 ADVICE): explicit
+    * broadcast() bypasses autoBroadcastJoinThreshold, and the cost is
+    * BYTES — feeds with long string trip ids can blow well past the
+    * ~50 B/row the 2M default assumed. The build measures the payload
+    * (fixed-width columns + the trip key's actual lengths) in the same
+    * agg that counts the rows; either gate failing keeps the shared
+    * uncapped pin. The 128 MB default assumes a driver with ≥ ~4 GB
+    * headroom for the two simultaneous position broadcasts. */
+  @volatile private[graft] var cappedSliceMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_MAXB").map(_.toLong)
+      .getOrElse(128L * 1024L * 1024L)
+
+  /** Edge budget for the clock-capped DRIVER-CSR regime (r14): when a
+    * capped run's horizon-bounded subgraph — capped positions (one
+    * PRECEDES edge each, less trip tails) plus the capped CHANGE slice —
+    * fits this many edges, routing collects it into the proven in-heap
+    * CSR (ShortestPaths.dijkstraCsr) and the whole multi-round
+    * distributed relaxation becomes ns/edge driver work. This is the
+    * scale lever for CADENCE-bounded feeds: a hub's improvement chains
+    * advance one CHANGE depth per Spark round through its ~500-deep
+    * temporal trip sequence (222 rounds × ~1.4 s scheduling floor at
+    * r13's hub point), but its capped subgraph is only ~683k positions /
+    * ~2.7M edges — driver-trivial. Budget arithmetic: CSR arrays are
+    * ~12 B/vertex + 12 B/edge (≤ ~90 MB at the default) and the one-time
+    * edge collect streams ~60 B/row tuples — the same driver posture as
+    * the uncapped local regime's 2M gate, deliberately wider because the
+    * capped subgraph is a horizon's share of the feed, not the whole
+    * projection. 0 disables the regime (specs pin the distributed capped
+    * path against it). */
+  @volatile private[graft] var cappedCsrMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_SSSP_CAPPED_CSR_MAX").map(_.toLong)
+      .getOrElse(6L * 1024L * 1024L)
+
+  /** Driver-state budget for a capped-CSR run: each source holds a
+    * (dist, pred) pair of arrays over the subgraph's vertices
+    * (12 B/cell). sources × vertices above this bound falls back to the
+    * distributed staged flow — routing calls carry per-route-earliest
+    * source sets (tens of rows), so the bound only trips on degenerate
+    * inputs. */
+  @volatile private[graft] var cappedCsrMaxStateCells: Long =
+    sys.env.get("SPARK_GRAFT_SSSP_CAPPED_CSR_CELLS").map(_.toLong)
+      .getOrElse(64L * 1024L * 1024L)
 
   /** Node-count floor below which capped runs keep the shared uncapped
     * pin: on fixture/Modena-1× feeds the whole-day pin costs ~1-4 s once
@@ -430,16 +478,51 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * [[Staged.distances]] restores ids/absolute distances against `pos`
     * instead of streaming the whole-day prefix (750k vs 25M rows at the
     * 100× point). `pos` is None for uncapped runs and gate-exceeded
-    * buckets (callers fall back to [[prepared]]). */
-  private case class RunSlices(slice: DataFrame, pos: Option[DataFrame])
+    * buckets (callers fall back to [[prepared]]); `nPos` counts the
+    * capped position rows (−1 when `pos` is None). */
+  private case class RunSlices(slice: DataFrame, pos: Option[DataFrame],
+      nPos: Long = -1L)
+
+  /** Per-cap-bucket memo cell. The ConcurrentHashMap's computeIfAbsent
+    * only CONSTRUCTS these (cheap), so the seconds of Spark work behind
+    * `slices`/`csr` run outside the map's bin lock (r13 ADVICE:
+    * concurrent routing calls on different buckets that hash to the same
+    * bin no longer serialize behind an unrelated build); same-bucket
+    * callers still share one build through the lazy val's own monitor. */
+  private final class CappedBucket(bucket: Long) {
+    @volatile private[TransitSssp] var slicesForced = false
+    @volatile private[TransitSssp] var csrForced = false
+    lazy val slices: RunSlices = {
+      val r = buildSlices(bucket)
+      slicesForced = true
+      r
+    }
+    /** Driver-CSR image of the padded-capped subgraph (see
+      * [[buildCappedCsr]]); None when the slice gates fell back to the
+      * shared pin or the edge budget is exceeded. */
+    lazy val csr: Option[ShortestPaths.Csr] = {
+      val r = slices.pos.flatMap(p => buildCappedCsr(bucket, slices.slice,
+        p, slices.nPos))
+      csrForced = true
+      r
+    }
+  }
 
   /** Memoized clock-capped run frames, keyed by cap bucket (see
     * [[TransitSssp.cappedSlicePadSecs]]). Values are pinned checkpoints
     * living for the instance's lifetime (released in [[releasePins]]);
-    * a bucket whose capped prefix exceeds the broadcast gate memoizes
+    * a bucket whose capped prefix exceeds the broadcast gates memoizes
     * the shared uncapped [[change]] pin instead. */
   private val cappedSlices =
-    new java.util.concurrent.ConcurrentHashMap[Long, RunSlices]()
+    new java.util.concurrent.ConcurrentHashMap[Long, CappedBucket]()
+
+  private def bucketOf(clockCap: Double): Long = {
+    val pad = math.max(1L, TransitSssp.cappedSlicePadSecs)
+    math.ceil(clockCap / pad).toLong
+  }
+
+  private def bucketCell(clockCap: Double): CappedBucket =
+    cappedSlices.computeIfAbsent(bucketOf(clockCap), b => new CappedBucket(b))
 
   /** The CHANGE slice a run with this clock cap iterates over. Uncapped
     * runs use the shared whole-day pin; capped runs (the production
@@ -461,47 +544,138 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   private def selectRun(clockCap: Double): RunSlices =
     if (clockCap.isPosInfinity ||
         nodeCount < TransitSssp.cappedSliceMinNodes) RunSlices(change, None)
+    else bucketCell(clockCap).slices
+
+  private def buildSlices(bucket: Long): RunSlices = {
+    val pad = math.max(1L, TransitSssp.cappedSlicePadSecs)
+    val padCap = (bucket * pad).toDouble
+    val t0 = System.nanoTime()
+    val capped = prepared.filter(col("dep_secs") <= padCap)
+    // one job answers both broadcast gates: row count and the measured
+    // byte payload (fixed-width columns + the trip key's actual lengths)
+    val stats = capped.agg(count(lit(1)),
+      coalesce(sum(length(col("trip_id")).cast("long")), lit(0L))).head()
+    val nCapped = stats.getLong(0)
+    val estBytes = nCapped * 40L + stats.getLong(1)
+    if (nCapped > TransitSssp.cappedSliceMaxRows ||
+        estBytes > TransitSssp.cappedSliceMaxBytes) {
+      TransitSssp.tlog(f"capped slice bucket=$bucket%d: $nCapped%d rows / " +
+        f"~$estBytes%d B over broadcast gate - using the uncapped pin")
+      RunSlices(change, None)
+    } else {
+      // pin the capped position dimension first: the two broadcasts
+      // below and every distances/resolution consumer then read the
+      // slice-sized pin instead of re-filtering the whole-day prefix
+      val posPin = capped.transform(bridge.pinnedCheckpoint(_, nPart,
+        Seq("trip_id"), Seq("trip_id", "stop_sequence"),
+        TransitSssp.ckptPin))
+      val srcPos = posPin.select(col("id").as("e_src"),
+        col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
+        col("acum").as("s_acum"))
+      val tgtPos = posPin.select(col("id").as("e_dst"),
+        col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"),
+        col("acum").as("d_acum"))
+      val c = changeEdges.select(col("source").as("e_src"),
+        col("target").as("e_dst"),
+        col("waiting_time").cast("double").as("w"))
+        .join(broadcast(tgtPos), Seq("e_dst"))
+        .join(broadcast(srcPos), Seq("e_src"))
+        .select(col("e_src"), col("e_dst"), col("s_trip"), col("s_seq"),
+          col("d_trip"), col("d_seq"),
+          (col("s_acum") + col("w") - col("d_acum")).as("w_rel"),
+          col("d_acum"))
+        .transform(bridge.pinnedCheckpoint(_, nPart, Seq("s_trip"),
+          Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
+      TransitSssp.tlog(f"capped slice bucket=$bucket%d ($nCapped%d pos " +
+        f"rows) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      RunSlices(c, Some(posPin), nCapped)
+    }
+  }
+
+  /** Absolute-space edge image of the PADDED-capped subgraph, collected
+    * into the in-heap CSR when it fits [[TransitSssp.cappedCsrMaxEdges]].
+    *
+    * Derivation — both halves read the bucket's already-pinned frames:
+    *  - PRECEDES: consecutive KEPT rows of each trip in the position pin,
+    *    weight = Δacum. On a clean (dep-monotone) feed these are exactly
+    *    the projection's within-trip edges; if a cap ever drops an
+    *    intermediate row (non-monotone feed), the synthesized edge's
+    *    Δacum telescopes the chain cost through the dropped rows — the
+    *    SAME semantics the distributed branch's prefix-min window applies
+    *    over the capped grid, so regime parity is preserved by
+    *    construction rather than by feed hygiene.
+    *  - CHANGE: the capped slice's edges restored to absolute weight
+    *    w = w_rel − s_acum + d_acum; s_acum arrives by a positional join
+    *    against the pin (both sides share the pinned hash(s_trip) layout
+    *    and (s_trip, s_seq) sort — Exchange-free).
+    *
+    * Exactness of routing on this subgraph: event clocks only move
+    * forward along time-expanded paths, so every vertex on an optimal
+    * path to a within-cap target is itself within cap — the capped
+    * subgraph contains all such paths whole, and Dijkstra over it returns
+    * the same distances and (under the shared canonical tie-break) the
+    * same predecessor chains as the full graph for every within-cap
+    * vertex. This is the same argument the clock-capped GRID rests on
+    * (see [[staged]]); the padded bucket is a superset, correct a
+    * fortiori. */
+  private def buildCappedCsr(bucket: Long, slice: DataFrame,
+      posPin: DataFrame, nPos: Long): Option[ShortestPaths.Csr] = {
+    // budget pre-gate on counts the build already knows (positions) or
+    // reads off the pinned slice (one cheap count): PRECEDES ≤ nPos.
+    val sliceRows = slice.count()
+    val est = nPos + sliceRows
+    if (est > TransitSssp.cappedCsrMaxEdges) {
+      TransitSssp.tlog(f"capped csr bucket=$bucket%d: ~$est%d edges over " +
+        "budget - staying distributed")
+      return None
+    }
+    val t0 = System.nanoTime()
+    val wT = Window.partitionBy("trip_id").orderBy("stop_sequence")
+    val prec = posPin
+      .withColumn("nxt", lead("id", 1).over(wT))
+      .withColumn("n_acum", lead("acum", 1).over(wT))
+      .filter(col("nxt").isNotNull)
+      .select(col("id").as("src"), col("nxt").as("dst"),
+        (col("n_acum") - col("acum")).as("w"))
+    val chg = slice
+      .join(posPin.select(col("trip_id").as("s_trip"),
+        col("stop_sequence").as("s_seq"), col("acum").as("s_acum")),
+        Seq("s_trip", "s_seq"))
+      .select(col("e_src").as("src"), col("e_dst").as("dst"),
+        (col("w_rel") - col("s_acum") + col("d_acum")).as("w"))
+    import spark.implicits._
+    val rows = prec.unionByName(chg).as[(Long, Long, Double)].collect()
+    val csr = ShortestPaths.buildCsr(rows)
+    TransitSssp.tlog(f"capped csr bucket=$bucket%d (${csr.n}%d vertices, " +
+      f"${rows.length}%d edges) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    Some(csr)
+  }
+
+  /** Clock-capped driver-CSR routing run (r14 — the hub-cadence lever).
+    * Engages when the capped-slice machinery is active for this cap (the
+    * node-count floor and both broadcast gates pass), the subgraph fits
+    * the CSR edge budget, and the sources × vertices state fits the
+    * driver cell budget; None otherwise — the caller keeps the staged
+    * distributed flow. The returned TargetRun's early-terminated
+    * multi-source Dijkstra, canonical tie-break, and path walk are the
+    * SAME in-heap machinery the local regime runs (ShortestPaths), so
+    * regime parity follows from the subgraph-exactness argument on
+    * [[buildCappedCsr]]. */
+  def runForTargetsCapped(sources: Set[Long], targets: Set[Long],
+      clockCap: Double): Option[ShortestPaths.TargetRun] =
+    if (clockCap.isPosInfinity || TransitSssp.cappedCsrMaxEdges <= 0L ||
+        nodeCount < TransitSssp.cappedSliceMinNodes) None
     else {
-      val pad = math.max(1L, TransitSssp.cappedSlicePadSecs)
-      val bucket = math.ceil(clockCap / pad).toLong
-      cappedSlices.computeIfAbsent(bucket, _ => {
-        val padCap = (bucket * pad).toDouble
-        val t0 = System.nanoTime()
-        val capped = prepared.filter(col("dep_secs") <= padCap)
-        val nCapped = capped.count()
-        if (nCapped > TransitSssp.cappedSliceMaxRows) {
-          TransitSssp.tlog(f"capped slice bucket=$bucket%d: $nCapped%d rows " +
-            "over broadcast gate - using the uncapped pin")
-          RunSlices(change, None)
-        } else {
-          // pin the capped position dimension first: the two broadcasts
-          // below and every distances/resolution consumer then read the
-          // slice-sized pin instead of re-filtering the whole-day prefix
-          val posPin = capped.transform(bridge.pinnedCheckpoint(_, nPart,
-            Seq("trip_id"), Seq("trip_id", "stop_sequence"),
-            TransitSssp.ckptPin))
-          val srcPos = posPin.select(col("id").as("e_src"),
-            col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
-            col("acum").as("s_acum"))
-          val tgtPos = posPin.select(col("id").as("e_dst"),
-            col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"),
-            col("acum").as("d_acum"))
-          val c = changeEdges.select(col("source").as("e_src"),
-            col("target").as("e_dst"),
-            col("waiting_time").cast("double").as("w"))
-            .join(broadcast(tgtPos), Seq("e_dst"))
-            .join(broadcast(srcPos), Seq("e_src"))
-            .select(col("e_src"), col("e_dst"), col("s_trip"), col("s_seq"),
-              col("d_trip"), col("d_seq"),
-              (col("s_acum") + col("w") - col("d_acum")).as("w_rel"),
-              col("d_acum"))
-            .transform(bridge.pinnedCheckpoint(_, nPart, Seq("s_trip"),
-              Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
-          TransitSssp.tlog(f"capped slice bucket=$bucket%d ($nCapped%d pos " +
-            f"rows) ${(System.nanoTime() - t0) / 1e9}%.2f s")
-          RunSlices(c, Some(posPin))
-        }
-      })
+      val cell = bucketCell(clockCap)
+      cell.csr.filter { g =>
+        val ok = sources.size.toLong * g.n <= TransitSssp.cappedCsrMaxStateCells
+        if (!ok) TransitSssp.tlog(f"capped csr: ${sources.size}%d sources x " +
+          f"${g.n}%d vertices over state budget - staying distributed")
+        ok
+      }.map { g =>
+        TransitSssp.cappedCsrServed.incrementAndGet()
+        ShortestPaths.runTargetsOnCsr(spark, g, sources, targets)
+      }
     }
 
   /** Per-trip grid row count — the expansion budget is ROW-based (trip
@@ -1272,10 +1446,14 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     if (changeForced) rel(change)
     if (tripAdjForced) rel(tripAdj)
     if (tripLenForced) rel(tripLen)
-    cappedSlices.values.forEach { rs =>
-      // a gate-exceeded bucket memoizes the shared pin — released above
-      if (!(changeForced && (rs.slice eq change))) rel(rs.slice)
-      rs.pos.foreach(rel)
+    cappedSlices.values.forEach { cell =>
+      if (cell.slicesForced) {
+        val rs = cell.slices
+        // a gate-exceeded bucket memoizes the shared pin — released above
+        if (!(changeForced && (rs.slice eq change))) rel(rs.slice)
+        rs.pos.foreach(rel)
+      }
+      // the CSR (if built) is plain driver arrays — dropped with the map
     }
     cappedSlices.clear()
   }

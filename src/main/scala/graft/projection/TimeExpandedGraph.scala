@@ -104,6 +104,11 @@ final class TimeExpandedGraph(val nodes: DataFrame,
         val st = transit.staged(srcs, costCap = costCap, clockCap = clockCap)
         new graft.graph.ShortestPaths.DistRun(
           st.distances, s => st.resolve(s), () => st.release())
+      },
+      // clock-capped driver-CSR regime (r14): a horizon-bounded subgraph
+      // that fits the driver budget routes in-heap — the hub-cadence lever
+      cappedTargets = Some { (srcs, tgts, cap) =>
+        transit.runForTargetsCapped(srcs, tgts, cap)
       })
   }
 

@@ -117,6 +117,44 @@ class GtfsEngineSpec extends SparkSpec {
     assert(segD.length == 5)
   }
 
+  test("routing through the forced capped-CSR regime equals distributed and local") {
+    // r14: a clock-capped call whose horizon-bounded subgraph fits the
+    // driver budget routes on the in-heap CSR
+    // (TransitSssp.runForTargetsCapped). At fixture scale the node-count
+    // floor keeps the distributed path, so force the capped machinery on
+    // and pin the itinerary against BOTH the capped distributed flow (CSR
+    // budget zeroed) and the plain local branch — the engagement counter
+    // proves the forced run took the CSR path rather than silently
+    // falling back.
+    import graft.graph.TransitSssp
+    val tables = graft.api.DemoGtfs.tables(spark)
+    def viaForced(csrBudget: Long): (Seq[String], Long) = {
+      val (minN, maxE) =
+        (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedCsrMaxEdges)
+      try {
+        TransitSssp.cappedSliceMinNodes = 0L
+        TransitSssp.cappedCsrMaxEdges = csrBudget
+        val before = TransitSssp.cappedCsrServed.get()
+        val eng = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L)
+        val seg = eng.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon")
+          .collect().map(_.toString).toSeq
+        (seg, TransitSssp.cappedCsrServed.get() - before)
+      } finally {
+        TransitSssp.cappedSliceMinNodes = minN
+        TransitSssp.cappedCsrMaxEdges = maxE
+      }
+    }
+    val (segCsr, served) = viaForced(1L << 40)
+    assert(served >= 1L, "capped-CSR regime did not engage under forced gates")
+    val (segDist, servedDist) = viaForced(0L)
+    assert(servedDist == 0L, "zeroed CSR budget must keep the distributed flow")
+    val segLocal = engine.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon")
+      .collect().map(_.toString).toSeq
+    assert(segCsr == segDist, "capped-CSR itinerary diverged from distributed")
+    assert(segCsr == segLocal, "capped-CSR itinerary diverged from local CSR")
+    assert(segCsr.size == 5)
+  }
+
   test("past-midnight routing survives the horizon clock cap, both branches") {
     // A 23:00 query's horizon ends at 27:00 (97200 s): T6's past-midnight
     // rows (dep_secs 86700 / 89400) must survive the capped grid — raw

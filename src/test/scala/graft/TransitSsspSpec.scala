@@ -238,6 +238,53 @@ class TransitSsspSpec extends SparkSpec {
       "capped-slice pred resolution diverged from the shared-pin path")
   }
 
+  test("capped-CSR run (forced) pins target distances and paths to the capped slice path") {
+    // r14: the driver-CSR image of the capped subgraph must agree with the
+    // distributed capped run on every within-cap distance AND on resolved
+    // paths (shared canonical tie-break). Targets = every within-cap node,
+    // so the early-termination path runs to full settlement.
+    val sources = g.nodes.orderBy("id").limit(2).select("id")
+      .as[Long].collect().toSet
+    val ts = new TransitSssp(g.nodes, changeEdges)
+    val clk = g.nodes.select(col("dep_secs").cast("double"))
+      .as[Double].collect().sorted.apply(g.nodes.count().toInt / 2)
+    val targets = g.nodes.filter(col("dep_secs") <= clk).select("id")
+      .as[Long].collect().toSet
+    val (minN, maxE) =
+      (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedCsrMaxEdges)
+    val (csrRows, csrPath, pathKey) = try {
+      TransitSssp.cappedSliceMinNodes = 0L
+      TransitSssp.cappedCsrMaxEdges = 1L << 40
+      val run = ts.runForTargetsCapped(sources, targets, clk)
+        .getOrElse(fail("forced capped-CSR run did not engage"))
+      val rows = run.distances.select("vertex_id", "source_id", "dist")
+        .as[(Long, Long, Double)].collect().toSet
+      // deepest reached target of the smallest source — the longest chain
+      val (far, src) = rows.filter(_._2 == sources.min) match {
+        case s if s.nonEmpty => val m = s.maxBy(r => (r._3, r._1)); (m._1, m._2)
+        case _ => fail("capped-CSR run reached no targets")
+      }
+      (rows, run.path(src, far), (src, far))
+    } finally {
+      TransitSssp.cappedSliceMinNodes = minN
+      TransitSssp.cappedCsrMaxEdges = maxE
+    }
+    val st = try {
+      TransitSssp.cappedSliceMinNodes = 0L
+      ts.staged(sources, clockCap = clk)
+    } finally TransitSssp.cappedSliceMinNodes = minN
+    val distRows = st.distances.select("vertex_id", "source_id", "dist")
+      .as[(Long, Long, Double)].collect().toSet
+    val distPath = ShortestPaths.pathDistributed(
+      st.resolve(pathKey._1), pathKey._1, pathKey._2)
+    st.release()
+    assert(csrRows == distRows,
+      "capped-CSR distances diverged from the capped distributed run")
+    assert(csrPath == distPath,
+      "capped-CSR path diverged from the capped distributed run")
+    assert(csrPath.size >= 2)
+  }
+
   test("empty sources and unreachable seeds degrade gracefully") {
     assert(TransitSssp.run(g.nodes, changeEdges, Set.empty).isEmpty)
     // a seed absent from the projection still reports itself at dist 0
