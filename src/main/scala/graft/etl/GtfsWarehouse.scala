@@ -19,12 +19,17 @@ import graft.model.GtfsTables
   */
 object GtfsWarehouse {
 
-  /** Expand stoptimes by valid service day: one row per (stoptime, day). */
+  /** Expand stoptimes by valid service day: one row per (stoptime, day).
+    * Carries the precomputed per-trip `ride_acum` prefix (day-independent —
+    * see TimeExpandedGraph.withRideAcum): one window at write time buys
+    * every projection build a window-free read, so the stop-bucketed scan
+    * feeds the CHANGE build with its partitioning intact. */
   def dayExpandedStopTimes(g: GtfsTables): DataFrame = {
     val dayTrips = g.trips
       .join(g.calendar.select("service_id", "day"), Seq("service_id"))
       .select("trip_id", "route_id", "service_id", "day")
-    g.stopTimes.join(dayTrips, Seq("trip_id"))
+    graft.projection.TimeExpandedGraph.withRideAcum(g.stopTimes)
+      .join(dayTrips, Seq("trip_id"))
   }
 
   /** Write the warehouse: day-partitioned expanded stoptimes + dimensions. */

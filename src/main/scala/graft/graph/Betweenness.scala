@@ -395,8 +395,9 @@ object Betweenness {
     }
     val scores =
       if (g.edgeCount > localThreshold && transitAboveThreshold)
-        TransitBetweenness.run(g.nodes,
-          g.edges.filter(col("type") === "CHANGE"), srcs)
+        // changeEnriched: the position-enriched CHANGE frame lets the
+        // underlying TransitSssp pin its slice without position joins
+        TransitBetweenness.run(g.nodes, g.changeEnriched, srcs)
       else
         run(g.edges.select(col("source").as("src"), col("target").as("dst")),
           srcs, localThreshold)

@@ -420,6 +420,16 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * switch threshold. */
   private lazy val nodeCount: Long = prepared.count()
 
+  /** True when the caller handed POSITION-ENRICHED CHANGE edges (the
+    * projection carries s/d positions, w_rel, and d_acum at generation —
+    * TimeExpandedGraph.build, r14): the whole-day slice pin below is then
+    * one layout shuffle + write, no position joins. Raw 5-column edge
+    * lists (spec-built graphs, external callers) keep the legacy join
+    * build — both paths are parity-pinned by TransitSsspSpec. */
+  private val enrichedEdges =
+    Seq("s_trip", "s_seq", "d_trip", "d_seq", "w_rel", "d_acum")
+      .forall(changeEdges.columns.contains)
+
   // CHANGE slice pinned once — iterations must not re-derive it from the
   // projected union per round. Each edge carries BOTH endpoints'
   // (trip_id, stop_sequence) positions — every in-loop join is positional
@@ -434,26 +444,37 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   // slice's pinned sort already matches the SMJ order.
   private[graph] lazy val change = {
     val t0 = System.nanoTime()
-    val srcPos = prepared.select(col("id").as("e_src"),
-      col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
-      col("acum").as("s_acum"))
-    val tgtPos = prepared.select(col("id").as("e_dst"),
-      col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"),
-      col("acum").as("d_acum"))
     val n = spark.sessionState.conf.numShufflePartitions
-    val c = changeEdges.select(col("source").as("e_src"),
-      col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
-      .join(tgtPos, Seq("e_dst"))
-      .join(srcPos, Seq("e_src"))
-      .select(col("e_src"), col("e_dst"), col("s_trip"), col("s_seq"),
-        col("d_trip"), col("d_seq"),
-        (col("s_acum") + col("w") - col("d_acum")).as("w_rel"),
-        // d_acum rides on the slice (+8 B/row) so a capped run can test a
-        // candidate's ABSOLUTE cost (rel + d_acum) without a second join
-        col("d_acum"))
+    val c = (if (enrichedEdges)
+      // r13 verdict #2: the legacy build's two 25M-row-side position
+      // joins + three edge-table shuffles were 141–187 s of one-time
+      // cost at the 100× point; the enriched projection makes the pin
+      // exactly the required layout Exchange + sort + write.
+      changeEdges.select(col("source").as("e_src"), col("target").as("e_dst"),
+        col("s_trip"), col("s_seq"), col("d_trip"), col("d_seq"),
+        col("w_rel"), col("d_acum"))
+    else {
+      val srcPos = prepared.select(col("id").as("e_src"),
+        col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
+        col("acum").as("s_acum"))
+      val tgtPos = prepared.select(col("id").as("e_dst"),
+        col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"),
+        col("acum").as("d_acum"))
+      changeEdges.select(col("source").as("e_src"),
+        col("target").as("e_dst"), col("waiting_time").cast("double").as("w"))
+        .join(tgtPos, Seq("e_dst"))
+        .join(srcPos, Seq("e_src"))
+        .select(col("e_src"), col("e_dst"), col("s_trip"), col("s_seq"),
+          col("d_trip"), col("d_seq"),
+          (col("s_acum") + col("w") - col("d_acum")).as("w_rel"),
+          // d_acum rides on the slice (+8 B/row) so a capped run can test a
+          // candidate's ABSOLUTE cost (rel + d_acum) without a second join
+          col("d_acum"))
+    })
       .transform(bridge.pinnedCheckpoint(_, n, Seq("s_trip"),
         Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
-    TransitSssp.tlog(f"change-slice pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    TransitSssp.tlog(f"change-slice pin (enriched=$enrichedEdges%s) " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     changeForced = true
     c
   }
@@ -569,21 +590,34 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       val posPin = capped.transform(bridge.pinnedCheckpoint(_, nPart,
         Seq("trip_id"), Seq("trip_id", "stop_sequence"),
         TransitSssp.ckptPin))
-      val srcPos = posPin.select(col("id").as("e_src"),
-        col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
-        col("acum").as("s_acum"))
-      val tgtPos = posPin.select(col("id").as("e_dst"),
-        col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"),
-        col("acum").as("d_acum"))
-      val c = changeEdges.select(col("source").as("e_src"),
-        col("target").as("e_dst"),
-        col("waiting_time").cast("double").as("w"))
-        .join(broadcast(tgtPos), Seq("e_dst"))
-        .join(broadcast(srcPos), Seq("e_src"))
-        .select(col("e_src"), col("e_dst"), col("s_trip"), col("s_seq"),
-          col("d_trip"), col("d_seq"),
-          (col("s_acum") + col("w") - col("d_acum")).as("w_rel"),
-          col("d_acum"))
+      val c = (if (enrichedEdges)
+        // enriched edges already carry positions/w_rel — the cap
+        // restriction is two broadcast SEMI-joins on bare id sets
+        // (8 B/row, ~5× under what the byte gate budgeted for)
+        changeEdges.select(col("source").as("e_src"),
+          col("target").as("e_dst"), col("s_trip"), col("s_seq"),
+          col("d_trip"), col("d_seq"), col("w_rel"), col("d_acum"))
+          .join(broadcast(posPin.select(col("id").as("e_dst"))),
+            Seq("e_dst"), "left_semi")
+          .join(broadcast(posPin.select(col("id").as("e_src"))),
+            Seq("e_src"), "left_semi")
+      else {
+        val srcPos = posPin.select(col("id").as("e_src"),
+          col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
+          col("acum").as("s_acum"))
+        val tgtPos = posPin.select(col("id").as("e_dst"),
+          col("trip_id").as("d_trip"), col("stop_sequence").as("d_seq"),
+          col("acum").as("d_acum"))
+        changeEdges.select(col("source").as("e_src"),
+          col("target").as("e_dst"),
+          col("waiting_time").cast("double").as("w"))
+          .join(broadcast(tgtPos), Seq("e_dst"))
+          .join(broadcast(srcPos), Seq("e_src"))
+          .select(col("e_src"), col("e_dst"), col("s_trip"), col("s_seq"),
+            col("d_trip"), col("d_seq"),
+            (col("s_acum") + col("w") - col("d_acum")).as("w_rel"),
+            col("d_acum"))
+      })
         .transform(bridge.pinnedCheckpoint(_, nPart, Seq("s_trip"),
           Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
       TransitSssp.tlog(f"capped slice bucket=$bucket%d ($nCapped%d pos " +

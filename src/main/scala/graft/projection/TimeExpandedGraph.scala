@@ -45,7 +45,19 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     edgesForced = true
     r
   }
-  def edges: DataFrame = edgesAndSched._1
+  /** Public projected edge list — the 5-column CHANGE ∪ PRECEDES contract.
+    * A narrowing view over the cached (possibly position-enriched) union;
+    * the in-memory cache serves it with the extra columns pruned. */
+  def edges: DataFrame = {
+    val full = edgesAndSched._1
+    if (full.columns.length == 5) full
+    else full.select("source", "target", "type", "waiting_time", "walking_time")
+  }
+  /** CHANGE edges WITH the position/rel-weight enrichment when the builder
+    * provided it (s_trip/s_seq/d_trip/d_seq/w_rel/d_acum — see build()):
+    * TransitSssp's whole-day slice pin then needs no position joins. */
+  def changeEnriched: DataFrame =
+    edgesAndSched._1.filter(org.apache.spark.sql.functions.col("type") === "CHANGE")
   /** Persisted per-(stop, distance, service, route) schedule dimension
     * feeding the CHANGE probe join — held so `edges` (cached lazily) can
     * materialize from it without recomputation, released in unpersist(). */
@@ -96,8 +108,7 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     // one transit runner per projection: its trip-prefix and CHANGE frames
     // are call-invariant and pinned on first use, shared across calls —
     // the distributed twin of the local regime's held CSR
-    lazy val transit = new graft.graph.TransitSssp(
-      nodes, edges.filter(col("type") === "CHANGE"))
+    lazy val transit = new graft.graph.TransitSssp(nodes, changeEnriched)
     new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold,
       distributedRunner = Some(srcs => transit.run(srcs)),
       distributedStaged = Some { (srcs, costCap, clockCap) =>
@@ -142,7 +153,9 @@ final class TimeExpandedGraph(val nodes: DataFrame,
 
   def unpersist(): Unit = {
     if (stopDimForced) stopDim.unpersist()
-    if (edgesForced) { schedCache.foreach(_.unpersist()); edges.unpersist() }
+    // unpersist the FULL cached union (edges is a narrowing view whose
+    // plan would not match the cache entry)
+    if (edgesForced) { schedCache.foreach(_.unpersist()); edgesAndSched._1.unpersist() }
     nodes.unpersist()
   }
 }
@@ -165,6 +178,27 @@ object TimeExpandedGraph {
   def nodeId(tripId: org.apache.spark.sql.Column, seq: org.apache.spark.sql.Column) =
     xxhash64(tripId, seq)
 
+  /** Per-trip cumulative ride-cost prefix A as a `ride_acum` column:
+    * A(first) = 0, A(u) = A(u−1) + (arr(u) − dep(u−1)) — so a within-trip
+    * chain v→u costs A(u) − A(v), dwells included. This is the rel-space
+    * potential graph.TransitSssp operates in; ONE definition shared by
+    * the projection build (fallback window) and the warehouse writer
+    * (precompute-at-write: acum is day-independent and per-trip, so the
+    * stored column costs one window at write time and saves the build's
+    * trip-keyed Exchange on every read — keeping the stop-bucketed scan's
+    * shuffle-free CHANGE build). Input needs (trip_id, stop_sequence,
+    * arr_secs, dep_secs). */
+  def withRideAcum(stopTimes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("trip_id").orderBy("stop_sequence")
+    stopTimes
+      .withColumn("hop_w",
+        (col("arr_secs") - lag("dep_secs", 1).over(w)).cast("double"))
+      .withColumn("ride_acum", coalesce(
+        sum("hop_w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        lit(0.0)))
+      .drop("hop_w")
+  }
+
   /** Build the projection for one service day at one walking speed.
     * `walkToEdges` is the WALK_TO table (build once via
     * GraphBuilder.walkTo — day-independent). */
@@ -181,15 +215,20 @@ object TimeExpandedGraph {
       .select("service_id").distinct()
     val dayTrips = g.trips.join(broadcast(dayServices), Seq("service_id"))
       .select("trip_id", "route_id", "service_id")
+    // ride_acum: stored by the warehouse writer (precomputed, keeps the
+    // bucketed scan's partitioning intact) or window-derived in the edge
+    // closure below — see withRideAcum.
+    val hasStoredAcum = g.stopTimes.columns.contains("ride_acum")
     val nodes = g.stopTimes
       .join(broadcast(dayTrips), Seq("trip_id"))
       .join(broadcast(g.stops), Seq("stop_id"))
-      .select(
+      .select(Seq(
         nodeId(col("trip_id"), col("stop_sequence")).as("id"),
         col("trip_id"), col("route_id"), col("service_id"),
         col("stop_id"), col("stop_name"),
         col("stop_lat").as("lat"), col("stop_lon").as("lon"),
-        col("stop_sequence"), col("arr_secs"), col("dep_secs"))
+        col("stop_sequence"), col("arr_secs"), col("dep_secs")) ++
+        (if (hasStoredAcum) Seq(col("ride_acum")) else Nil): _*)
       .cache()
 
     // Everything below (PRECEDES window, CHANGE schedule aggregation +
@@ -203,8 +242,25 @@ object TimeExpandedGraph {
     // within-trip lead is unaffected by the day restriction. One window
     // shuffle on trip_id — same as GraphBuilder.precedes — minus the raw
     // scan and the dayTrips re-join.
+    //
+    // The per-trip ride-cost prefix A (see withRideAcum) rides every node:
+    // the rel-space potential graph.TransitSssp's distributed rounds
+    // operate in. Carrying it AT GENERATION lets every CHANGE edge carry
+    // both endpoints' (trip, seq) positions and the pre-folded rel weight
+    // w_rel = A(src) + w − A(dst), so the whole-day CHANGE-slice pin
+    // becomes one layout shuffle + write instead of three edge-table
+    // shuffles plus two 25M-row position joins (r13 verdict: 141–187 s
+    // of one-time cost at the 100× point, paid by every uncapped
+    // probe/betweenness call). A warehouse-written feed STORES the column
+    // (acum is day-independent), so the bucketed layout's shuffle-free
+    // CHANGE build is untouched; other feeds pay the trip-keyed window
+    // here, once per projection.
     val wTrip = Window.partitionBy("trip_id").orderBy("stop_sequence")
-    val precedesDay = nodes
+    val nodesAcum =
+      if (hasStoredAcum) nodes.withColumn("acum", col("ride_acum"))
+      else TimeExpandedGraph.withRideAcum(nodes)
+        .withColumnRenamed("ride_acum", "acum")
+    val precedesDay = nodesAcum
       .withColumn("target", lead("id", 1).over(wTrip))
       .withColumn("dst_arr", lead("arr_secs", 1).over(wTrip))
       .filter(col("target").isNotNull)
@@ -237,18 +293,26 @@ object TimeExpandedGraph {
     // sharing a route (min over per-stop minima = min over their union, and
     // a row ties globally iff it ties within its stop — so the two-stage
     // selection is exactly the one-stage one).
-    val s = nodes.select(col("id").as("s_id"), col("trip_id").as("s_trip"),
+    val s = nodesAcum.select(col("id").as("s_id"), col("trip_id").as("s_trip"),
       col("route_id").as("s_route"), col("service_id").as("s_service"),
-      col("stop_id").as("s_stop"), col("arr_secs").as("s_arr"))
+      col("stop_id").as("s_stop"), col("arr_secs").as("s_arr"),
+      col("stop_sequence").as("s_seq"), col("acum").as("s_acum"))
     val walk = walkToEdges.select(col("src_stop_id").as("n_stop"),
       col("dst_stop_id").as("s_stop"), col("distance"))
-    val tgt = nodes.select(col("id").as("t_id"),
+    val tgt = nodesAcum.select(col("id").as("t_id"),
       col("route_id").as("t_route"), col("service_id").as("t_service"),
-      col("stop_id").as("n_stop"), col("dep_secs").as("t_dep"))
+      col("stop_id").as("n_stop"), col("dep_secs").as("t_dep"),
+      col("trip_id").as("t_trip"), col("stop_sequence").as("t_seq"),
+      col("acum").as("t_acum"))
 
+    // Entry layout: (t_dep, t_id) lead — the probe's binary-search keys
+    // and the struct sort order (t_id is unique, so the trailing
+    // enrichment fields never influence ordering) — then the target's
+    // position + ride prefix riding along for the enriched edge output.
     val sched = tgt
       .groupBy("n_stop", "t_service", "t_route")
-      .agg(sort_array(collect_list(struct(col("t_dep"), col("t_id")))).as("deps"))
+      .agg(sort_array(collect_list(struct(col("t_dep").cast("long").as("t_dep"),
+        col("t_id"), col("t_trip"), col("t_seq"), col("t_acum")))).as("deps"))
 
     // Fold the walk dimension in BEFORE the big-side join: per (source stop,
     // walking distance, service, route) the sorted UNION of all equidistant
@@ -290,8 +354,12 @@ object TimeExpandedGraph {
     // under the stop-bucketed layout.
     val schedAtCached = schedAt.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per entry: 2 longs + int + double + struct overhead ≈ 40 B plus the
+    // trip key's actual bytes (the r14 enrichment made entries carry it)
     val schedBytes = schedAtCached
-      .agg(coalesce(sum(size(col("deps")).cast("long") * 16L + 64L), lit(0L)))
+      .agg(coalesce(sum(aggregate(col("deps"), lit(0L), (acc, e) =>
+        acc + lit(40L) + length(e.getField("t_trip")).cast("long")) + 64L),
+        lit(0L)))
       .collect()(0).getLong(0)
     val schedSide =
       if (schedBytes <= BroadcastSchedMaxBytes) broadcast(schedAtCached)
@@ -304,15 +372,28 @@ object TimeExpandedGraph {
         col("t_route") =!= col("s_route"))
       .withColumn("walking_time", walkSecs)
       .select(col("s_id"), col("s_arr"), col("walking_time"),
+        col("s_trip"), col("s_seq"), col("s_acum"),
         explode(graft.functions.expressions.EarliestAfterExpr(col("deps"),
           col("s_arr") + col("walking_time"))).as("e"))
       .select(col("s_id").as("source"), col("e.t_id").as("target"),
         lit("CHANGE").as("type"),
         (col("e.t_dep") - col("s_arr") + col("walking_time")).cast("long").as("waiting_time"),
-        col("walking_time"))
+        col("walking_time"),
+        // position/rel-weight enrichment (see the acum comment above):
+        // TransitSssp's whole-day slice pin reads these verbatim
+        col("s_trip"), col("s_seq"),
+        col("e.t_trip").as("d_trip"), col("e.t_seq").as("d_seq"),
+        col("s_acum"), col("e.t_acum").as("d_acum"))
+      .withColumn("w_rel",
+        col("s_acum") + col("waiting_time").cast("double") - col("d_acum"))
+      .drop("s_acum")
 
-    // U1: the projected edge list is CHANGE ∪ PRECEDES (`main.py:17`).
-    (changeEdges.unionByName(precedesDay).cache(), Some(schedAtCached))
+    // U1: the projected edge list is CHANGE ∪ PRECEDES (`main.py:17`) —
+    // cached with the enrichment columns (PRECEDES rows null-extended);
+    // the public `edges` view narrows back to the 5-column contract and
+    // the in-memory cache prunes the untouched columns per consumer.
+    (changeEdges.unionByName(precedesDay, allowMissingColumns = true).cache(),
+      Some(schedAtCached))
     }
 
     new TimeExpandedGraph(nodes, () => edgesAndSched(), ssspLocalThreshold)

@@ -285,6 +285,20 @@ class TransitSsspSpec extends SparkSpec {
     assert(csrPath.size >= 2)
   }
 
+  test("position-enriched CHANGE edges give the same distances as the raw 5-column list") {
+    // r14: the projection carries positions/w_rel/d_acum on CHANGE edges so
+    // the whole-day slice pin needs no position joins; the legacy join
+    // build stays for raw edge lists. Both pin paths must agree exactly.
+    val sources = g.nodes.orderBy("id").limit(2).select("id")
+      .as[Long].collect().toSet
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vertex_id", "source_id", "dist", "pred")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val enriched = key(TransitSssp.run(g.nodes, g.changeEnriched, sources))
+    val legacy = key(TransitSssp.run(g.nodes, changeEdges, sources))
+    assert(enriched == legacy && enriched.nonEmpty)
+  }
+
   test("empty sources and unreachable seeds degrade gracefully") {
     assert(TransitSssp.run(g.nodes, changeEdges, Set.empty).isEmpty)
     // a seed absent from the projection still reports itself at dist 0
