@@ -33,7 +33,15 @@ object PerfHarness {
     * Fields are joined with \u0001 — a byte that cannot appear in any
     * GTFS-derived label/time field — so rows with shifted field
     * boundaries ("ab","c" vs "a","bc") hash differently (r11 ADVICE
-    * flagged the unseparated form). */
+    * flagged the unseparated form).
+    *
+    * DIGEST FORMAT v2 (since round 13): the separator change makes every
+    * digest value differ from the unseparated v1 digests recorded in
+    * BENCH/COVERAGE artifacts of rounds ≤ 12 — cross-ROUND digest
+    * comparisons across that boundary are meaningless and must not be
+    * read as correctness divergence (within-run twin comparisons always
+    * used one function and are unaffected; r13's same-box control
+    * adjudicated the wall-clock side). */
   def itineraryDigest(rows: Array[org.apache.spark.sql.Row]): Long = {
     if (rows.isEmpty) return 0L
     val md = java.security.MessageDigest.getInstance("MD5")

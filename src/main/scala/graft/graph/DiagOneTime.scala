@@ -44,7 +44,7 @@ object DiagOneTime {
       p.edges.count(); p
     }
     val transit = new TransitSssp(
-      proj.nodes, proj.edges.filter(col("type") === "CHANGE"))
+      proj.nodes, proj.changeEnriched) // the production construction
     val bridge = org.apache.spark.sql.graftbridge.CheckpointBridge
 
     timed("trip-prefix pin (prepared.count)") { transit.prepared.count() }

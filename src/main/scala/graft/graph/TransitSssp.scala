@@ -837,13 +837,23 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // the candidate merge (out-of-grid candidate targets die in the left
     // join), every checkpoint, and the sparse-tail slices all shrink to
     // the horizon's share of the service day.
+    //
+    // When the bucket's position pin exists, it IS the grid base: the run
+    // reads the memoized slice-sized pin instead of re-filtering the
+    // whole-day prefix per call, and — decisive on feeds that violate the
+    // anchor's residual dirty-feed assumption — the distributed grid and
+    // the capped CSR then operate on the SAME padded subgraph, so regime
+    // parity holds by construction instead of by feed hygiene
+    // (GtfsEngineSpec's dirty-feed divergence test pins this). The padded
+    // superset is exact for every contractual read (see staged).
+    val runSlices = selectRun(clockCap)
     val gridBase =
       if (clockCap.isPosInfinity) prepared
-      else prepared.filter(col("dep_secs") <= clockCap)
+      else runSlices.pos.getOrElse(prepared.filter(col("dep_secs") <= clockCap))
     // Horizon-bounded CHANGE slice for this run (= the shared uncapped
     // pin when no cap): every per-round candidate join and the sparse
     // tail's caches stream this instead of the whole service day.
-    val runChange = selectRun(clockCap).slice
+    val runChange = runSlices.slice
     var state = gridBase.crossJoin(broadcast(srcDim))
       .withColumn("dist", when(col("id") === col("src"), -col("acum")))
       .withColumn("fresh", col("dist").isNotNull)

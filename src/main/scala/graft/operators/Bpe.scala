@@ -47,6 +47,32 @@ object Bpe {
     * the hand-off fires) the fully-distributed table loop takes over. */
   val HybridPairMaxRows: Long = 4000000L
 
+  /** MEASURED symbol-byte bound for the incremental IN-HEAP regime (r14 —
+    * the deep-merge round-floor lever the r13 verdict asked for). The r13
+    * nat-corpus run priced the distributed regimes' deep tail honestly:
+    * past merge ~14k every round applies ONE merge and the round floor is
+    * the ~0.59 s of Spark scheduling on two full-table jobs — 32k ≈ 4.2 h
+    * regardless of how little data moves. But a round that touches a few
+    * hundred words is driver work: when the symbol table's measured bytes
+    * fit this bound, the words collect once and rounds become
+    * O(affected words) in-heap — same pair map, same batch selection, same
+    * rewrite semantics (all shared code), merges bit-identical (spec-
+    * pinned). The bound is measured sum(length(s)); the in-heap form costs
+    * ~4-6× that in object overhead, so 256 MB assumes a ≥ 4 GB driver.
+    * Tables over the bound keep the hybrid loop, which re-checks every
+    * [[InHeapHandoffCheckRounds]] rounds (merging shrinks the strings) and
+    * hands off mid-training when the bound is met — at true web scale
+    * (hundreds of millions of distinct words) the table never fits and the
+    * executor count stays the lever, exactly as the r13 COVERAGE reading
+    * said. */
+  val InHeapSymbolMaxBytes: Long = 256L * 1024L * 1024L
+
+  /** Hybrid-round cadence for re-measuring the symbol table against
+    * [[InHeapSymbolMaxBytes]]: the byte agg costs about one full-table
+    * round, so checking every 256 rounds keeps the amortized overhead
+    * under half a percent. */
+  val InHeapHandoffCheckRounds: Int = 256
+
   /** "word" → " w  o  r  d " (double-space separators, single-space ends;
     * a trailing extra space is harmless to matching and trimmed before
     * any split). (?s) so line terminators survive — trainLocal's code-point
@@ -69,7 +95,8 @@ object Bpe {
     * co-occurring end training early. Returns merges in application order. */
   def train(words: DataFrame, numMerges: Int,
       localMaxWords: Long = LocalTrainMaxWords,
-      hybridMaxPairs: Long = HybridPairMaxRows): Seq[(String, String)] = {
+      hybridMaxPairs: Long = HybridPairMaxRows,
+      inHeapMaxBytes: Long = InHeapSymbolMaxBytes): Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
     val w = words.select(col("word").cast("string").as("word"),
@@ -78,7 +105,7 @@ object Bpe {
     // counts combine map-side) — no rows move unless the answer is "local".
     if (w.count() <= math.min(localMaxWords, (Int.MaxValue - 2).toLong))
       trainLocal(w.as[(String, Long)].collect(), numMerges)
-    else trainDistributed(w, numMerges, hybridMaxPairs)
+    else trainDistributed(w, numMerges, hybridMaxPairs, inHeapMaxBytes)
   }
 
   /** Adjacent-pair weighted counts of a symbol table. */
@@ -210,7 +237,7 @@ object Bpe {
     * (the one weak regime called out by rounds 7-8; below the threshold
     * [[trainLocal]] takes over). */
   private def trainDistributed(words: DataFrame, numMerges: Int,
-      hybridMaxPairs: Long): Seq[(String, String)] = {
+      hybridMaxPairs: Long, inHeapMaxBytes: Long = 0L): Seq[(String, String)] = {
     // Eager localCheckpoint, not cache: each round's counts plan references
     // the previous round's syms plan TWICE (before/after aggregation), so
     // chained caches grow the logical plan quadratically — a 100-round run
@@ -232,10 +259,133 @@ object Bpe {
     // and the per-round distributed work drops to the delta aggregation +
     // the syms rewrite, overlapped. Above the bound, the fully-distributed
     // table loop keeps every row on the cluster.
-    if (counts.count() <= hybridMaxPairs)
-      trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs)
-    else trainTableLoop(syms, counts, merges, numMerges)
+    if (counts.count() <= hybridMaxPairs) {
+      // In-heap gate on MEASURED symbol bytes (see InHeapSymbolMaxBytes):
+      // a word table too big to pass the row gate can still be megabytes
+      // of symbols — collect once, and every round is O(affected words)
+      // driver work instead of two full-table Spark jobs.
+      import words.sparkSession.implicits._
+      val symBytes =
+        if (inHeapMaxBytes <= 0L) Long.MaxValue
+        else syms.agg(coalesce(sum(length(col("s")).cast("long")), lit(0L)))
+          .head().getLong(0)
+      if (symBytes <= inHeapMaxBytes) {
+        lastRegimes.clear()
+        lastRegimes.add("inheap")
+        val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
+        val wordsArr = syms.as[(String, Long)].collect()
+        val map = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        counts.as[(String, String, Long)].collect()
+          .foreach { case (a, b, n) => map.update((a, b), n) }
+        rel(syms); rel(counts)
+        trainInHeap(wordsArr, map, merges, numMerges)
+      } else trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs,
+        inHeapMaxBytes)
+    } else trainTableLoop(syms, counts, merges, numMerges)
     merges.toSeq
+  }
+
+  /** Incremental in-heap rounds over collected (symbol-string, count)
+    * words — the deep-merge regime (see [[InHeapSymbolMaxBytes]]). The
+    * semantics are the hybrid loop's, verbatim: the SAME pair map, the
+    * SAME batch selection ([[selectBatchFromMap]]), and a per-word rewrite
+    * shared with [[trainLocal]] ([[rewriteWord]]) — so merges are
+    * bit-identical across regimes (BpeSpec pins it). The cost model is
+    * what changes: an occurrence index (pair → word indices, lazily
+    * stale — a rewrite appends under every pair that now involves a
+    * batch-created symbol, dead entries are skipped at use) makes a round
+    * O(words containing a batch pair), which in the deep tail is hundreds
+    * of rows — the 0.59 s/merge Spark scheduling floor the r13 nat run
+    * measured becomes microseconds of driver work. */
+  private def trainInHeap(words: Array[(String, Long)],
+      map: scala.collection.mutable.HashMap[(String, String), Long],
+      merges: scala.collection.mutable.ArrayBuffer[(String, String)],
+      numMerges: Int): Unit = {
+    val syms: Array[Array[String]] = words.map(_._1.trim.split(" +"))
+    val counts: Array[Long] = words.map(_._2)
+    val index =
+      scala.collection.mutable.HashMap.empty[(String, String),
+        scala.collection.mutable.ArrayBuffer[Int]]
+    def indexAdd(k: (String, String), wi: Int): Unit =
+      index.getOrElseUpdate(k,
+        new scala.collection.mutable.ArrayBuffer[Int](4)) += wi
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val k = (s(i), s(i + 1))
+        // dedup consecutive repeats cheaply; full dedup is unnecessary
+        // (the per-round visited set already coalesces)
+        if (i == 0 || s(i - 1) != s(i) || s(i) != s(i + 1)) indexAdd(k, wi)
+        i += 1
+      }
+      wi += 1
+    }
+    var round = 0
+    while (merges.size < numMerges && map.nonEmpty) {
+      val roundT0 = System.nanoTime()
+      val prior = merges.iterator.map { case (a, b) => a + b }.toSet
+      val batch = selectBatchFromMap(map, prior).take(numMerges - merges.size)
+      merges ++= batch
+      val batchSyms = batch.map { case (a, b) => a + b }.toSet
+      val visited = new java.util.BitSet(syms.length)
+      var touched = 0
+      batch.foreach { pair =>
+        index.get(pair).foreach { occ =>
+          occ.foreach { w =>
+            if (!visited.get(w)) {
+              visited.set(w)
+              val s = syms(w)
+              // a stale entry (pair no longer present) rewrites to itself
+              // with zero delta — harmless, skipped by the quick probe
+              var contains = false
+              var i = 0
+              while (i < s.length - 1 && !contains) {
+                var j = 0
+                while (j < batch.length && !contains) {
+                  if (s(i) == batch(j)._1 && s(i + 1) == batch(j)._2)
+                    contains = true
+                  j += 1
+                }
+                i += 1
+              }
+              if (contains) {
+                touched += 1
+                val c = counts(w)
+                i = 0
+                while (i < s.length - 1) {
+                  val k = (s(i), s(i + 1))
+                  val n = map.getOrElse(k, 0L) - c
+                  if (n > 0L) map.update(k, n) else map.remove(k)
+                  i += 1
+                }
+                val out = batch.foldLeft(s) {
+                  case (acc, (a, b)) => rewriteWord(acc, a, b)
+                }
+                syms(w) = out
+                i = 0
+                while (i < out.length - 1) {
+                  val k = (out(i), out(i + 1))
+                  map.update(k, map.getOrElse(k, 0L) + c)
+                  // newly-present pairs always involve a batch-created
+                  // symbol (only positions at a merge site change)
+                  if (batchSyms.contains(out(i)) ||
+                      batchSyms.contains(out(i + 1))) indexAdd(k, w)
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+        index.remove(pair)
+      }
+      round += 1
+      if (trace && (round % 1024 == 0 || batch.size > 1))
+        println(f"[bpe] inheap round $round%d batch=${batch.size}%d " +
+          f"merges=${merges.size}%d pairs=${map.size}%d touched=$touched%d " +
+          f"${(System.nanoTime() - roundT0) / 1e9}%.4f s")
+    }
   }
 
   /** Hybrid rounds: word/symbol table distributed, pair-count table in a
@@ -263,7 +413,8 @@ object Bpe {
     * fixture at 16 layers). */
   private def trainHybrid(symsInit: DataFrame, countsInit: DataFrame,
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
-      numMerges: Int, hybridMaxPairs: Long): Unit = {
+      numMerges: Int, hybridMaxPairs: Long,
+      inHeapMaxBytes: Long = 0L): Unit = {
     val spark = symsInit.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -319,6 +470,27 @@ object Bpe {
         trainTableLoop(syms, pairCounts(syms).transform(ckpt),
           merges, numMerges)
         return
+      }
+      // Deep-merge hand-off (r14): merging SHRINKS the symbol strings, so
+      // a table over the in-heap byte gate at round 0 can fit later —
+      // exactly when rounds degenerate to one merge each and the Spark
+      // scheduling floor dominates. Re-measure on a cadence whose agg
+      // costs about one round; on fit, collect and finish in-heap
+      // (same map, same batch selection — merges stay bit-identical).
+      if (inHeapMaxBytes > 0L && merges.size < numMerges && map.nonEmpty &&
+          round % InHeapHandoffCheckRounds == 0) {
+        val symBytes = syms
+          .agg(coalesce(sum(length(col("s")).cast("long")), lit(0L)))
+          .head().getLong(0)
+        if (symBytes <= inHeapMaxBytes) {
+          if (trace) println(s"[bpe] symbol table fits the in-heap bound " +
+            s"($symBytes B) at merge ${merges.size} — handing off in-heap")
+          lastRegimes.add("inheap")
+          val wordsArr = syms.as[(String, Long)].collect()
+          rel(syms)
+          trainInHeap(wordsArr, map, merges, numMerges)
+          return
+        }
       }
     }
     rel(syms)
@@ -527,31 +699,36 @@ object Bpe {
         val (a, b) = best
         wi = 0
         while (wi < syms.length) {
-          val s = syms(wi)
-          if (s.length >= 2) {
-            var contains = false
-            var i = 0
-            while (i < s.length - 1 && !contains) {
-              if (s(i) == a && s(i + 1) == b) contains = true
-              i += 1
-            }
-            if (contains) {
-              val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
-              i = 0
-              while (i < s.length) {
-                if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
-                  out += a + b; i += 2
-                } else { out += s(i); i += 1 }
-              }
-              syms(wi) = out.toArray
-            }
-          }
+          syms(wi) = rewriteWord(syms(wi), a, b)
           wi += 1
         }
       }
       rounds += 1
     }
     merges.toSeq
+  }
+
+  /** One merge (a, b) applied to a symbol array — left-to-right,
+    * non-overlapping: the in-heap twin of [[applyMerge]]'s string replace
+    * (shared by [[trainLocal]] and [[trainInHeap]] so every regime rewrites
+    * identically). Returns the SAME array when the pair is absent. */
+  private def rewriteWord(s: Array[String], a: String, b: String): Array[String] = {
+    if (s.length < 2) return s
+    var contains = false
+    var i = 0
+    while (i < s.length - 1 && !contains) {
+      if (s(i) == a && s(i + 1) == b) contains = true
+      i += 1
+    }
+    if (!contains) return s
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
   }
 
   /** Sub-word count per word after applying `merges` in order — the same

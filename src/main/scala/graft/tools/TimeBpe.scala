@@ -62,15 +62,21 @@ object TimeBpe {
         expr("greatest(1L, 1000000L div (id + 1))").as("count"))
       .cache()
     println(s"unique words: ${words.count()}")
-    // default exercises the auto gate (hybrid whenever the pair table fits
-    // the driver); =tableloop forces the fully-distributed rounds for a
-    // same-box comparison
+    // default exercises the auto gates (in-heap when the measured symbol
+    // bytes fit, else hybrid when the pair table fits, else table loop);
+    // =hybrid disables the in-heap gate (the r13 deep-merge curves were
+    // measured on this path — keep it reachable for same-box A/Bs);
+    // =tableloop forces the fully-distributed rounds
     val regime = sys.env.getOrElse("SPARK_GRAFT_BPE_REGIME", "auto")
     val maxPairs =
       if (regime == "tableloop") 0L else graft.operators.Bpe.HybridPairMaxRows
+    val maxInHeap = regime match {
+      case "hybrid" | "tableloop" => 0L
+      case _ => graft.operators.Bpe.InHeapSymbolMaxBytes
+    }
     val t0 = System.nanoTime()
     val merges = graft.operators.Bpe.train(words, nMerges, localMaxWords = 0L,
-      hybridMaxPairs = maxPairs)
+      hybridMaxPairs = maxPairs, inHeapMaxBytes = maxInHeap)
     val total = (System.nanoTime() - t0) / 1e9
     println(f"$nMerges merges (forced distributed, regime=$regime): " +
       f"$total%.1f s total, " +

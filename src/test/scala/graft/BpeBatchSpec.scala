@@ -15,16 +15,23 @@ class BpeBatchSpec extends SparkSpec {
   private def parity(words: Seq[(String, Long)], n: Int): Unit = {
     val df = words.toDF("word", "count")
     val local = Bpe.train(df, n) // sequential in-heap reference
-    // forced distributed, auto gate → the HYBRID loop (driver pair map)
-    val hybrid = Bpe.train(df, n, localMaxWords = 0L)
+    // forced distributed + in-heap gate off → the HYBRID loop (driver map)
+    val hybrid = Bpe.train(df, n, localMaxWords = 0L, inHeapMaxBytes = 0L)
     // forced distributed + pair map disallowed → the TABLE loop
-    val tableLoop = Bpe.train(df, n, localMaxWords = 0L, hybridMaxPairs = 0L)
+    val tableLoop = Bpe.train(df, n, localMaxWords = 0L, hybridMaxPairs = 0L,
+      inHeapMaxBytes = 0L)
+    // forced past the row gate with the byte gate open → the INCREMENTAL
+    // in-heap regime (r14)
+    val inHeap = Bpe.train(df, n, localMaxWords = 0L)
     assert(hybrid == local,
       s"hybrid-distributed merges diverge from sequential:\n" +
         s"  local:  $local\n  hybrid: $hybrid")
     assert(tableLoop == local,
       s"table-loop merges diverge from sequential:\n" +
         s"  local:     $local\n  tableloop: $tableLoop")
+    assert(inHeap == local,
+      s"incremental in-heap merges diverge from sequential:\n" +
+        s"  local:  $local\n  inheap: $inHeap")
   }
 
   test("self-pair merges are never batched past their new-pair shadow") {
@@ -102,7 +109,8 @@ class BpeBatchSpec extends SparkSpec {
     // the 4x growth bound (>64) and the loop hands off. The regime hook
     // asserts the hand-off actually fired — a fixture that stopped
     // overflowing would fail here, not silently test one loop.
-    val crossed = Bpe.train(df, 60, localMaxWords = 0L, hybridMaxPairs = 16L)
+    val crossed = Bpe.train(df, 60, localMaxWords = 0L, hybridMaxPairs = 16L,
+      inHeapMaxBytes = 0L)
     assert(crossed == local,
       s"hand-off merges diverge:\n  local:   $local\n  crossed: $crossed")
     import scala.jdk.CollectionConverters._
@@ -118,10 +126,12 @@ class BpeBatchSpec extends SparkSpec {
     val local = Bpe.train(df, 6)
     val before = Bpe.serCkpt
     val ser = try {
-      Bpe.serCkpt = true; Bpe.train(df, 6, localMaxWords = 0L)
+      Bpe.serCkpt = true
+      Bpe.train(df, 6, localMaxWords = 0L, inHeapMaxBytes = 0L)
     } finally Bpe.serCkpt = before
     val deser = try {
-      Bpe.serCkpt = false; Bpe.train(df, 6, localMaxWords = 0L)
+      Bpe.serCkpt = false
+      Bpe.train(df, 6, localMaxWords = 0L, inHeapMaxBytes = 0L)
     } finally Bpe.serCkpt = before
     assert(ser == local && deser == local)
   }

@@ -48,8 +48,11 @@ class BpeSpec extends SparkSpec {
       ("ab", 5L), ("ba", 5L), ("aba", 2L), ("bab", 2L))
       .toDF("word", "count")
     val local = Bpe.train(words, 12)
-    val distributed = Bpe.train(words, 12, localMaxWords = 0L)
+    val distributed = Bpe.train(words, 12, localMaxWords = 0L,
+      inHeapMaxBytes = 0L)
+    val inHeap = Bpe.train(words, 12, localMaxWords = 0L)
     assert(local == distributed)
+    assert(local == inHeap) // r14 incremental in-heap regime, same merges
     assert(local.size == 12)
   }
 

@@ -220,6 +220,73 @@ class GtfsEngineSpec extends SparkSpec {
     assert(segD.length == 4) // SA→SB(TA), SB→SB(change), SB→SM, SM→ST
   }
 
+  test("dirty feed beyond the anchor's guarantee: the documented divergence, pinned") {
+    // The clock-cap anchor's RESIDUAL assumption (RoutingEngine scaladoc,
+    // r12 ADVICE): intra-trip clocks on the final leg must not exceed the
+    // target's max(arr, dep). This feed violates it deliberately — the
+    // final leg's intermediate row departs 19:30, past the anchor clock
+    // (18:40) AND past the padded cap bucket (19:00) every capped regime
+    // shares — so the capped grid/CSR drop the row. ACCEPTED DIVERGENCE,
+    // pinned here so a change in either direction is noticed: cost,
+    // endpoints, and arrival stay EXACT (the ride prefix telescopes
+    // through dropped rows), but the capped itinerary compresses the ride
+    // SB→ST into one segment where the uncapped CSR lists SB→SM→ST. Both
+    // capped regimes (distributed grid, r14 capped CSR) must agree with
+    // each other exactly — they iterate over the SAME padded position pin
+    // by construction.
+    import graft.functions.TimeFunctions.secondsSinceMidnight
+    val agency = Seq(("A", "http://example.org", "Europe/Rome"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    val routes = Seq(("R1", "1", "Start-Mid0", 3), ("R2", "2", "Mid0-End", 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = Seq(("R1", "S1", "TA"), ("R2", "S1", "TB"))
+      .map { case (r, s, t) => (r, s, t, "0", "SH", "h") }
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id",
+        "trip_headsign")
+    val stops = Seq(
+      ("SA", "Start", 44.6000, 10.9000), ("SB", "Mid0", 44.6100, 10.9000),
+      ("SM", "Mid", 44.6200, 10.9000), ("ST", "End", 44.6300, 10.9100))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    val stopTimes = Seq(
+      ("TA", "14:00:00", "14:00:00", "SA", 1),
+      ("TA", "14:20:00", "14:21:00", "SB", 2),
+      ("TB", "14:25:00", "14:30:00", "SB", 1),
+      ("TB", "18:10:00", "19:30:00", "SM", 2), // dep 19:30 > padded cap 19:00
+      ("TB", "18:40:00", "17:00:00", "ST", 3)) // irregular: arr > dep
+      .toDF("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")
+      .withColumn("arr_secs", secondsSinceMidnight(col("arrival_time")))
+      .withColumn("dep_secs", secondsSinceMidnight(col("departure_time")))
+    val calendar = Seq(("S1", java.sql.Date.valueOf("2024-01-18"), "1"))
+      .toDF("service_id", "day", "exception_type")
+    val tables = graft.model.GtfsTables(agency, routes, trips, stops,
+      stopTimes, calendar)
+    def seg(eng: graft.api.RoutingEngine) =
+      eng.routing(Day, 1.0, "13:50:00", "Start", "End").collect().toSeq
+    val segL = seg(new graft.api.RoutingEngine(tables)) // uncapped CSR
+    val segD = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
+    val segC = { // forced capped-CSR regime on the same feed
+      import graft.graph.TransitSssp
+      val (minN, srv0) =
+        (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedCsrServed.get())
+      try {
+        TransitSssp.cappedSliceMinNodes = 0L
+        val r = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
+        assert(TransitSssp.cappedCsrServed.get() > srv0); r
+      } finally TransitSssp.cappedSliceMinNodes = minN
+    }
+    assert(segD == segC, "the two capped regimes must agree exactly")
+    // uncapped keeps the dropped intermediate: one extra ride segment
+    assert(segL.map(_.getAs[String]("next_stop")) ==
+      Seq("Mid0", "Mid0", "Mid", "End"))
+    assert(segD.map(_.getAs[String]("next_stop")) ==
+      Seq("Mid0", "Mid0", "End"))
+    // cost-carrying fields agree: same boarding, same final arrival
+    assert(segL.head.getAs[String]("departure") ==
+      segD.head.getAs[String]("departure"))
+    assert(segL.last.getAs[String]("arrival") ==
+      segD.last.getAs[String]("arrival"))
+  }
+
   test("concurrent routing calls do not corrupt each other's paths") {
     // two threads route different OD pairs against the SAME engine (shared
     // projection + Sssp handle); each TargetRun owns its own path state, so

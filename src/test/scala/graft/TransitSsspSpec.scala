@@ -227,11 +227,21 @@ class TransitSsspSpec extends SparkSpec {
       st.release(); (d, p)
     }
     val viaShared = rows(ts.staged(sources, clockCap = clk))
-    val minN = TransitSssp.cappedSliceMinNodes
+    val (minN, pad) =
+      (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedSlicePadSecs)
     val viaSlice = try {
       TransitSssp.cappedSliceMinNodes = 0L
+      // pad 1 s: the sliced run's padded grid then equals the shared-pin
+      // run's exact-capped grid, so the comparison below can stay strict
+      // (r14 — capped runs iterate over the bucket's position pin; the
+      // production pad's superset semantics are pinned by the capped-CSR
+      // parity test and GtfsEngineSpec's dirty-feed divergence test)
+      TransitSssp.cappedSlicePadSecs = 1L
       rows(ts.staged(sources, clockCap = clk))
-    } finally TransitSssp.cappedSliceMinNodes = minN
+    } finally {
+      TransitSssp.cappedSliceMinNodes = minN
+      TransitSssp.cappedSlicePadSecs = pad
+    }
     assert(viaSlice._1 == viaShared._1,
       "capped-slice distances diverged from the shared-pin path")
     assert(viaSlice._2 == viaShared._2,
