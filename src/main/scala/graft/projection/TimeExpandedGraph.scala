@@ -24,13 +24,15 @@ import graft.model.GtfsTables
   * only per (day, speed), which RoutingEngine keys its cache on.
   */
 final class TimeExpandedGraph(val nodes: DataFrame,
-    /** Deferred CHANGE∪PRECEDES construction → (edges, schedule dimension).
-      * Edge generation ends in a measured-size broadcast decision (one
-      * dimension-sized Spark job), so it must NOT run at build() time:
-      * interactive calls that need only the node side (near-stop search on a
-      * fresh projection) would pay the whole CHANGE pipeline for a stop
-      * scan. First `edges`/`schedCache` access evaluates the thunk once. */
-    buildEdges: () => (DataFrame, Option[DataFrame]),
+    /** Deferred CHANGE∪PRECEDES construction → (edges, build-side caches:
+      * schedule dimension first, then any helper frames the build pinned —
+      * all released in unpersist()). Edge generation ends in a
+      * measured-size broadcast decision (one dimension-sized Spark job),
+      * so it must NOT run at build() time: interactive calls that need
+      * only the node side (near-stop search on a fresh projection) would
+      * pay the whole CHANGE pipeline for a stop scan. First
+      * `edges`/`schedCache` access evaluates the thunk once. */
+    buildEdges: () => (DataFrame, Seq[DataFrame]),
     val ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges) {
 
   // Forced-flags are written inside lazy-val initializers and read from
@@ -40,7 +42,7 @@ final class TimeExpandedGraph(val nodes: DataFrame,
   // (→ the non-blocking distributed path) instead of blocking on the
   // initializer's monitor for the whole edge build.
   @volatile private var edgesForced = false
-  private lazy val edgesAndSched: (DataFrame, Option[DataFrame]) = {
+  private lazy val edgesAndSched: (DataFrame, Seq[DataFrame]) = {
     val r = buildEdges()
     edgesForced = true
     r
@@ -61,7 +63,7 @@ final class TimeExpandedGraph(val nodes: DataFrame,
   /** Persisted per-(stop, distance, service, route) schedule dimension
     * feeding the CHANGE probe join — held so `edges` (cached lazily) can
     * materialize from it without recomputation, released in unpersist(). */
-  def schedCache: Option[DataFrame] = edgesAndSched._2
+  def schedCache: Option[DataFrame] = edgesAndSched._2.headOption
 
   def nodeCount: Long = nodes.count()
   def edgeCount: Long = edges.count()
@@ -155,7 +157,10 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     if (stopDimForced) stopDim.unpersist()
     // unpersist the FULL cached union (edges is a narrowing view whose
     // plan would not match the cache entry)
-    if (edgesForced) { schedCache.foreach(_.unpersist()); edgesAndSched._1.unpersist() }
+    if (edgesForced) {
+      edgesAndSched._2.foreach(_.unpersist())
+      edgesAndSched._1.unpersist()
+    }
     nodes.unpersist()
   }
 }
@@ -234,7 +239,7 @@ object TimeExpandedGraph {
     // Everything below (PRECEDES window, CHANGE schedule aggregation +
     // probe, measured broadcast decision) is deferred: the closure runs on
     // first `edges` access. Node-only callers never trigger it.
-    def edgesAndSched(): (DataFrame, Option[DataFrame]) = {
+    def edgesAndSched(): (DataFrame, Seq[DataFrame]) = {
     // PRECEDES edges restricted to day-valid trips; weight = next.arrival −
     // this.departure (`new_dbSetup.py:72-74`). Derived from the cached node
     // set rather than a second pass over raw stoptimes: the day filter and
@@ -256,6 +261,16 @@ object TimeExpandedGraph {
     // CHANGE build is untouched; other feeds pay the trip-keyed window
     // here, once per projection.
     val wTrip = Window.partitionBy("trip_id").orderBy("stop_sequence")
+    // The window-derived fallback is RECOMPUTED by its three consumers
+    // (PRECEDES, the probe's s side, the schedule tgt side) during the one
+    // union-cache materialization — Spark reuses the Exchange but not the
+    // sort+window above it. A persisted variant was measured WORSE at the
+    // 100× point (148.7 s build vs 52.1–109.9 recomputed vs 41.6
+    // r13-code: the 25M-row ~2.7 GB cache write sits on this box's weak
+    // storage axis, while the redundant sorts are cheap CPU), so the
+    // ~1.25–1.65× plain-path build premium stands as the documented price
+    // of generation-time enrichment — and the production warehouse path
+    // pays ZERO (stored ride_acum column, no window at all).
     val nodesAcum =
       if (hasStoredAcum) nodes.withColumn("acum", col("ride_acum"))
       else TimeExpandedGraph.withRideAcum(nodes)
@@ -393,7 +408,7 @@ object TimeExpandedGraph {
     // the public `edges` view narrows back to the 5-column contract and
     // the in-memory cache prunes the untouched columns per consumer.
     (changeEdges.unionByName(precedesDay, allowMissingColumns = true).cache(),
-      Some(schedAtCached))
+      Seq(schedAtCached))
     }
 
     new TimeExpandedGraph(nodes, () => edgesAndSched(), ssspLocalThreshold)
