@@ -179,6 +179,21 @@ object TimeExpandedGraph {
     * agency planet) dimension keeps the distributed scan path. */
   val LocalStopDimMaxRows: Int = 262144
 
+  /** Catalyst-stat floor (stopTimes sizeInBytes) below which the build
+    * SKIPS generation-time enrichment on non-warehouse feeds: the
+    * enrichment exists for TransitSssp's whole-day slice pin, which only
+    * distributed-regime (>2M-edge) projections ever build — on
+    * fixture/city feeds the extra trip-keyed window and fatter schedule
+    * entries are pure build premium (measured 1.18–1.24× on the two
+    * projection-building bench rows, r14 COVERAGE). 64 MB ≈ >1M
+    * stoptimes. Warehouse feeds carry the STORED ride_acum column and
+    * enrich for free regardless; an under-estimated big feed merely keeps
+    * the legacy join-built pin — the r13 shape, correct and spec-pinned,
+    * never a wrong plan. Same stats-not-jobs posture as the WALK_TO
+    * broadcast gate above. Var: specs zero it to force enrichment onto
+    * fixture-scale feeds. */
+  @volatile private[graft] var EnrichMinStatBytes: Long = 64L << 20
+
   /** Stable node id for a stoptime. */
   def nodeId(tripId: org.apache.spark.sql.Column, seq: org.apache.spark.sql.Column) =
     xxhash64(tripId, seq)
@@ -222,8 +237,13 @@ object TimeExpandedGraph {
       .select("trip_id", "route_id", "service_id")
     // ride_acum: stored by the warehouse writer (precomputed, keeps the
     // bucketed scan's partitioning intact) or window-derived in the edge
-    // closure below — see withRideAcum.
+    // closure below — see withRideAcum. Non-warehouse feeds under the
+    // stat floor skip enrichment entirely (see EnrichMinStatBytes);
+    // TransitSssp then uses its legacy join-built pin.
     val hasStoredAcum = g.stopTimes.columns.contains("ride_acum")
+    val enrich = hasStoredAcum ||
+      g.stopTimes.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(EnrichMinStatBytes)
     val nodes = g.stopTimes
       .join(broadcast(dayTrips), Seq("trip_id"))
       .join(broadcast(g.stops), Seq("stop_id"))
@@ -258,8 +278,10 @@ object TimeExpandedGraph {
     // of one-time cost at the 100× point, paid by every uncapped
     // probe/betweenness call). A warehouse-written feed STORES the column
     // (acum is day-independent), so the bucketed layout's shuffle-free
-    // CHANGE build is untouched; other feeds pay the trip-keyed window
-    // here, once per projection.
+    // CHANGE build is untouched; other feeds over the stat floor pay the
+    // trip-keyed window here, once per projection; feeds under it skip
+    // enrichment (see EnrichMinStatBytes — the pin it serves only exists
+    // in the distributed regime).
     val wTrip = Window.partitionBy("trip_id").orderBy("stop_sequence")
     // The window-derived fallback is RECOMPUTED by its three consumers
     // (PRECEDES, the probe's s side, the schedule tgt side) during the one
@@ -272,10 +294,11 @@ object TimeExpandedGraph {
     // of generation-time enrichment — and the production warehouse path
     // pays ZERO (stored ride_acum column, no window at all).
     val nodesAcum =
-      if (hasStoredAcum) nodes.withColumn("acum", col("ride_acum"))
+      if (!enrich) nodes // unused below when enrichment is off
+      else if (hasStoredAcum) nodes.withColumn("acum", col("ride_acum"))
       else TimeExpandedGraph.withRideAcum(nodes)
         .withColumnRenamed("ride_acum", "acum")
-    val precedesDay = nodesAcum
+    val precedesDay = nodes
       .withColumn("target", lead("id", 1).over(wTrip))
       .withColumn("dst_arr", lead("arr_secs", 1).over(wTrip))
       .filter(col("target").isNotNull)
@@ -308,26 +331,32 @@ object TimeExpandedGraph {
     // sharing a route (min over per-stop minima = min over their union, and
     // a row ties globally iff it ties within its stop — so the two-stage
     // selection is exactly the one-stage one).
-    val s = nodesAcum.select(col("id").as("s_id"), col("trip_id").as("s_trip"),
+    val s = nodesAcum.select(Seq(col("id").as("s_id"),
+      col("trip_id").as("s_trip"),
       col("route_id").as("s_route"), col("service_id").as("s_service"),
-      col("stop_id").as("s_stop"), col("arr_secs").as("s_arr"),
-      col("stop_sequence").as("s_seq"), col("acum").as("s_acum"))
+      col("stop_id").as("s_stop"), col("arr_secs").as("s_arr")) ++
+      (if (enrich) Seq(col("stop_sequence").as("s_seq"),
+        col("acum").as("s_acum")) else Nil): _*)
     val walk = walkToEdges.select(col("src_stop_id").as("n_stop"),
       col("dst_stop_id").as("s_stop"), col("distance"))
-    val tgt = nodesAcum.select(col("id").as("t_id"),
+    val tgt = nodesAcum.select(Seq(col("id").as("t_id"),
       col("route_id").as("t_route"), col("service_id").as("t_service"),
-      col("stop_id").as("n_stop"), col("dep_secs").as("t_dep"),
-      col("trip_id").as("t_trip"), col("stop_sequence").as("t_seq"),
-      col("acum").as("t_acum"))
+      col("stop_id").as("n_stop"), col("dep_secs").as("t_dep")) ++
+      (if (enrich) Seq(col("trip_id").as("t_trip"),
+        col("stop_sequence").as("t_seq"), col("acum").as("t_acum"))
+      else Nil): _*)
 
     // Entry layout: (t_dep, t_id) lead — the probe's binary-search keys
     // and the struct sort order (t_id is unique, so the trailing
     // enrichment fields never influence ordering) — then the target's
     // position + ride prefix riding along for the enriched edge output.
+    val entry =
+      if (enrich) struct(col("t_dep").cast("long").as("t_dep"),
+        col("t_id"), col("t_trip"), col("t_seq"), col("t_acum"))
+      else struct(col("t_dep"), col("t_id"))
     val sched = tgt
       .groupBy("n_stop", "t_service", "t_route")
-      .agg(sort_array(collect_list(struct(col("t_dep").cast("long").as("t_dep"),
-        col("t_id"), col("t_trip"), col("t_seq"), col("t_acum")))).as("deps"))
+      .agg(sort_array(collect_list(entry)).as("deps"))
 
     // Fold the walk dimension in BEFORE the big-side join: per (source stop,
     // walking distance, service, route) the sorted UNION of all equidistant
@@ -369,39 +398,45 @@ object TimeExpandedGraph {
     // under the stop-bucketed layout.
     val schedAtCached = schedAt.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per entry: 2 longs + int + double + struct overhead ≈ 40 B plus the
-    // trip key's actual bytes (the r14 enrichment made entries carry it)
+    // per entry: 2 longs + struct overhead ≈ 16 B; enriched entries add
+    // int + double + the trip key's actual bytes (~40 B + key)
+    val entryBytes =
+      if (enrich) aggregate(col("deps"), lit(0L), (acc, e) =>
+        acc + lit(40L) + length(e.getField("t_trip")).cast("long"))
+      else size(col("deps")).cast("long") * 16L
     val schedBytes = schedAtCached
-      .agg(coalesce(sum(aggregate(col("deps"), lit(0L), (acc, e) =>
-        acc + lit(40L) + length(e.getField("t_trip")).cast("long")) + 64L),
-        lit(0L)))
+      .agg(coalesce(sum(entryBytes + 64L), lit(0L)))
       .collect()(0).getLong(0)
     val schedSide =
       if (schedBytes <= BroadcastSchedMaxBytes) broadcast(schedAtCached)
       else schedAtCached
 
     val walkSecs = floor(col("distance") / speed).cast("long")
-    val changeEdges = s
+    val probed = s
       .join(schedSide, Seq("s_stop"))
       .filter(col("t_service") === col("s_service") &&
         col("t_route") =!= col("s_route"))
       .withColumn("walking_time", walkSecs)
-      .select(col("s_id"), col("s_arr"), col("walking_time"),
-        col("s_trip"), col("s_seq"), col("s_acum"),
+      .select(Seq(col("s_id"), col("s_arr"), col("walking_time")) ++
+        (if (enrich) Seq(col("s_trip"), col("s_seq"), col("s_acum"))
+        else Nil) :+
         explode(graft.functions.expressions.EarliestAfterExpr(col("deps"),
-          col("s_arr") + col("walking_time"))).as("e"))
-      .select(col("s_id").as("source"), col("e.t_id").as("target"),
-        lit("CHANGE").as("type"),
-        (col("e.t_dep") - col("s_arr") + col("walking_time")).cast("long").as("waiting_time"),
-        col("walking_time"),
-        // position/rel-weight enrichment (see the acum comment above):
-        // TransitSssp's whole-day slice pin reads these verbatim
-        col("s_trip"), col("s_seq"),
-        col("e.t_trip").as("d_trip"), col("e.t_seq").as("d_seq"),
-        col("s_acum"), col("e.t_acum").as("d_acum"))
-      .withColumn("w_rel",
-        col("s_acum") + col("waiting_time").cast("double") - col("d_acum"))
-      .drop("s_acum")
+          col("s_arr") + col("walking_time"))).as("e"): _*)
+    val changeBase = Seq(col("s_id").as("source"), col("e.t_id").as("target"),
+      lit("CHANGE").as("type"),
+      (col("e.t_dep") - col("s_arr") + col("walking_time")).cast("long").as("waiting_time"),
+      col("walking_time"))
+    val changeEdges =
+      if (!enrich) probed.select(changeBase: _*)
+      else probed.select(changeBase ++ Seq(
+          // position/rel-weight enrichment (see the acum comment above):
+          // TransitSssp's whole-day slice pin reads these verbatim
+          col("s_trip"), col("s_seq"),
+          col("e.t_trip").as("d_trip"), col("e.t_seq").as("d_seq"),
+          col("s_acum"), col("e.t_acum").as("d_acum")): _*)
+        .withColumn("w_rel",
+          col("s_acum") + col("waiting_time").cast("double") - col("d_acum"))
+        .drop("s_acum")
 
     // U1: the projected edge list is CHANGE ∪ PRECEDES (`main.py:17`) —
     // cached with the enrichment columns (PRECEDES rows null-extended);

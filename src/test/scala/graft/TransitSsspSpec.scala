@@ -296,17 +296,52 @@ class TransitSsspSpec extends SparkSpec {
   }
 
   test("position-enriched CHANGE edges give the same distances as the raw 5-column list") {
-    // r14: the projection carries positions/w_rel/d_acum on CHANGE edges so
-    // the whole-day slice pin needs no position joins; the legacy join
-    // build stays for raw edge lists. Both pin paths must agree exactly.
+    // r14: above the stat floor the projection carries positions/w_rel/
+    // d_acum on CHANGE edges so the whole-day slice pin needs no position
+    // joins; the legacy join build stays for raw edge lists and
+    // under-floor feeds. Both pin paths must agree exactly — uncapped AND
+    // through the capped-slice machinery (whose enriched branch restricts
+    // by id semi-joins instead of position joins).
+    val gE = {
+      val floor = graft.projection.TimeExpandedGraph.EnrichMinStatBytes
+      try {
+        graft.projection.TimeExpandedGraph.EnrichMinStatBytes = 0L
+        val gtfs = graft.api.DemoGtfs.tables(spark)
+        val walk = graft.etl.GraphBuilder.walkTo(gtfs.stops, 300.0)
+        graft.projection.TimeExpandedGraph.build(
+          gtfs, java.sql.Date.valueOf("2024-01-18"), 1.0, walk)
+      } finally graft.projection.TimeExpandedGraph.EnrichMinStatBytes = floor
+    }
+    assert(gE.changeEnriched.columns.contains("w_rel"),
+      "forced floor did not produce enriched edges")
+    assert(!g.changeEnriched.columns.contains("w_rel"),
+      "default floor should keep fixture-scale feeds un-enriched")
     val sources = g.nodes.orderBy("id").limit(2).select("id")
       .as[Long].collect().toSet
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select("vertex_id", "source_id", "dist", "pred")
         .as[(Long, Long, Double, Long)].collect().toSet
-    val enriched = key(TransitSssp.run(g.nodes, g.changeEnriched, sources))
+    val enriched = key(TransitSssp.run(gE.nodes, gE.changeEnriched, sources))
     val legacy = key(TransitSssp.run(g.nodes, changeEdges, sources))
     assert(enriched == legacy && enriched.nonEmpty)
+    // capped: enriched slice build (forced) vs the legacy instance's
+    val clk = g.nodes.select(col("dep_secs").cast("double"))
+      .as[Double].collect().sorted.apply(g.nodes.count().toInt / 2)
+    val minN = TransitSssp.cappedSliceMinNodes
+    val (cE, cL) = try {
+      TransitSssp.cappedSliceMinNodes = 0L
+      def capped(n: org.apache.spark.sql.DataFrame,
+          c: org.apache.spark.sql.DataFrame) = {
+        val st = new TransitSssp(n, c).staged(sources, clockCap = clk)
+        val r = st.distances.select("vertex_id", "source_id", "dist")
+          .as[(Long, Long, Double)].collect().toSet
+        st.release(); r
+      }
+      (capped(gE.nodes, gE.changeEnriched), capped(g.nodes, changeEdges))
+    } finally TransitSssp.cappedSliceMinNodes = minN
+    assert(cE == cL && cE.nonEmpty,
+      "enriched capped-slice distances diverged from the legacy build")
+    gE.unpersist()
   }
 
   test("empty sources and unreachable seeds degrade gracefully") {
