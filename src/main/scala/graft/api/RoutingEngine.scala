@@ -312,8 +312,14 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       val rows = targets.limit(RoutingEngine.TargetCollectMaxRows + 1).collect()
       if (rows.length > RoutingEngine.TargetCollectMaxRows) None else Some(rows)
     }
-    def clockOf(r: org.apache.spark.sql.Row): Long = math.max(
-      r.getAs[Number]("t_arr").longValue(), r.getAs[Number]("t_dep").longValue())
+    // greatest()-of-the-replaced-aggregate semantics: GTFS permits blank
+    // non-timepoint arrivals, so a null t_arr contributes its dep clock
+    // only (t_dep is non-null by the horizon filter's null rejection)
+    def clockOf(r: org.apache.spark.sql.Row): Long = {
+      val dep = r.getAs[Number]("t_dep").longValue()
+      val arr = r.getAs[Number]("t_arr")
+      if (arr == null) dep else math.max(arr.longValue(), dep)
+    }
     val capAnchor = tgtLocal match {
       case Some(rows) =>
         if (rows.isEmpty) return Nil // no rankable targets
@@ -334,12 +340,19 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     // whole projection. On cadence-bounded feeds (hubs) this replaces
     // hundreds of per-CHANGE-depth Spark rounds with ns/edge relaxation.
     // Ranking key = PairOrder.key, the same definition every branch uses.
-    for (tgtRows <- tgtLocal;
+    // Null-arr targets keep the staged flow: the distributed ranking
+    // orders their null (t_arr + t_walk) key nulls-first, a behavior the
+    // driver-side key can't express without duplicating the formula —
+    // and such rows only occur on non-timepoint-blank feeds.
+    for (tgtRows <- tgtLocal
+           if tgtRows.forall(r => !r.isNullAt(r.fieldIndex("t_arr")));
          run <- g.sssp.runForTargetsCapped(srcIds,
            tgtRows.iterator.map(_.getAs[Long]("t_id")).toSet, capAnchor.toDouble)) {
+      // iterators end to end: the pair space is |sources| × up to 1M
+      // collected targets — minByOption keeps it O(1) extra memory
       val ranked = for {
-        s <- srcLocal.toSeq
-        t <- tgtRows
+        s <- srcLocal.iterator
+        t <- tgtRows.iterator
         if t.getAs[Number]("t_dep").longValue() >
           s.getAs[Number]("s_dep").longValue() // target departs after source
         cost <- run.distance(s.getLong(0), t.getAs[Long]("t_id"))
@@ -347,11 +360,13 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
           t.getAs[Double]("t_walk"), cost, s.getAs[Double]("s_walk"),
           s.getLong(0), t.getAs[Long]("t_id")),
         s.getLong(0), t.getAs[Long]("t_id"))
-      if (ranked.isEmpty) return Nil
-      val (_, bestSrc, bestTgt) = ranked.minBy(_._1)
-      val path = run.path(bestSrc, bestTgt)
-      if (path.size < 2) return Nil
-      return segments(g, path)
+      ranked.minByOption(_._1) match {
+        case None => return Nil
+        case Some((_, bestSrc, bestTgt)) =>
+          val path = run.path(bestSrc, bestTgt)
+          if (path.size < 2) return Nil
+          return segments(g, path)
+      }
     }
 
     val staged = g.sssp.runStaged(srcIds, costCap, capAnchor.toDouble)

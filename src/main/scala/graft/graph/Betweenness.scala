@@ -395,8 +395,10 @@ object Betweenness {
     }
     val scores =
       if (g.edgeCount > localThreshold && transitAboveThreshold)
-        // changeEnriched: the position-enriched CHANGE frame lets the
-        // underlying TransitSssp pin its slice without position joins
+        // changeEnriched is interchangeable with the 5-column view here:
+        // TransitBetweenness re-keys to HOP space (its own positions,
+        // waiting_time = 1) before its inner TransitSssp ever sees the
+        // frame, so the r14 enrichment neither helps nor hurts this branch
         TransitBetweenness.run(g.nodes, g.changeEnriched, srcs)
       else
         run(g.edges.select(col("source").as("src"), col("target").as("dst")),

@@ -512,7 +512,6 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * callers still share one build through the lazy val's own monitor. */
   private final class CappedBucket(bucket: Long) {
     @volatile private[TransitSssp] var slicesForced = false
-    @volatile private[TransitSssp] var csrForced = false
     lazy val slices: RunSlices = {
       val r = buildSlices(bucket)
       slicesForced = true
@@ -520,13 +519,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     }
     /** Driver-CSR image of the padded-capped subgraph (see
       * [[buildCappedCsr]]); None when the slice gates fell back to the
-      * shared pin or the edge budget is exceeded. */
-    lazy val csr: Option[ShortestPaths.Csr] = {
-      val r = slices.pos.flatMap(p => buildCappedCsr(bucket, slices.slice,
+      * shared pin or the edge budget is exceeded. Plain driver arrays —
+      * no release path; dropped with the bucket map. */
+    lazy val csr: Option[ShortestPaths.Csr] =
+      slices.pos.flatMap(p => buildCappedCsr(bucket, slices.slice,
         p, slices.nPos))
-      csrForced = true
-      r
-    }
   }
 
   /** Memoized clock-capped run frames, keyed by cap bucket (see
@@ -679,6 +676,17 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         (col("w_rel") - col("s_acum") + col("d_acum")).as("w"))
     import spark.implicits._
     val rows = prec.unionByName(chg).as[(Long, Long, Double)].collect()
+    // Dijkstra needs non-negative weights; a non-monotone feed (arr(u) <
+    // dep(u−1)) yields a negative PRECEDES Δacum, where the distributed
+    // rounds it would replace are iterate-to-fixpoint (exact under
+    // negative increments). Gate, don't assume: one pass over the
+    // collected rows, and such feeds keep the distributed path — making
+    // this regime STRICTLY safer than a plain CSR on the same feed.
+    if (rows.exists(_._3 < 0.0)) {
+      TransitSssp.tlog(f"capped csr bucket=$bucket%d: negative-weight " +
+        "edge (non-monotone feed) - staying distributed")
+      return None
+    }
     val csr = ShortestPaths.buildCsr(rows)
     TransitSssp.tlog(f"capped csr bucket=$bucket%d (${csr.n}%d vertices, " +
       f"${rows.length}%d edges) ${(System.nanoTime() - t0) / 1e9}%.2f s")

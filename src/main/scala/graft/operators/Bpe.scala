@@ -181,7 +181,7 @@ object Bpe {
     * The head of `top` alone is always a legal batch (one sequential
     * round), which is the fallback whenever the rules truncate everything. */
   private[graft] def selectBatch(top: Seq[(String, String, Long)],
-      priorSymbols: Set[String]): Seq[(String, String)] =
+      priorSymbols: scala.collection.Set[String]): Seq[(String, String)] =
     selectBatchEx(top, priorSymbols, complete = false)._1
 
   /** [[selectBatch]] generalized for the hybrid regime, which can see the
@@ -196,7 +196,7 @@ object Bpe {
     * an incomplete window is only worth re-probing deeper when the flag is
     * false. */
   private[graft] def selectBatchEx(top: Seq[(String, String, Long)],
-      priorSymbols: Set[String], complete: Boolean)
+      priorSymbols: scala.collection.Set[String], complete: Boolean)
       : (Seq[(String, String)], Boolean) = {
     if (top.isEmpty) return (Nil, false)
     val used = scala.collection.mutable.HashSet.empty[String]
@@ -323,12 +323,18 @@ object Bpe {
       wi += 1
     }
     var round = 0
+    // prior grows by exactly the batch each round — maintained
+    // incrementally (a per-round rebuild is O(merges) strings, which over
+    // a 32k-deep run is O(M^2) of pure overhead in the regime that exists
+    // to erase per-round overhead)
+    val prior = scala.collection.mutable.HashSet.empty[String]
+    merges.foreach { case (a, b) => prior += (a + b) }
     while (merges.size < numMerges && map.nonEmpty) {
       val roundT0 = System.nanoTime()
-      val prior = merges.iterator.map { case (a, b) => a + b }.toSet
       val batch = selectBatchFromMap(map, prior).take(numMerges - merges.size)
       merges ++= batch
       val batchSyms = batch.map { case (a, b) => a + b }.toSet
+      prior ++= batchSyms
       val visited = new java.util.BitSet(syms.length)
       var touched = 0
       batch.foreach { pair =>
@@ -501,7 +507,7 @@ object Bpe {
     * `orderBy(desc("n"), asc("a"), asc("b"))`. */
   private def selectBatchFromMap(
       map: scala.collection.mutable.HashMap[(String, String), Long],
-      prior: Set[String]): Seq[(String, String)] = {
+      prior: scala.collection.Set[String]): Seq[(String, String)] = {
     var k = BatchProbe
     while (true) {
       val complete = k >= map.size
