@@ -307,11 +307,16 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     // horizon), not graph-sized. Driver rows serve (a) the cap anchor
     // without a separate agg job and (b) the capped-CSR regime's
     // driver-side ranking below. An oversized dimension keeps the
-    // distributed agg + staged flow.
-    val tgtLocal = {
-      val rows = targets.limit(RoutingEngine.TargetCollectMaxRows + 1).collect()
-      if (rows.length > RoutingEngine.TargetCollectMaxRows) None else Some(rows)
-    }
+    // distributed agg + staged flow — as does a projection where the
+    // capped regime is structurally inactive (budget off, under the
+    // node-count floor): there the collect would be pure waste and the
+    // one distributed agg it replaced is the cheaper plan (r14 ADVICE).
+    val tgtLocal =
+      if (!g.sssp.cappedMayEngage) None
+      else {
+        val rows = targets.limit(RoutingEngine.TargetCollectMaxRows + 1).collect()
+        if (rows.length > RoutingEngine.TargetCollectMaxRows) None else Some(rows)
+      }
     // greatest()-of-the-replaced-aggregate semantics: GTFS permits blank
     // non-timepoint arrivals, so a null t_arr contributes its dep clock
     // only (t_dep is non-null by the horizon filter's null rejection)

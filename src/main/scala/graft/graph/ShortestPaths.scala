@@ -237,7 +237,15 @@ object ShortestPaths {
         * horizon-bounded subgraph when it fits the driver budget, None
         * otherwise. The transit projection plugs in
         * [[TransitSssp.runForTargetsCapped]]. */
-      cappedTargets: Option[(Set[Long], Set[Long], Double) => Option[TargetRun]] = None) {
+      cappedTargets: Option[(Set[Long], Set[Long], Double) => Option[TargetRun]] = None,
+      /** Cheap structural pre-hint that [[runForTargetsCapped]] could ever
+        * engage on this handle (budget knobs on, feed over the node-count
+        * floor) — lets callers skip capped-only preparation work (the
+        * routing engine's bounded target collect) when the regime is
+        * known inactive (r14 ADVICE). False negatives would silently
+        * disable the capped regime; providers derive it from the same
+        * gates runForTargetsCapped checks first. */
+      cappedEligibleHint: () => Boolean = () => false) {
     private val spark = edges.sparkSession
     private val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double"))
@@ -315,8 +323,8 @@ object ShortestPaths {
         // answer.
         runTargetsOnCsr(spark, g, sources, targets)
       case None =>
-        new TargetRun(run(sources).filter(col("vertex_id").isin(targets.toSeq: _*)),
-          None, Map.empty)
+        val df = run(sources).filter(col("vertex_id").isin(targets.toSeq: _*))
+        new TargetRun(() => df, None, Map.empty)
     }
 
     /** Clock-capped driver-CSR routing run (r14): when a structure-aware
@@ -332,26 +340,39 @@ object ShortestPaths {
         clockCap: Double): Option[TargetRun] =
       if (clockCap.isPosInfinity || isLocal) None
       else cappedTargets.flatMap(f => f(sources, targets, clockCap))
+
+    /** True when the clock-capped regime could engage for SOME call on
+      * this handle. Callers gate capped-only preparation on it — when
+      * false, the up-to-1M-row bounded target collect in the routing
+      * engine is pure waste and the one distributed agg it replaced is
+      * the cheaper plan (r14 ADVICE). */
+    def cappedMayEngage: Boolean =
+      !isLocal && cappedTargets.isDefined && cappedEligibleHint()
   }
 
   /** Early-terminated multi-source Dijkstra over an in-heap CSR, emitting
     * the [[Sssp.runForTargets]] contract (target-restricted distance frame
     * + driver-resident path state). Shared by the local regime and the
-    * clock-capped CSR regime ([[TransitSssp.runForTargetsCapped]]). */
+    * clock-capped CSR regime ([[TransitSssp.runForTargetsCapped]]). The
+    * distance FRAME is built lazily on first access (r14 ADVICE): the
+    * capped routing caller ranks and walks paths through the in-heap
+    * state only, so up-to-1M collected targets never pay the boxed
+    * (source × target) tuple builder or its LocalRelation. */
   private[graph] def runTargetsOnCsr(spark: SparkSession, g: Csr,
       sources: Set[Long], targets: Set[Long]): TargetRun = {
-    import spark.implicits._
     val state = computeOnCsr(g, sources, Some(targets))
-    val b = Seq.newBuilder[(Long, Long, Double, Long)]
-    for ((src, (dist, pred)) <- state; t <- targets) {
-      val ti = g.indexOf(t)
-      if (ti >= 0 && !dist(ti).isInfinity) {
-        val p = if (pred(ti) < 0) -1L else g.ids(pred(ti))
-        b += ((t, src, dist(ti), p))
+    new TargetRun(() => {
+      import spark.implicits._
+      val b = Seq.newBuilder[(Long, Long, Double, Long)]
+      for ((src, (dist, pred)) <- state; t <- targets) {
+        val ti = g.indexOf(t)
+        if (ti >= 0 && !dist(ti).isInfinity) {
+          val p = if (pred(ti) < 0) -1L else g.ids(pred(ti))
+          b += ((t, src, dist(ti), p))
+        }
       }
-    }
-    new TargetRun(b.result().toDF("vertex_id", "source_id", "dist", "pred"),
-      Some(g), state)
+      b.result().toDF("vertex_id", "source_id", "dist", "pred")
+    }, Some(g), state)
   }
 
   private def computeOnCsr(g: Csr, sources: Set[Long],
@@ -362,7 +383,9 @@ object ShortestPaths {
     // Target-bounded runs stop each source's Dijkstra once every in-graph
     // target is SETTLED (first-popped — its distance is final by the
     // Dijkstra invariant); the flag array is read-only and shared across
-    // the concurrent per-source searches.
+    // the concurrent per-source searches. Negative-weight graphs take the
+    // label-correcting fixpoint instead (spfaCsr) — no settle invariant,
+    // so no early stop; the full fixpoint is final for every vertex.
     val stop = targets.map { ts =>
       val flags = new Array[Boolean](g.n)
       var c = 0
@@ -375,7 +398,9 @@ object ShortestPaths {
     val futures = sources.toSeq.sorted.map { src =>
       src -> Future {
         val si = g.indexOf(src)
-        if (si < 0) None else Some(dijkstraCsr(g, si, stop))
+        if (si < 0) None
+        else if (g.hasNegative) Some(spfaCsr(g, si))
+        else Some(dijkstraCsr(g, si, stop))
       }
     }
     futures.flatMap { case (s, f) => Await.result(f, Duration.Inf).map(s -> _) }.toMap
@@ -387,9 +412,14 @@ object ShortestPaths {
     * via [[pathDistributed]] over the full table instead — `path` is Nil
     * there by contract. */
   final class TargetRun private[graph] (
-      val distances: DataFrame,
+      distancesThunk: () => DataFrame,
       csr: Option[Csr],
       state: Map[Long, (Array[Double], Array[Int])]) {
+
+    /** Target-restricted distance frame, built on FIRST ACCESS: callers
+      * on the in-heap fast path (capped routing) read only
+      * `distance`/`path` and never pay the frame's construction. */
+    lazy val distances: DataFrame = distancesThunk()
 
     /** True when this run holds driver-resident state (the local regime) —
       * distance/path lookups are O(1) array reads, no Spark job. */
@@ -430,7 +460,24 @@ object ShortestPaths {
       val targets: Array[Int], val weights: Array[Double]) {
     def n: Int = ids.length
     def indexOf(v: Long): Int = java.util.Arrays.binarySearch(ids, v)
+    /** True when any edge weight is negative — [[computeOnCsr]] then runs
+      * the exact label-correcting fixpoint ([[spfaCsr]]) instead of
+      * settle-once Dijkstra, which under-relaxes there. One O(E) scan,
+      * memoized; non-negative graphs (every clean feed) pay a single
+      * branch per run. */
+    lazy val hasNegative: Boolean = {
+      var i = 0
+      while (i < weights.length && weights(i) >= 0.0) i += 1
+      i < weights.length
+    }
   }
+
+  /** Thrown by the label-correcting in-heap regime when relaxation cannot
+    * reach a fixpoint — a negative-total cycle is reachable, so no
+    * shortest path exists (the distributed fixpoint rounds would spin to
+    * their iteration cap on the same input). Callers with a distributed
+    * fallback catch it and decline the in-heap regime. */
+  final class NegativeCycleException(msg: String) extends RuntimeException(msg)
 
   private[graph] def buildCsr(rows: Array[(Long, Long, Double)]): Csr = {
     val all = new Array[Long](rows.length * 2)
@@ -548,6 +595,82 @@ object ShortestPaths {
     (dist, pred)
   }
 
+  /** Label-correcting fixpoint (SPFA — Bellman–Ford with a worklist) over
+    * the CSR: the exact in-heap twin of the distributed
+    * iterate-to-fixpoint rounds for graphs carrying NEGATIVE edge
+    * weights, where settle-once Dijkstra under-relaxes. The r14 capped
+    * regime DECLINED such feeds back to the 335 s-class distributed
+    * rounds; this runs them in-heap at the same budget (r15).
+    *
+    * Exactness and tie parity: the relaxation rule and the canonical
+    * equal-dist smaller-pred-index tie-break are [[dijkstraCsr]]'s,
+    * verbatim. Every distance improvement re-enqueues its vertex, so each
+    * in-neighbor v of u relaxes u at least once AFTER dist(v) is final —
+    * at the fixpoint dist is the true shortest distance and pred(u) is
+    * the MIN-INDEX optimal in-neighbor (a non-optimal tentative pred
+    * cannot survive: its equal-cost relaxation implies its final cost
+    * ties or beats, else dist(u) drops and resets it). Hence outputs are
+    * bit-identical to dijkstraCsr on non-negative inputs and to the
+    * distributed fixpoint (same canonical rule) on negative-weight ones.
+    *
+    * No early termination: there is no settle invariant, so
+    * target-bounded callers read the full fixpoint — the capped subgraph
+    * is horizon-bounded and the worklist converges in O(V·E) worst case,
+    * msec-class at the CSR edge budget. A vertex dequeued more than n
+    * times proves a reachable negative cycle: no fixpoint exists and
+    * [[NegativeCycleException]] aborts (time-expanded projections are
+    * DAGs in the event clock, so this is a data-corruption guard, not a
+    * live path). */
+  private def spfaCsr(g: Csr, srcIdx: Int): (Array[Double], Array[Int]) = {
+    val n = g.n
+    val dist = Array.fill(n)(Double.PositiveInfinity)
+    val pred = Array.fill(n)(-1)
+    val inQueue = new Array[Boolean](n)
+    val dequeues = new Array[Int](n)
+    var queue = new Array[Int](math.max(1024, math.min(n, 1 << 16)))
+    var head = 0; var tail = 0; var size = 0
+    def enqueue(v: Int): Unit = {
+      if (size == queue.length) { // grow, unwrapping the ring
+        val bigger = new Array[Int](queue.length * 2)
+        var i = 0
+        while (i < size) { bigger(i) = queue((head + i) % queue.length); i += 1 }
+        queue = bigger; head = 0; tail = size
+      }
+      queue(tail) = v
+      tail += 1; if (tail == queue.length) tail = 0
+      size += 1
+      inQueue(v) = true
+    }
+    dist(srcIdx) = 0.0
+    enqueue(srcIdx)
+    while (size > 0) {
+      val v = queue(head)
+      head += 1; if (head == queue.length) head = 0
+      size -= 1
+      inQueue(v) = false
+      dequeues(v) += 1
+      if (dequeues(v) > n)
+        throw new NegativeCycleException("no SSSP fixpoint: negative-total " +
+          s"cycle reachable from vertex ${g.ids(srcIdx)}")
+      val dv = dist(v)
+      var j = g.offsets(v)
+      val end = g.offsets(v + 1)
+      while (j < end) {
+        val u = g.targets(j)
+        val nd = dv + g.weights(j)
+        if (nd < dist(u)) {
+          dist(u) = nd; pred(u) = v
+          if (!inQueue(u)) enqueue(u)
+        }
+        // canonical equal-dist tie-break, dijkstraCsr's rule verbatim:
+        // pred-only updates change no distance, so no re-enqueue
+        else if (nd == dist(u) && v < pred(u)) pred(u) = v
+        j += 1
+      }
+    }
+    (dist, pred)
+  }
+
   /** SSSP over an edge DataFrame (src: long, dst: long, weight: double),
     * returning (vertex_id, source_id, dist, pred). Adaptively picks local
     * Dijkstra vs distributed Pregel by edge count; results are identical
@@ -571,7 +694,8 @@ object ShortestPaths {
         val si = g.indexOf(src)
         if (si < 0) Array((src, src, 0.0, -1L)) // source not in the edge list
         else {
-          val (dist, pred) = dijkstraCsr(g, si)
+          val (dist, pred) =
+            if (g.hasNegative) spfaCsr(g, si) else dijkstraCsr(g, si)
           val b = Array.newBuilder[(Long, Long, Double, Long)]
           b.sizeHint(g.n / 2)
           var v = 0

@@ -94,6 +94,14 @@ object TransitSssp {
   private[graft] val cappedCsrServed =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Of the served capped-CSR runs, those whose subgraph carried a
+    * negative PRECEDES Δacum (non-monotone feed) and therefore ran the
+    * label-correcting SPFA fixpoint instead of settle-once Dijkstra
+    * (r15 — the r14 decline path, closed). Specs assert the dirty-feed
+    * fixture took this path rather than a clean-feed Dijkstra. */
+  private[graft] val cappedCsrNegativeServed =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** SPARK_GRAFT_SSSP_TRACE=1 prints one line per iteration (round index,
     * improved-row count, wall seconds) plus the one-time pin cost — dev
     * diagnostics for decomposing a routing call's cost; off by default. */
@@ -278,10 +286,16 @@ object TransitSssp {
 
   /** Driver-state budget for a capped-CSR run: each source holds a
     * (dist, pred) pair of arrays over the subgraph's vertices
-    * (12 B/cell). sources × vertices above this bound falls back to the
-    * distributed staged flow — routing calls carry per-route-earliest
-    * source sets (tens of rows), so the bound only trips on degenerate
-    * inputs. */
+    * (12 B/cell → 768 MB at the default). Full worst-case driver
+    * arithmetic at the default gates (r14 ADVICE): 768 MB state +
+    * ~90 MB resident CSR arrays (12 B/edge at cappedCsrMaxEdges) +
+    * ~360 MB TRANSIENT boxed tuples while the edge collect streams
+    * (~60 B/row, dead after buildCsr) ≈ 1.2 GB against the documented
+    * ≥ 4 GB driver — the target-restricted distance frame no longer
+    * contributes (built lazily, and the capped caller never reads it).
+    * sources × vertices above this bound falls back to the distributed
+    * staged flow — routing calls carry per-route-earliest source sets
+    * (tens of rows), so the bound only trips on degenerate inputs. */
   @volatile private[graft] var cappedCsrMaxStateCells: Long =
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_CSR_CELLS").map(_.toLong)
       .getOrElse(64L * 1024L * 1024L)
@@ -305,6 +319,16 @@ object TransitSssp {
   @volatile private[graft] var cappedSlicePadSecs: Long =
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_PAD").map(_.toLong)
       .getOrElse(3600L)
+
+  /** r15: a capped subgraph carrying a negative PRECEDES Δacum (a
+    * non-monotone feed — arr(u) < dep(u−1) inside the cap) runs the exact
+    * in-heap LABEL-CORRECTING fixpoint (ShortestPaths.spfaCsr) at the same
+    * budget, instead of r14's decline back to the distributed rounds —
+    * which on hub topologies are the 335 s-class path the CSR regime
+    * exists to kill. SPARK_GRAFT_SSSP_CAPPED_DIRTY=0 restores the decline
+    * (the A/B control for measurement campaigns). */
+  @volatile private[graft] var cappedDirtyInHeap: Boolean =
+    !sys.env.get("SPARK_GRAFT_SSSP_CAPPED_DIRTY").contains("0")
 
   /** Serializes the tail-cache build's set/persist/restore of the shared
     * session conf `spark.sql.inMemoryColumnarStorage.batchSize`: two
@@ -676,20 +700,28 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         (col("w_rel") - col("s_acum") + col("d_acum")).as("w"))
     import spark.implicits._
     val rows = prec.unionByName(chg).as[(Long, Long, Double)].collect()
-    // Dijkstra needs non-negative weights; a non-monotone feed (arr(u) <
-    // dep(u−1)) yields a negative PRECEDES Δacum, where the distributed
-    // rounds it would replace are iterate-to-fixpoint (exact under
+    // Settle-once Dijkstra needs non-negative weights; a non-monotone
+    // feed (arr(u) < dep(u−1)) yields a negative PRECEDES Δacum, where
+    // the distributed rounds are iterate-to-fixpoint (exact under
     // negative increments). Gate, don't assume: one pass over the
-    // collected rows, and such feeds keep the distributed path — making
-    // this regime STRICTLY safer than a plain CSR on the same feed.
-    if (rows.exists(_._3 < 0.0)) {
+    // collected rows. Since r15 such feeds STAY in-heap — the run
+    // dispatches to the exact label-correcting fixpoint
+    // (ShortestPaths.spfaCsr, same canonical tie-break, parity
+    // spec-pinned against the distributed rounds) instead of paying the
+    // 335 s-class hub fallback the r14 decline cost. The knob restores
+    // the decline for A/B control runs.
+    val negative = rows.exists(_._3 < 0.0)
+    if (negative && !TransitSssp.cappedDirtyInHeap) {
       TransitSssp.tlog(f"capped csr bucket=$bucket%d: negative-weight " +
-        "edge (non-monotone feed) - staying distributed")
+        "edge (non-monotone feed), in-heap fallback disabled - staying " +
+        "distributed")
       return None
     }
     val csr = ShortestPaths.buildCsr(rows)
     TransitSssp.tlog(f"capped csr bucket=$bucket%d (${csr.n}%d vertices, " +
-      f"${rows.length}%d edges) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      f"${rows.length}%d edges${if (negative) ", negative weights -> " +
+        "label-correcting runs" else ""}) " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     Some(csr)
   }
 
@@ -703,6 +735,16 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * SAME in-heap machinery the local regime runs (ShortestPaths), so
     * regime parity follows from the subgraph-exactness argument on
     * [[buildCappedCsr]]. */
+  /** Structural eligibility of the capped regimes for this instance — the
+    * CSR budget is on and the feed clears the node-count floor: the same
+    * leading gates [[runForTargetsCapped]] checks, exposed so callers can
+    * skip capped-only preparation (the routing engine's bounded target
+    * collect) when the regime can never engage here (r14 ADVICE). The
+    * node count is the memoized projection count — no extra job. */
+  def cappedEligible: Boolean =
+    TransitSssp.cappedCsrMaxEdges > 0L &&
+      nodeCount >= TransitSssp.cappedSliceMinNodes
+
   def runForTargetsCapped(sources: Set[Long], targets: Set[Long],
       clockCap: Double): Option[ShortestPaths.TargetRun] =
     if (clockCap.isPosInfinity || TransitSssp.cappedCsrMaxEdges <= 0L ||
@@ -714,9 +756,21 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         if (!ok) TransitSssp.tlog(f"capped csr: ${sources.size}%d sources x " +
           f"${g.n}%d vertices over state budget - staying distributed")
         ok
-      }.map { g =>
-        TransitSssp.cappedCsrServed.incrementAndGet()
-        ShortestPaths.runTargetsOnCsr(spark, g, sources, targets)
+      }.flatMap { g =>
+        try {
+          val run = ShortestPaths.runTargetsOnCsr(spark, g, sources, targets)
+          TransitSssp.cappedCsrServed.incrementAndGet()
+          if (g.hasNegative) TransitSssp.cappedCsrNegativeServed.incrementAndGet()
+          Some(run)
+        } catch {
+          // a reachable negative-total cycle has no fixpoint (corrupt
+          // feed; impossible on a time-expanded DAG) — keep the staged
+          // distributed flow, whose iteration cap bounds the damage
+          case e: ShortestPaths.NegativeCycleException =>
+            TransitSssp.tlog(s"capped csr: ${e.getMessage} - staying " +
+              "distributed")
+            None
+        }
       }
     }
 

@@ -122,7 +122,8 @@ final class TimeExpandedGraph(val nodes: DataFrame,
       // that fits the driver budget routes in-heap — the hub-cadence lever
       cappedTargets = Some { (srcs, tgts, cap) =>
         transit.runForTargetsCapped(srcs, tgts, cap)
-      })
+      },
+      cappedEligibleHint = () => transit.cappedEligible)
   }
 
   /** Driver-resident node attributes, local-SSSP regime only (see

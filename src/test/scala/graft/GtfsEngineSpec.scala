@@ -287,6 +287,67 @@ class GtfsEngineSpec extends SparkSpec {
       segD.last.getAs[String]("arrival"))
   }
 
+  test("dirty feed with a negative within-cap hop routes in-heap with full parity (r15)") {
+    // The r14 capped CSR DECLINED feeds whose capped subgraph carried a
+    // negative PRECEDES Δacum (arr running backward inside the cap) and
+    // fell back to the distributed rounds — the 335 s-class path on hub
+    // topologies. r15 serves them through the exact in-heap
+    // label-correcting fixpoint. End-to-end pin: the forced capped-CSR
+    // itinerary equals the capped distributed one AND the uncapped local
+    // CSR one (every clock is within the horizon, so no anchor-residual
+    // divergence applies), and the negative-served counter proves the
+    // SPFA path ran.
+    import graft.functions.TimeFunctions.secondsSinceMidnight
+    import graft.graph.TransitSssp
+    val agency = Seq(("A", "http://example.org", "Europe/Rome"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    val routes = Seq(("R1", "1", "Start-Mid", 3), ("R2", "2", "Mid-End", 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = Seq(("R1", "S1", "TA"), ("R2", "S1", "TB"))
+      .map { case (r, s, t) => (r, s, t, "0", "SH", "h") }
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id",
+        "trip_headsign")
+    val stops = Seq(
+      ("SA", "Start", 44.6000, 10.9000), ("SB", "Mid0", 44.6100, 10.9000),
+      ("SM", "Mid", 44.6200, 10.9000), ("ST", "End", 44.6300, 10.9100))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    val stopTimes = Seq(
+      ("TA", "14:00:00", "14:00:00", "SA", 1),
+      ("TA", "14:20:00", "14:21:00", "SB", 2),
+      ("TB", "14:25:00", "14:30:00", "SB", 1),
+      ("TB", "14:10:00", "14:45:00", "SM", 2), // arr 14:10 < prev dep 14:30
+      ("TB", "15:00:00", "15:01:00", "ST", 3))
+      .toDF("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")
+      .withColumn("arr_secs", secondsSinceMidnight(col("arrival_time")))
+      .withColumn("dep_secs", secondsSinceMidnight(col("departure_time")))
+    val calendar = Seq(("S1", java.sql.Date.valueOf("2024-01-18"), "1"))
+      .toDF("service_id", "day", "exception_type")
+    val tables = graft.model.GtfsTables(agency, routes, trips, stops,
+      stopTimes, calendar)
+    def seg(eng: graft.api.RoutingEngine) =
+      eng.routing(Day, 1.0, "13:50:00", "Start", "End").collect().toSeq
+    val segL = seg(new graft.api.RoutingEngine(tables)) // uncapped local CSR
+    val segD = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
+    val segC = { // forced capped-CSR regime — must take the SPFA path
+      val (minN, srv0, neg0) = (TransitSssp.cappedSliceMinNodes,
+        TransitSssp.cappedCsrServed.get(),
+        TransitSssp.cappedCsrNegativeServed.get())
+      try {
+        TransitSssp.cappedSliceMinNodes = 0L
+        val r = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
+        assert(TransitSssp.cappedCsrServed.get() > srv0,
+          "capped-CSR regime did not engage on the dirty feed")
+        assert(TransitSssp.cappedCsrNegativeServed.get() > neg0,
+          "dirty feed did not take the negative-weight in-heap path")
+        r
+      } finally TransitSssp.cappedSliceMinNodes = minN
+    }
+    assert(segC == segD, "dirty-feed capped CSR diverged from distributed")
+    assert(segC == segL, "dirty-feed capped CSR diverged from the local CSR")
+    assert(segC.map(_.getAs[String]("next_stop")) ==
+      Seq("Mid0", "Mid0", "Mid", "End"))
+  }
+
   test("concurrent routing calls do not corrupt each other's paths") {
     // two threads route different OD pairs against the SAME engine (shared
     // projection + Sssp handle); each TargetRun owns its own path state, so

@@ -351,4 +351,131 @@ class TransitSsspSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect().toSeq
     assert(out == Seq((-42L, -42L, 0.0, -1L)))
   }
+
+  test("negative-weight edge list: in-heap fixpoint equals Pregel (r15 SPFA)") {
+    // A negative-weight DAG where the greedy settle-once answer is WRONG
+    // (1→2 direct costs 5, via 3 costs −2): the local regime must now
+    // dispatch to the label-correcting fixpoint and match the Pregel
+    // fixpoint exactly, pred tie-breaks included. Before r15 the local
+    // branch silently ran Dijkstra here.
+    val edges = Seq(
+      (1L, 2L, 5.0), (1L, 3L, 2.0), (3L, 2L, -4.0),
+      (2L, 4L, 1.0), (3L, 4L, 10.0), (4L, 5L, -1.0))
+      .toDF("src", "dst", "weight")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vertex_id", "source_id", "dist", "pred")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val local = key(ShortestPaths.fromDF(edges, Set(1L),
+      localThreshold = Long.MaxValue))
+    val pregel = key(ShortestPaths.fromDF(edges, Set(1L), localThreshold = 0))
+    assert(local == pregel)
+    assert(local.contains((2L, 1L, -2.0, 3L)), s"wrong fixpoint: $local")
+    assert(local.contains((5L, 1L, -2.0, 4L)))
+  }
+
+  test("reachable negative-total cycle aborts the in-heap fixpoint") {
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, -5.0), (3L, 2L, 1.0), (2L, 4L, 1.0))
+      .toDF("src", "dst", "weight")
+    assertThrows[ShortestPaths.NegativeCycleException] {
+      ShortestPaths.fromDF(edges, Set(1L), localThreshold = Long.MaxValue)
+        .collect()
+    }
+  }
+
+  test("dirty feed with negative within-cap Δacum: capped CSR serves in-heap with parity (r15)") {
+    // A trip whose intermediate arrival clock runs BACKWARD (arr(u) <
+    // dep(u−1)) puts a negative PRECEDES weight inside the cap. r14
+    // declined the CSR here and hub topologies paid the 335 s-class
+    // distributed rounds; r15 keeps the run in-heap through the exact
+    // label-correcting fixpoint. Pinned: (a) the negative-served counter
+    // proves the SPFA path ran, (b) distances AND the resolved path match
+    // the capped distributed rounds exactly, (c) the control knob
+    // restores the r14 decline.
+    import graft.functions.TimeFunctions.secondsSinceMidnight
+    val agency = Seq(("A", "http://example.org", "Europe/Rome"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    val routes = Seq(("R1", "1", "L1", 3), ("R2", "2", "L2", 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = Seq(("R1", "S1", "TA"), ("R2", "S1", "TB"))
+      .map { case (r, s, t) => (r, s, t, "0", "SH", "h") }
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id",
+        "trip_headsign")
+    val stops = Seq(
+      ("SA", "Sa", 44.60, 10.90), ("SB", "Sb", 44.61, 10.90),
+      ("SC", "Sc", 44.62, 10.90), ("SD", "Sd", 44.63, 10.91),
+      ("SE", "Se", 44.64, 10.92))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    val stopTimes = Seq(
+      ("TA", "14:00:00", "14:00:00", "SA", 1),
+      ("TA", "14:20:00", "14:21:00", "SB", 2),
+      ("TA", "14:10:00", "14:30:00", "SC", 3), // arr 14:10 < prev dep 14:21
+      ("TA", "14:40:00", "14:41:00", "SD", 4),
+      ("TB", "14:38:00", "14:40:00", "SB", 1),
+      ("TB", "14:55:00", "14:56:00", "SE", 2))
+      .toDF("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")
+      .withColumn("arr_secs", secondsSinceMidnight(col("arrival_time")))
+      .withColumn("dep_secs", secondsSinceMidnight(col("departure_time")))
+    val calendar = Seq(("S1", java.sql.Date.valueOf("2024-01-18"), "1"))
+      .toDF("service_id", "day", "exception_type")
+    val gtfs = graft.model.GtfsTables(agency, routes, trips, stops,
+      stopTimes, calendar)
+    val walk = graft.etl.GraphBuilder.walkTo(gtfs.stops, 300.0)
+    val gD = graft.projection.TimeExpandedGraph.build(
+      gtfs, java.sql.Date.valueOf("2024-01-18"), 1.0, walk)
+    val ts = new TransitSssp(gD.nodes,
+      gD.edges.filter(col("type") === "CHANGE"))
+    // seed at TA's head so the negative intra-trip hop is ON the reached
+    // chain (an id-ordered pick can land on a terminal row)
+    val sources = gD.nodes
+      .filter(col("trip_id") === "TA" && col("stop_sequence") === 1)
+      .select("id").as[Long].collect().toSet
+    val clk = 15.0 * 3600 // every row is within cap — the Δacum too
+    val targets = gD.nodes.filter(col("dep_secs") <= clk).select("id")
+      .as[Long].collect().toSet
+    val (minN, maxE) =
+      (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedCsrMaxEdges)
+    val (csrRows, csrPath, pathKey) = try {
+      TransitSssp.cappedSliceMinNodes = 0L
+      TransitSssp.cappedCsrMaxEdges = 1L << 40
+      val negBefore = TransitSssp.cappedCsrNegativeServed.get()
+      val run = ts.runForTargetsCapped(sources, targets, clk)
+        .getOrElse(fail("dirty-feed capped run did not engage the CSR"))
+      assert(TransitSssp.cappedCsrNegativeServed.get() > negBefore,
+        "the run did not take the negative-weight in-heap path")
+      val rows = run.distances.select("vertex_id", "source_id", "dist")
+        .as[(Long, Long, Double)].collect().toSet
+      val (far, src) = rows.filter(_._2 == sources.min) match {
+        case s if s.nonEmpty => val m = s.maxBy(r => (r._3, r._1)); (m._1, m._2)
+        case _ => fail("dirty-feed capped run reached no targets")
+      }
+      // control: the knob restores the r14 decline
+      val dirty = TransitSssp.cappedDirtyInHeap
+      val declined = try {
+        TransitSssp.cappedDirtyInHeap = false
+        new TransitSssp(gD.nodes, gD.edges.filter(col("type") === "CHANGE"))
+          .runForTargetsCapped(sources, targets, clk)
+      } finally TransitSssp.cappedDirtyInHeap = dirty
+      assert(declined.isEmpty, "disabled fallback must decline the CSR")
+      (rows, run.path(src, far), (src, far))
+    } finally {
+      TransitSssp.cappedSliceMinNodes = minN
+      TransitSssp.cappedCsrMaxEdges = maxE
+    }
+    val st = try {
+      TransitSssp.cappedSliceMinNodes = 0L
+      ts.staged(sources, clockCap = clk)
+    } finally TransitSssp.cappedSliceMinNodes = minN
+    val distRows = st.distances.select("vertex_id", "source_id", "dist")
+      .as[(Long, Long, Double)].collect().toSet
+    val distPath = ShortestPaths.pathDistributed(
+      st.resolve(pathKey._1), pathKey._1, pathKey._2)
+    st.release()
+    assert(csrRows == distRows,
+      "dirty-feed CSR distances diverged from the capped distributed run")
+    assert(csrPath == distPath,
+      "dirty-feed CSR path diverged from the capped distributed run")
+    assert(csrPath.size >= 2)
+    gD.unpersist()
+  }
 }
