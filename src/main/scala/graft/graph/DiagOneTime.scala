@@ -48,7 +48,12 @@ object DiagOneTime {
     val bridge = org.apache.spark.sql.graftbridge.CheckpointBridge
 
     timed("trip-prefix pin (prepared.count)") { transit.prepared.count() }
-    timed("change-slice pin (change.count)") { transit.change.count() }
+    // r15 (verdict #5): the pin's row count rides the checkpoint write as
+    // an Observation — forcing the pin IS the count, one job
+    timed("change-slice pin (+observed count)") {
+      transit.change
+      println(s"[diag] change pin rows (observed): ${transit.changeRowCount}")
+    }
 
     // Same cap a production "08:00 + 4 h horizon" route would use.
     val clockCap = 12 * 3600.0

@@ -101,14 +101,21 @@ object ShortestPaths {
       .flatMap { case (vid, st) => st.get(source).map { case (_, pred) => (vid, pred) } }
       .collect().toMap
     if (!chain.contains(target)) return Nil
+    // step-bounded: the distributed fixpoint's canonical tie-break can
+    // emit a CYCLIC pred assignment on zero-total-cycle (dirty-clock)
+    // feeds — fail with a pointed error instead of spinning (r15; the
+    // in-heap regimes repair via acyclicPreds instead)
     @annotation.tailrec
-    def walk(v: VertexId, acc: List[VertexId]): List[VertexId] =
+    def walk(v: VertexId, acc: List[VertexId], steps: Int): List[VertexId] =
       if (v == source) v :: acc
+      else if (steps > chain.size) throw new IllegalStateException(
+        "predecessor cycle in path walk - canonical ties have no tree on " +
+          "this feed (zero-total cycle); route through the in-heap regime")
       else chain.get(v) match {
-        case Some(p) if p != -1L => walk(p, v :: acc)
+        case Some(p) if p != -1L => walk(p, v :: acc, steps + 1)
         case _ => v :: acc
       }
-    walk(target, Nil)
+    walk(target, Nil, 0)
   }
 
   /** One-source chain-row count under which pathDistributed collects the
@@ -157,17 +164,29 @@ object ShortestPaths {
         // both walk the same converged predecessor function from target
         // to source; this one resolves it from a collected map.
         val chain = chain0.as[(Long, Long)].collect().toMap
+        // step-bounded against cyclic pred output (see pathTo's guard)
         @annotation.tailrec
-        def walk(v: Long, acc: List[Long]): List[Long] =
+        def walk(v: Long, acc: List[Long], steps: Int): List[Long] =
           if (v == source) v :: acc
+          else if (steps > chain.size) throw new IllegalStateException(
+            "predecessor cycle in path walk - canonical ties have no tree " +
+              "on this feed (zero-total cycle); route through the in-heap " +
+              "regime")
           else chain.get(v) match {
-            case Some(p) => walk(p, v :: acc)
+            case Some(p) => walk(p, v :: acc, steps + 1)
             case None => v :: acc // seed row (pred −1) was filtered out
           }
-        return walk(target, Nil)
+        return walk(target, Nil, 0)
       }
       val jumps = scala.collection.mutable.ArrayBuffer(chain0)
+      // 63 doubling levels cover any acyclic chain (2^63 rows); a table
+      // still non-empty past that proves a pred cycle — fail clean
+      // instead of launching jobs forever
       while (!jumps.last.isEmpty) {
+        if (jumps.size > 63) throw new IllegalStateException(
+          "predecessor cycle in jump tables - canonical ties have no tree " +
+            "on this feed (zero-total cycle); route through the in-heap " +
+            "regime")
         val jk = jumps.last
         // flattenStats: the self-join SQUARES the size estimate per
         // doubling level (see TransitSssp.ckpt's scaladoc for the
@@ -399,11 +418,50 @@ object ShortestPaths {
       src -> Future {
         val si = g.indexOf(src)
         if (si < 0) None
-        else if (g.hasNegative) Some(spfaCsr(g, si))
-        else Some(dijkstraCsr(g, si, stop))
+        else if (g.hasNegative) Some(acyclicPreds(g, si, spfaCsr(g, si, _)))
+        else Some(acyclicPreds(g, si, dijkstraCsr(g, si, stop, _)))
       }
     }
     futures.flatMap { case (s, f) => Await.result(f, Duration.Inf).map(s -> _) }.toMap
+  }
+
+  /** Guard against the zero-total-cycle pathology (r15, found by the
+    * dirty-hub measurement): on a feed whose optimal-path structure
+    * contains a cycle of total weight EXACTLY zero (only possible with
+    * inconsistent clock data — on clean time-expanded feeds event clocks
+    * strictly advance around any cycle), the canonical equal-dist
+    * smaller-pred tie-break is unsatisfiable as a tree — the per-vertex
+    * minima themselves form a cycle, and every regime's path walk would
+    * spin on it. Detect in O(V) (color-stamped chain walks) and, only
+    * then, rerun the SAME search with STRICT-improvement pred updates
+    * only: distances are unchanged (tie-breaks never affect distance) and
+    * the strict pred graph is provably acyclic — setting pred(u)=v
+    * strictly lowers dist(u), so a pred cycle would telescope to a
+    * negative-total cycle, which the run would have rejected. The strict
+    * tree is deterministic (fixed relaxation order per regime) but not
+    * canonical across regimes; acceptable because it engages only on
+    * feeds where the canonical rule HAS no tree. */
+  private def acyclicPreds(g: Csr, srcIdx: Int,
+      run: Boolean => (Array[Double], Array[Int])): (Array[Double], Array[Int]) = {
+    val first = run(true)
+    if (!predHasCycle(first._2)) first else run(false)
+  }
+
+  private def predHasCycle(pred: Array[Int]): Boolean = {
+    val n = pred.length
+    val state = new Array[Byte](n) // 0 unvisited, 1 on current walk, 2 done
+    var i = 0
+    while (i < n) {
+      if (state(i) == 0) {
+        var v = i
+        while (v >= 0 && state(v) == 0) { state(v) = 1; v = pred(v) }
+        if (v >= 0 && state(v) == 1) return true
+        var u = i
+        while (u >= 0 && state(u) == 1) { state(u) = 2; u = pred(u) }
+      }
+      i += 1
+    }
+    false
   }
 
   /** One runForTargets call's result: the target-restricted distance frame
@@ -445,7 +503,15 @@ object ShortestPaths {
           else {
             var acc: List[Long] = Nil
             var v = ti
-            while (v >= 0) { acc = g.ids(v) :: acc; v = pred(v) }
+            var steps = 0
+            while (v >= 0) {
+              // acyclicPreds makes this unreachable; keep the walk from
+              // ever spinning if a future pred producer regresses
+              steps += 1
+              if (steps > g.n) throw new IllegalStateException(
+                "predecessor cycle in path walk (zero-total-cycle feed?)")
+              acc = g.ids(v) :: acc; v = pred(v)
+            }
             acc
           }
         case _ => Nil
@@ -525,7 +591,8 @@ object ShortestPaths {
     * later than the last candidate target — the routing hot path stops at
     * the horizon instead of flooding the rest of the service day. */
   private def dijkstraCsr(g: Csr, srcIdx: Int,
-      targetStop: Option[(Array[Boolean], Int)] = None): (Array[Double], Array[Int]) = {
+      targetStop: Option[(Array[Boolean], Int)] = None,
+      canonicalTies: Boolean = true): (Array[Double], Array[Int]) = {
     val n = g.n
     val dist = Array.fill(n)(Double.PositiveInfinity)
     val pred = Array.fill(n)(-1)
@@ -587,7 +654,10 @@ object ShortestPaths {
           // are sorted, so index order IS global-id order — the same rule
           // TransitSssp.resolveState applies). Sources keep pred −1
           // (popV < −1 is never true). No re-push: dist is unchanged.
-          else if (nd == dist(u) && popV < pred(u)) pred(u) = popV
+          // canonicalTies=false is the acyclicPreds retry: strict
+          // improvements only, whose pred graph is always a tree.
+          else if (canonicalTies && nd == dist(u) && popV < pred(u))
+            pred(u) = popV
           j += 1
         }
       }
@@ -621,7 +691,8 @@ object ShortestPaths {
     * [[NegativeCycleException]] aborts (time-expanded projections are
     * DAGs in the event clock, so this is a data-corruption guard, not a
     * live path). */
-  private def spfaCsr(g: Csr, srcIdx: Int): (Array[Double], Array[Int]) = {
+  private def spfaCsr(g: Csr, srcIdx: Int,
+      canonicalTies: Boolean = true): (Array[Double], Array[Int]) = {
     val n = g.n
     val dist = Array.fill(n)(Double.PositiveInfinity)
     val pred = Array.fill(n)(-1)
@@ -663,8 +734,9 @@ object ShortestPaths {
           if (!inQueue(u)) enqueue(u)
         }
         // canonical equal-dist tie-break, dijkstraCsr's rule verbatim:
-        // pred-only updates change no distance, so no re-enqueue
-        else if (nd == dist(u) && v < pred(u)) pred(u) = v
+        // pred-only updates change no distance, so no re-enqueue.
+        // canonicalTies=false is the acyclicPreds retry (see there).
+        else if (canonicalTies && nd == dist(u) && v < pred(u)) pred(u) = v
         j += 1
       }
     }
@@ -695,7 +767,8 @@ object ShortestPaths {
         if (si < 0) Array((src, src, 0.0, -1L)) // source not in the edge list
         else {
           val (dist, pred) =
-            if (g.hasNegative) spfaCsr(g, si) else dijkstraCsr(g, si)
+            if (g.hasNegative) acyclicPreds(g, si, spfaCsr(g, si, _))
+            else acyclicPreds(g, si, dijkstraCsr(g, si, None, _))
           val b = Array.newBuilder[(Long, Long, Double, Long)]
           b.sizeHint(g.n / 2)
           var v = 0

@@ -466,9 +466,18 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   // per-round frontier→edge join moves and sorts only the frontier:
   // both sides satisfy the join's distribution on the trip key, and the
   // slice's pinned sort already matches the SMJ order.
+  /** Row count of the [[change]] pin, observed ON the pin's own
+    * checkpoint job (r15, verdict #5): at the 100× point a separate
+    * count() re-scans the 61M-row checkpoint for +25 % of the pin's
+    * wall — the Observation rides the write for free. −1 until the pin
+    * is forced. */
+  @volatile private[graph] var changeRowCount: Long = -1L
+
   private[graph] lazy val change = {
     val t0 = System.nanoTime()
     val n = spark.sessionState.conf.numShufflePartitions
+    val obs = org.apache.spark.sql.Observation(
+      s"change-pin-rows-${TransitSssp.runSeq.incrementAndGet()}")
     val c = (if (enrichedEdges)
       // r13 verdict #2: the legacy build's two 25M-row-side position
       // joins + three edge-table shuffles were 141–187 s of one-time
@@ -495,10 +504,15 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           // candidate's ABSOLUTE cost (rel + d_acum) without a second join
           col("d_acum"))
     })
+      // the count observation rides the checkpoint write's own pass —
+      // see changeRowCount (the observe node sits under the layout
+      // Exchange, so the pinned plan itself is unchanged)
+      .observe(obs, count(lit(1)).as("rows"))
       .transform(bridge.pinnedCheckpoint(_, n, Seq("s_trip"),
         Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
-    TransitSssp.tlog(f"change-slice pin (enriched=$enrichedEdges%s) " +
-      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    changeRowCount = obs.get("rows").asInstanceOf[Long]
+    TransitSssp.tlog(f"change-slice pin (enriched=$enrichedEdges%s, " +
+      f"$changeRowCount%d rows) ${(System.nanoTime() - t0) / 1e9}%.2f s")
     changeForced = true
     c
   }

@@ -47,31 +47,47 @@ object Bpe {
     * the hand-off fires) the fully-distributed table loop takes over. */
   val HybridPairMaxRows: Long = 4000000L
 
-  /** MEASURED symbol-byte bound for the incremental IN-HEAP regime (r14 —
-    * the deep-merge round-floor lever the r13 verdict asked for). The r13
-    * nat-corpus run priced the distributed regimes' deep tail honestly:
-    * past merge ~14k every round applies ONE merge and the round floor is
-    * the ~0.59 s of Spark scheduling on two full-table jobs — 32k ≈ 4.2 h
-    * regardless of how little data moves. But a round that touches a few
-    * hundred words is driver work: when the symbol table's measured bytes
-    * fit this bound, the words collect once and rounds become
-    * O(affected words) in-heap — same pair map, same batch selection, same
-    * rewrite semantics (all shared code), merges bit-identical (spec-
-    * pinned). The bound is measured sum(length(s)); the in-heap form costs
-    * ~4-6× that in object overhead, so 256 MB assumes a ≥ 4 GB driver.
-    * Tables over the bound keep the hybrid loop, which re-checks every
-    * [[InHeapHandoffCheckRounds]] rounds (merging shrinks the strings) and
-    * hands off mid-training when the bound is met — at true web scale
-    * (hundreds of millions of distinct words) the table never fits and the
-    * executor count stays the lever, exactly as the r13 COVERAGE reading
-    * said. */
-  val InHeapSymbolMaxBytes: Long = 256L * 1024L * 1024L
+  /** MEASURED resident-byte budget for the incremental IN-HEAP regime
+    * (r14 — the deep-merge round-floor lever: past merge ~14k every
+    * distributed round applies ONE merge against a ~0.59 s Spark
+    * scheduling floor, so 32k ≈ 4.2 h regardless of how little data
+    * moves; in-heap the same corpus MEASURED 2025 s). What is gated
+    * changed in r15: the in-heap state is now INT-ENCODED — a word is an
+    * `Array[Int]` over an interned symbol vocabulary, cutting resident
+    * bytes ~4-8× vs the r14 `Array[Array[String]]` — and the gate
+    * measures the ESTIMATED ENCODED FOOTPRINT (occurrences ×
+    * [[InHeapBytesPerSymbol]] + words × [[InHeapBytesPerWord]], one agg
+    * job) instead of the raw `sum(length(s))` proxy, so corpora whose
+    * STRING table failed the old 256 MB gate (and paid the 0.59 s/merge
+    * distributed floor) now train at the 0.06 s/merge regime. The 1.5 GiB
+    * default budgets the actual arrays the trainer holds — word ints +
+    * occurrence index + counts — and assumes a ≥ 4 GB driver; the
+    * handoff additionally STREAMS the collect partition-by-partition
+    * (toLocalIterator), so the transient string peak is one partition,
+    * not the table. Tables over the budget keep the hybrid loop, which
+    * re-checks every [[InHeapHandoffCheckRounds]] rounds (merging shrinks
+    * the table) and hands off mid-training when the budget is met — at
+    * true web scale (hundreds of millions of distinct words) the table
+    * never fits and the executor count stays the lever, exactly as the
+    * r13 COVERAGE reading said. */
+  val InHeapStateMaxBytes: Long = 1536L * 1024L * 1024L
+
+  /** Estimated resident bytes per symbol OCCURRENCE in the int-encoded
+    * in-heap state: 4 B in its word's `Array[Int]` + ~8 B occurrence-index
+    * slot (4 B payload × ~2 growth slack across the primitive buffers). */
+  val InHeapBytesPerSymbol: Long = 12L
+
+  /** Estimated resident bytes per WORD: array header + outer reference +
+    * count slot + amortized index-buffer headers. */
+  val InHeapBytesPerWord: Long = 48L
 
   /** Hybrid-round cadence for re-measuring the symbol table against
-    * [[InHeapSymbolMaxBytes]]: the byte agg costs about one full-table
-    * round, so checking every 256 rounds keeps the amortized overhead
-    * under half a percent. */
-  val InHeapHandoffCheckRounds: Int = 256
+    * [[InHeapStateMaxBytes]]: the footprint agg costs about one
+    * full-table round, so checking every 256 rounds keeps the amortized
+    * overhead under half a percent. Var only as a spec hook (the
+    * mid-training handoff needs a per-round check on a 10-word fixture);
+    * production callers never touch it. */
+  @volatile private[graft] var InHeapHandoffCheckRounds: Int = 256
 
   /** "word" → " w  o  r  d " (double-space separators, single-space ends;
     * a trailing extra space is harmless to matching and trimmed before
@@ -96,7 +112,7 @@ object Bpe {
   def train(words: DataFrame, numMerges: Int,
       localMaxWords: Long = LocalTrainMaxWords,
       hybridMaxPairs: Long = HybridPairMaxRows,
-      inHeapMaxBytes: Long = InHeapSymbolMaxBytes): Seq[(String, String)] = {
+      inHeapMaxBytes: Long = InHeapStateMaxBytes): Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
     val w = words.select(col("word").cast("string").as("word"),
@@ -237,7 +253,7 @@ object Bpe {
     * (the one weak regime called out by rounds 7-8; below the threshold
     * [[trainLocal]] takes over). */
   private def trainDistributed(words: DataFrame, numMerges: Int,
-      hybridMaxPairs: Long, inHeapMaxBytes: Long = 0L): Seq[(String, String)] = {
+      hybridMaxPairs: Long, inHeapMaxBytes: Long): Seq[(String, String)] = {
     // Eager localCheckpoint, not cache: each round's counts plan references
     // the previous round's syms plan TWICE (before/after aggregation), so
     // chained caches grow the logical plan quadratically — a 100-round run
@@ -260,68 +276,147 @@ object Bpe {
     // the syms rewrite, overlapped. Above the bound, the fully-distributed
     // table loop keeps every row on the cluster.
     if (counts.count() <= hybridMaxPairs) {
-      // In-heap gate on MEASURED symbol bytes (see InHeapSymbolMaxBytes):
-      // a word table too big to pass the row gate can still be megabytes
-      // of symbols — collect once, and every round is O(affected words)
-      // driver work instead of two full-table Spark jobs.
+      // In-heap gate on the MEASURED encoded footprint (see
+      // InHeapStateMaxBytes): a word table too big to pass the row gate
+      // can still be a modest int table — collect once (streamed), and
+      // every round is O(affected words) driver work instead of two
+      // full-table Spark jobs.
       import words.sparkSession.implicits._
-      val symBytes =
-        if (inHeapMaxBytes <= 0L) Long.MaxValue
-        else syms.agg(coalesce(sum(length(col("s")).cast("long")), lit(0L)))
-          .head().getLong(0)
-      if (symBytes <= inHeapMaxBytes) {
+      val footprint =
+        if (inHeapMaxBytes <= 0L) Long.MaxValue else inHeapFootprint(syms)
+      if (footprint <= inHeapMaxBytes) {
         lastRegimes.clear()
         lastRegimes.add("inheap")
         val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-        val wordsArr = syms.as[(String, Long)].collect()
         val map = scala.collection.mutable.HashMap.empty[(String, String), Long]
         counts.as[(String, String, Long)].collect()
           .foreach { case (a, b, n) => map.update((a, b), n) }
-        rel(syms); rel(counts)
-        trainInHeap(wordsArr, map, merges, numMerges)
+        rel(counts)
+        import scala.jdk.CollectionConverters._
+        val state = buildInHeapState(
+          syms.as[(String, Long)].toLocalIterator().asScala)
+        rel(syms) // encoded; the checkpoint blocks can go
+        trainInHeap(state, map, merges, numMerges)
       } else trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs,
         inHeapMaxBytes)
     } else trainTableLoop(syms, counts, merges, numMerges)
     merges.toSeq
   }
 
-  /** Incremental in-heap rounds over collected (symbol-string, count)
-    * words — the deep-merge regime (see [[InHeapSymbolMaxBytes]]). The
-    * semantics are the hybrid loop's, verbatim: the SAME pair map, the
-    * SAME batch selection ([[selectBatchFromMap]]), and a per-word rewrite
-    * shared with [[trainLocal]] ([[rewriteWord]]) — so merges are
-    * bit-identical across regimes (BpeSpec pins it). The cost model is
-    * what changes: an occurrence index (pair → word indices, lazily
-    * stale — a rewrite appends under every pair that now involves a
-    * batch-created symbol, dead entries are skipped at use) makes a round
-    * O(words containing a batch pair), which in the deep tail is hundreds
-    * of rows — the 0.59 s/merge Spark scheduling floor the r13 nat run
-    * measured becomes microseconds of driver work. */
-  private def trainInHeap(words: Array[(String, Long)],
-      map: scala.collection.mutable.HashMap[(String, String), Long],
-      merges: scala.collection.mutable.ArrayBuffer[(String, String)],
-      numMerges: Int): Unit = {
-    val syms: Array[Array[String]] = words.map(_._1.trim.split(" +"))
-    val counts: Array[Long] = words.map(_._2)
-    val index =
-      scala.collection.mutable.HashMap.empty[(String, String),
-        scala.collection.mutable.ArrayBuffer[Int]]
-    def indexAdd(k: (String, String), wi: Int): Unit =
-      index.getOrElseUpdate(k,
-        new scala.collection.mutable.ArrayBuffer[Int](4)) += wi
+  /** Estimated resident bytes of the INT-ENCODED in-heap state for this
+    * symbol table — one agg job measuring symbol occurrences and words
+    * (the distinct-symbol vocabulary itself is alphabet + merges, noise).
+    * This is what [[InHeapStateMaxBytes]] gates: the actual arrays
+    * [[trainInHeap]] holds, not the string-byte proxy the r14 gate used
+    * (which overstated the post-encoding footprint ~4-8× and kept
+    * fitting corpora on the 0.59 s/merge distributed floor). */
+  private def inHeapFootprint(syms: DataFrame): Long = {
+    val r = syms.agg(
+      coalesce(sum(size(symbolsOf(col("s"))).cast("long")), lit(0L)),
+      count(lit(1))).head()
+    r.getLong(0) * InHeapBytesPerSymbol + r.getLong(1) * InHeapBytesPerWord
+  }
+
+  /** Growable primitive int buffer — the occurrence index's value type.
+    * `ArrayBuffer[Int]` would box every entry (≥ 16 B each); at the
+    * r15 gate sizes the index holds ~100M entries, so primitives are the
+    * difference between ~0.8 GB and ~2 GB of index. */
+  private final class IntBuf(initial: Int) {
+    private var arr = new Array[Int](initial)
+    private var n = 0
+    def size: Int = n
+    def add(v: Int): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+      arr(n) = v; n += 1
+    }
+    def apply(i: Int): Int = arr(i)
+  }
+
+  private final class LongBuf(initial: Int) {
+    private var arr = new Array[Long](initial)
+    private var n = 0
+    def add(v: Long): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+      arr(n) = v; n += 1
+    }
+    def toArray: Array[Long] = java.util.Arrays.copyOf(arr, n)
+  }
+
+  /** INT-ENCODED in-heap training state (r15): words are `Array[Int]`
+    * over an interned symbol vocabulary — 4 B per symbol occurrence
+    * instead of a ~50-60 B String object each, which is what raises the
+    * [[InHeapStateMaxBytes]] corpus ceiling ~4-8× over the r14 string
+    * representation. The occurrence index keys pairs as packed longs
+    * (hi 32 = left id, lo 32 = right id) over primitive buffers. Interned
+    * id equality ⇔ string equality, so every comparison the string
+    * trainer makes is reproduced exactly. */
+  private final class InHeapState(
+      val syms: Array[Array[Int]], val counts: Array[Long],
+      val vocab: scala.collection.mutable.ArrayBuffer[String],
+      val symId: scala.collection.mutable.HashMap[String, Int],
+      val index: scala.collection.mutable.HashMap[Long, IntBuf]) {
+    def intern(s: String): Int =
+      symId.getOrElseUpdate(s, { vocab += s; vocab.size - 1 })
+  }
+
+  private def pairKey(a: Int, b: Int): Long =
+    (a.toLong << 32) | (b.toLong & 0xffffffffL)
+
+  /** Stream the (symbol-string, count) rows into the int-encoded state —
+    * the caller hands a toLocalIterator so the transient string peak is
+    * ONE partition, not the table; each word's split symbols intern and
+    * the strings die immediately. */
+  private def buildInHeapState(
+      words: Iterator[(String, Long)]): InHeapState = {
+    val vocab = scala.collection.mutable.ArrayBuffer.empty[String]
+    val symId = scala.collection.mutable.HashMap.empty[String, Int]
+    def intern(s: String): Int =
+      symId.getOrElseUpdate(s, { vocab += s; vocab.size - 1 })
+    val index = scala.collection.mutable.HashMap.empty[Long, IntBuf]
+    val symsBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    val countsBuf = new LongBuf(1024)
     var wi = 0
-    while (wi < syms.length) {
-      val s = syms(wi)
+    words.foreach { case (w, c) =>
+      val parts = w.trim.split(" +")
+      val s = new Array[Int](parts.length)
       var i = 0
+      while (i < parts.length) { s(i) = intern(parts(i)); i += 1 }
+      symsBuf += s
+      countsBuf.add(c)
+      i = 0
       while (i < s.length - 1) {
-        val k = (s(i), s(i + 1))
         // dedup consecutive repeats cheaply; full dedup is unnecessary
         // (the per-round visited set already coalesces)
-        if (i == 0 || s(i - 1) != s(i) || s(i) != s(i + 1)) indexAdd(k, wi)
+        if (i == 0 || s(i - 1) != s(i) || s(i) != s(i + 1))
+          index.getOrElseUpdate(pairKey(s(i), s(i + 1)), new IntBuf(4)).add(wi)
         i += 1
       }
       wi += 1
     }
+    new InHeapState(symsBuf.toArray, countsBuf.toArray, vocab, symId, index)
+  }
+
+  /** Incremental in-heap rounds over the int-encoded word table — the
+    * deep-merge regime (see [[InHeapStateMaxBytes]]). The semantics are
+    * the hybrid loop's, verbatim: the SAME pair map, the SAME batch
+    * selection ([[selectBatchFromMap]]), and a per-word rewrite whose int
+    * comparisons are the interned twins of [[rewriteWord]]'s string
+    * comparisons — so merges are bit-identical across regimes (BpeSpec
+    * pins it). The cost model: an occurrence index (pair → word indices,
+    * lazily stale — a rewrite appends under every pair that now involves
+    * a batch-created symbol, dead entries are skipped at use) makes a
+    * round O(words containing a batch pair), which in the deep tail is
+    * hundreds of rows — the 0.59 s/merge Spark scheduling floor the r13
+    * nat run measured becomes microseconds of driver work (32k MEASURED
+    * at 2025 s in r14). */
+  private def trainInHeap(st: InHeapState,
+      map: scala.collection.mutable.HashMap[(String, String), Long],
+      merges: scala.collection.mutable.ArrayBuffer[(String, String)],
+      numMerges: Int): Unit = {
+    val syms = st.syms
+    val counts = st.counts
+    val vocab = st.vocab
+    val index = st.index
     var round = 0
     // prior grows by exactly the batch each round — maintained
     // incrementally (a per-round rebuild is O(merges) strings, which over
@@ -333,13 +428,29 @@ object Bpe {
       val roundT0 = System.nanoTime()
       val batch = selectBatchFromMap(map, prior).take(numMerges - merges.size)
       merges ++= batch
-      val batchSyms = batch.map { case (a, b) => a + b }.toSet
-      prior ++= batchSyms
+      batch.foreach { case (a, b) => prior += (a + b) }
+      // int view of the batch, in acceptance order; the merged symbol
+      // interns once per round (fresh id — prior/conflict vetoes keep
+      // concats from colliding with live symbols, and a collision would
+      // only alias equal strings anyway)
+      val batchIds: Array[(Int, Int, Int)] = batch.iterator
+        .map { case (a, b) => (st.intern(a), st.intern(b), st.intern(a + b)) }
+        .toArray
+      val abIds: Array[Int] = batchIds.map(_._3)
+      def isBatchSym(id: Int): Boolean = {
+        var j = 0; var f = false
+        while (j < abIds.length && !f) { f = abIds(j) == id; j += 1 }
+        f
+      }
       val visited = new java.util.BitSet(syms.length)
       var touched = 0
-      batch.foreach { pair =>
-        index.get(pair).foreach { occ =>
-          occ.foreach { w =>
+      batchIds.foreach { case (aId, bId, _) =>
+        val k0 = pairKey(aId, bId)
+        index.get(k0).foreach { occ =>
+          var oi = 0
+          while (oi < occ.size) {
+            val w = occ(oi)
+            oi += 1
             if (!visited.get(w)) {
               visited.set(w)
               val s = syms(w)
@@ -349,9 +460,9 @@ object Bpe {
               var i = 0
               while (i < s.length - 1 && !contains) {
                 var j = 0
-                while (j < batch.length && !contains) {
-                  if (s(i) == batch(j)._1 && s(i + 1) == batch(j)._2)
-                    contains = true
+                while (j < batchIds.length && !contains) {
+                  val p = batchIds(j)
+                  if (s(i) == p._1 && s(i + 1) == p._2) contains = true
                   j += 1
                 }
                 i += 1
@@ -361,30 +472,35 @@ object Bpe {
                 val c = counts(w)
                 i = 0
                 while (i < s.length - 1) {
-                  val k = (s(i), s(i + 1))
+                  val k = (vocab(s(i)), vocab(s(i + 1)))
                   val n = map.getOrElse(k, 0L) - c
                   if (n > 0L) map.update(k, n) else map.remove(k)
                   i += 1
                 }
-                val out = batch.foldLeft(s) {
-                  case (acc, (a, b)) => rewriteWord(acc, a, b)
+                var out = s
+                var bi = 0
+                while (bi < batchIds.length) {
+                  val p = batchIds(bi)
+                  out = rewriteWordInt(out, p._1, p._2, p._3)
+                  bi += 1
                 }
                 syms(w) = out
                 i = 0
                 while (i < out.length - 1) {
-                  val k = (out(i), out(i + 1))
+                  val k = (vocab(out(i)), vocab(out(i + 1)))
                   map.update(k, map.getOrElse(k, 0L) + c)
                   // newly-present pairs always involve a batch-created
                   // symbol (only positions at a merge site change)
-                  if (batchSyms.contains(out(i)) ||
-                      batchSyms.contains(out(i + 1))) indexAdd(k, w)
+                  if (isBatchSym(out(i)) || isBatchSym(out(i + 1)))
+                    index.getOrElseUpdate(pairKey(out(i), out(i + 1)),
+                      new IntBuf(4)).add(w)
                   i += 1
                 }
               }
             }
           }
         }
-        index.remove(pair)
+        index.remove(k0)
       }
       round += 1
       if (trace && (round % 1024 == 0 || batch.size > 1))
@@ -392,6 +508,31 @@ object Bpe {
           f"merges=${merges.size}%d pairs=${map.size}%d touched=$touched%d " +
           f"${(System.nanoTime() - roundT0) / 1e9}%.4f s")
     }
+  }
+
+  /** One merge (aId, bId) → abId applied to an int-encoded symbol array —
+    * left-to-right, non-overlapping: the interned twin of [[rewriteWord]]
+    * (id equality ⇔ string equality, so match sites are identical).
+    * Returns the SAME array when the pair is absent. */
+  private def rewriteWordInt(s: Array[Int], a: Int, b: Int,
+      ab: Int): Array[Int] = {
+    if (s.length < 2) return s
+    var contains = false
+    var i = 0
+    while (i < s.length - 1 && !contains) {
+      if (s(i) == a && s(i + 1) == b) contains = true
+      i += 1
+    }
+    if (!contains) return s
+    val out = new Array[Int](s.length)
+    var n = 0
+    i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out(n) = ab; n += 1; i += 2
+      } else { out(n) = s(i); n += 1; i += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
   /** Hybrid rounds: word/symbol table distributed, pair-count table in a
@@ -420,7 +561,9 @@ object Bpe {
   private def trainHybrid(symsInit: DataFrame, countsInit: DataFrame,
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
       numMerges: Int, hybridMaxPairs: Long,
-      inHeapMaxBytes: Long = 0L): Unit = {
+      // required, not defaulted: a 0 default here silently disabled the
+      // in-heap regime for any future internal caller (r14 ADVICE)
+      inHeapMaxBytes: Long): Unit = {
     val spark = symsInit.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -485,16 +628,16 @@ object Bpe {
       // (same map, same batch selection — merges stay bit-identical).
       if (inHeapMaxBytes > 0L && merges.size < numMerges && map.nonEmpty &&
           round % InHeapHandoffCheckRounds == 0) {
-        val symBytes = syms
-          .agg(coalesce(sum(length(col("s")).cast("long")), lit(0L)))
-          .head().getLong(0)
-        if (symBytes <= inHeapMaxBytes) {
-          if (trace) println(s"[bpe] symbol table fits the in-heap bound " +
-            s"($symBytes B) at merge ${merges.size} — handing off in-heap")
+        val footprint = inHeapFootprint(syms)
+        if (footprint <= inHeapMaxBytes) {
+          if (trace) println(s"[bpe] encoded state fits the in-heap bound " +
+            s"(~$footprint B) at merge ${merges.size} — handing off in-heap")
           lastRegimes.add("inheap")
-          val wordsArr = syms.as[(String, Long)].collect()
+          import scala.jdk.CollectionConverters._
+          val state = buildInHeapState(
+            syms.as[(String, Long)].toLocalIterator().asScala)
           rel(syms)
-          trainInHeap(wordsArr, map, merges, numMerges)
+          trainInHeap(state, map, merges, numMerges)
           return
         }
       }

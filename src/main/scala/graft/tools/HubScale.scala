@@ -27,7 +27,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Recipe: SPARK_GRAFT_SSSP_TRACE=1 SPARK_DRIVER_MEM=24g
   *   sbt "runMain graft.tools.HubScale"
-  * Knobs: SPARK_GRAFT_HUB_SPOKES / _STOPS / _TRIPS override the shape.
+  * Knobs: SPARK_GRAFT_HUB_SPOKES / _STOPS / _TRIPS override the shape;
+  * SPARK_GRAFT_HUB_DIRTY=1 rewinds every 17th intra-trip arrival clock by
+  * 200 s (arr < previous dep → a negative PRECEDES Δacum inside any
+  * cap) — the r15 dirty-feed measurement: the capped CSR must STILL
+  * serve, through the label-correcting fixpoint, instead of declining to
+  * the 335 s-class distributed rounds (SPARK_GRAFT_SSSP_CAPPED_DIRTY=0
+  * is the decline control). Departure clocks stay monotone, so the
+  * perturbation never moves a clock PAST the anchor — capped and
+  * uncapped itineraries stay comparable (full parity expected).
   */
 object HubScale {
   def main(args: Array[String]): Unit = {
@@ -46,10 +54,19 @@ object HubScale {
     val nSpokes = sys.env.getOrElse("SPARK_GRAFT_HUB_SPOKES", "50").toInt
     val nStops = sys.env.getOrElse("SPARK_GRAFT_HUB_STOPS", "100").toInt
     val nTrips = sys.env.getOrElse("SPARK_GRAFT_HUB_TRIPS", "500").toInt
-    val raw = graft.etl.SyntheticGtfs.hub(spark, nSpokes, nStops, nTrips)
+    val raw0 = graft.etl.SyntheticGtfs.hub(spark, nSpokes, nStops, nTrips)
+    val dirty = sys.env.get("SPARK_GRAFT_HUB_DIRTY").contains("1")
+    val raw = if (!dirty) raw0 else raw0.copy(stopTimes = raw0.stopTimes
+      .withColumn("arr_secs",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.expr(
+            "stop_sequence % 17 = 6 and stop_sequence > 1"),
+          org.apache.spark.sql.functions.col("arr_secs") - 200)
+          .otherwise(org.apache.spark.sql.functions.col("arr_secs"))))
     val g = raw.copy(stopTimes = raw.stopTimes.cache(), stops = raw.stops.cache())
     println(s"hub network: $nSpokes spokes x $nStops stops x $nTrips trips = " +
-      s"${g.stopTimes.count()} stoptimes")
+      s"${g.stopTimes.count()} stoptimes" +
+      (if (dirty) " (DIRTY: non-monotone arrivals injected)" else ""))
 
     val eng = new graft.api.RoutingEngine(g, walkRadiusMeters = 50.0,
       ssspLocalThreshold = graft.graph.ShortestPaths.LocalDijkstraMaxEdges)

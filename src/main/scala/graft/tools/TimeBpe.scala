@@ -72,7 +72,7 @@ object TimeBpe {
       if (regime == "tableloop") 0L else graft.operators.Bpe.HybridPairMaxRows
     val maxInHeap = regime match {
       case "hybrid" | "tableloop" => 0L
-      case _ => graft.operators.Bpe.InHeapSymbolMaxBytes
+      case _ => graft.operators.Bpe.InHeapStateMaxBytes
     }
     val t0 = System.nanoTime()
     val merges = graft.operators.Bpe.train(words, nMerges, localMaxWords = 0L,

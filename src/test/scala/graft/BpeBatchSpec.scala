@@ -118,6 +118,33 @@ class BpeBatchSpec extends SparkSpec {
       s"expected a hybrid->tableloop hand-off, got ${Bpe.lastRegimes.asScala}")
   }
 
+  test("hybrid hands off to the in-heap regime mid-training (r15 streamed int build)") {
+    // Merging SHRINKS the encoded footprint (occurrences × 12 + words ×
+    // 48), so a budget set between the round-0 footprint and the
+    // post-first-round one makes the initial gate decline and the
+    // per-round cadence re-check accept — exercising the mid-training
+    // streamed toLocalIterator build and the int-encoded continuation
+    // with a non-empty merges prefix. Merges must stay bit-identical to
+    // the sequential reference across the regime switch.
+    import scala.jdk.CollectionConverters._
+    val words = Seq(("aaaaaaaa", 40L), ("aaaabbbb", 30L),
+      ("bbbbbbbb", 20L), ("abababab", 10L))
+    val df = words.toDF("word", "count")
+    val local = Bpe.train(df, 10)
+    // round-0 footprint: 32 occurrences × 12 + 4 words × 48 = 576
+    val budget = 570L
+    val cadence = Bpe.InHeapHandoffCheckRounds
+    val handed = try {
+      Bpe.InHeapHandoffCheckRounds = 1
+      Bpe.train(df, 10, localMaxWords = 0L, inHeapMaxBytes = budget)
+    } finally Bpe.InHeapHandoffCheckRounds = cadence
+    assert(handed == local,
+      s"mid-training in-heap hand-off merges diverge:\n" +
+        s"  local:  $local\n  handed: $handed")
+    assert(Bpe.lastRegimes.asScala.toSeq == Seq("hybrid", "inheap"),
+      s"expected a hybrid->inheap hand-off, got ${Bpe.lastRegimes.asScala}")
+  }
+
   test("both checkpoint storage levels produce identical merges") {
     // Same guard as TransitSsspSpec's storage-level test: the knob must
     // never change answers and both branches must run under a spec.

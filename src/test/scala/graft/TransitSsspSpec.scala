@@ -373,6 +373,44 @@ class TransitSsspSpec extends SparkSpec {
     assert(local.contains((5L, 1L, -2.0, 4L)))
   }
 
+  test("zero-total cycle: canonical ties have no tree - in-heap repairs, distributed walk fails clean") {
+    // On a zero-total cycle every member's dist ties, and the canonical
+    // min-pred rule picks each member's cycle predecessor — the canonical
+    // pred assignment IS a cycle, so no tie-break tweak can fix it; the
+    // r15 dirty-hub measurement found exactly this (mixed CHANGE/PRECEDES
+    // cycles on clock-inconsistent feeds telescope to zero). Ids chosen
+    // so the source (100) sorts ABOVE the cycle members: each member's
+    // min-index optimal in-neighbor is then its cycle predecessor.
+    val edges = Seq(
+      (100L, 10L, 5.0), (100L, 11L, 5.0), (100L, 12L, 5.0),
+      (10L, 11L, 0.0), (11L, 12L, 0.0), (12L, 10L, 0.0))
+      .toDF("src", "dst", "weight")
+    // in-heap: acyclicPreds detects the canonical cycle and reruns with
+    // strict-improvement preds — distances exact, pred walk terminates
+    val local = ShortestPaths.fromDF(edges, Set(100L),
+      localThreshold = Long.MaxValue)
+      .select("vertex_id", "source_id", "dist", "pred")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(local.filter(_._1 != 100L).forall(_._3 == 5.0))
+    val preds = local.map(r => r._1 -> r._4).toMap
+    Seq(10L, 11L, 12L).foreach { v0 =>
+      var v = v0; var steps = 0
+      while (v != -1L && steps < 10) { v = preds.getOrElse(v, -1L); steps += 1 }
+      assert(v == -1L, s"pred chain from $v0 did not reach the source")
+    }
+    // distributed: the Pregel fixpoint's canonical merge emits the cyclic
+    // preds; the walk must fail with the pointed error, not spin
+    val pregel = ShortestPaths.fromDF(edges, Set(100L), localThreshold = 0)
+    assert(pregel.select("vertex_id", "dist")
+      .as[(Long, Double)].collect().filter(_._1 != 100L).forall(_._2 == 5.0))
+    val cyclic = pregel.filter(col("vertex_id") === 10L && col("pred") === 12L)
+      .count() == 1
+    if (cyclic) // the canonical fixpoint realized the cycle — pin the guard
+      assertThrows[IllegalStateException] {
+        ShortestPaths.pathDistributed(pregel, 100L, 10L)
+      }
+  }
+
   test("reachable negative-total cycle aborts the in-heap fixpoint") {
     val edges = Seq(
       (1L, 2L, 1.0), (2L, 3L, -5.0), (3L, 2L, 1.0), (2L, 4L, 1.0))
