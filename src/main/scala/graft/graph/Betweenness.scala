@@ -377,22 +377,55 @@ object Betweenness {
   def ofProjection(g: graft.projection.TimeExpandedGraph,
       sources: Option[Seq[Long]] = None, seed: Long = 42L,
       localThreshold: Long = CsrBrandesMaxEdges,
-      transitAboveThreshold: Boolean = false): DataFrame = {
+      transitAboveThreshold: Boolean = false,
+      /** r15: clock cap for WINDOWED betweenness — scores computed over
+        * the subgraph of stoptimes departing at or before the cap (the
+        * same horizon-bounded subgraph the capped routing regime
+        * collects). ∞ (default) keeps whole-projection semantics. */
+      clockCap: Double = Double.PositiveInfinity): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
+    val windowed = !clockCap.isPosInfinity
+    val scopeNodes =
+      if (!windowed) g.nodes else g.nodes.filter(col("dep_secs") <= clockCap)
     val (srcs, scale) = sources match {
       case Some(s) => (s, 1.0)
       case None =>
-        val nVerts = g.nodeCount
+        val nVerts = if (windowed) scopeNodes.count() else g.nodeCount
         if (nVerts <= ExactSourcesMaxVertices)
-          (g.nodes.select("id").as[Long].collect().toSeq, 1.0)
+          (scopeNodes.select("id").as[Long].collect().toSeq, 1.0)
         else {
-          val sample = g.nodes.select(col("id"))
+          val sample = scopeNodes.select(col("id"))
             .orderBy(xxhash64(col("id"), lit(seed)))
             .limit(DefaultSampleSources).as[Long].collect().toSeq
           (sample, nVerts.toDouble / sample.size)
         }
     }
+    val scopeEdges = {
+      val e = g.edges.select(col("source").as("src"), col("target").as("dst"))
+      if (!windowed) e
+      else {
+        // both endpoints within the cap — the capped router's subgraph
+        // (the cap keeps rows by departure clock, so the semi-joins prune
+        // exactly the rows the capped grid drops)
+        val within = scopeNodes.select(col("id"))
+        e.join(within.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(within.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      }
+    }
+    // r15 (the router's capped-subgraph lever, applied to Brandes): between
+    // the broadcast-CSR bound and the level-sync regime sits the rung where
+    // the (possibly clock-capped) subgraph fits the SAME driver budget the
+    // capped routing CSR uses — collect its topology once and run the
+    // pivot-parallel in-heap sweep, identical scores to level-sync
+    // (BetweennessSpec pins it), at ns/edge instead of ~600 scheduler
+    // rounds (3× grid: 707.7 s level-sync → seconds; see COVERAGE).
+    // localThreshold <= 0 is the forced-level-sync measurement convention
+    // and disables the rung, as does TransitSssp.cappedCsrMaxEdges = 0;
+    // feeds over the budget keep level-sync — the only 100 TB-safe branch.
+    val inHeapBudget =
+      if (localThreshold <= 0L) 0L
+      else math.max(localThreshold, TransitSssp.cappedCsrMaxEdges)
     val scores =
       if (g.edgeCount > localThreshold && transitAboveThreshold)
         // changeEnriched is interchangeable with the 5-column view here:
@@ -401,9 +434,8 @@ object Betweenness {
         // frame, so the r14 enrichment neither helps nor hurts this branch
         TransitBetweenness.run(g.nodes, g.changeEnriched, srcs)
       else
-        run(g.edges.select(col("source").as("src"), col("target").as("dst")),
-          srcs, localThreshold)
-    g.nodes.join(scores, g.nodes("id") === scores("vertex_id"))
+        run(scopeEdges, srcs, inHeapBudget)
+    scopeNodes.join(scores, scopeNodes("id") === scores("vertex_id"))
       .select(col("stop_name"), col("dep_secs"), col("lat"), col("lon"),
         (col("score") * scale).as("score"))
       .orderBy(col("score").desc, col("stop_name"), col("dep_secs"))

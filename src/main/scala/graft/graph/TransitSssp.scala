@@ -568,9 +568,30 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * [[TransitSssp.cappedSlicePadSecs]]). Values are pinned checkpoints
     * living for the instance's lifetime (released in [[releasePins]]);
     * a bucket whose capped prefix exceeds the broadcast gates memoizes
-    * the shared uncapped [[change]] pin instead. */
+    * the shared uncapped [[change]] pin instead.
+    *
+    * LIFETIME BOUND for long-lived services (r15 audit): the key space is
+    * bounded BY CONSTRUCTION, not by eviction — a cap bucket is
+    * ceil(clockCap / pad), clock caps are event clocks within the service
+    * day plus the query horizon (GTFS past-midnight rows put the practical
+    * ceiling near 48 h), so at the default 1 h pad an instance can
+    * materialize at most ~48 buckets over ANY number of routing calls
+    * (TransitSsspSpec pins the sharing: same-pad caps hit one bucket).
+    * Worst-case driver residency is therefore ~48 × the per-bucket budget
+    * arithmetic on [[TransitSssp.cappedCsrMaxStateCells]] — large but
+    * bounded and knob-controlled (shrink the pad multiplies buckets,
+    * shrink the budgets caps each one). Eviction was considered and
+    * rejected: a concurrent routing call may be mid-iteration over an
+    * evicted bucket's slice pin, and unpersisting a localCheckpoint under
+    * a running query fails the query (lineage is truncated) — a
+    * correctness hazard to save memory that construction already bounds.
+    * Services that want a hard floor call [[releasePins]] between runs
+    * (the betweenness path does). */
   private val cappedSlices =
     new java.util.concurrent.ConcurrentHashMap[Long, CappedBucket]()
+
+  /** Spec hook: materialized cap-bucket count. */
+  private[graft] def cappedBucketCount: Int = cappedSlices.size()
 
   private def bucketOf(clockCap: Double): Long = {
     val pad = math.max(1L, TransitSssp.cappedSlicePadSecs)
@@ -1560,7 +1581,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * slice) — for short-lived instances (one betweenness call) that should
     * not leave checkpoint blocks behind. Projection-held instances keep
     * their pins for the projection's lifetime and never call this. */
-  private[graph] def releasePins(): Unit = {
+  private[graft] def releasePins(): Unit = {
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
     if (preparedForced) rel(prepared)
     if (changeForced) rel(change)

@@ -382,6 +382,29 @@ object GraphQueries {
              | AS t(stop_name, dep_secs, lat, lon, score)
              |ORDER BY score DESC, stop_name, dep_secs""".stripMargin)),
 
+    // G3 windowed variant (r15): Brandes over the HORIZON-BOUNDED subgraph
+    // (stoptimes departing ≤ the cap) — the capped routing regime's
+    // subgraph semantics applied to centrality; at scale this rides the
+    // same in-heap budget rung instead of the level-sync rounds.
+    Q("gtfs_betweenness_windowed", "G3",
+      (s, _) => {
+        val g = graft.api.DemoGtfs.engine(s)
+          .projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+        // 14:40 cap — a proper sub-window of the demo day
+        graft.graph.Betweenness.ofProjection(g, clockCap = 52800.0)
+      },
+      // literal-VALUES golden oracle (exact Brandes over the 8 stoptimes
+      // departing ≤ 14:40 — BetweennessSpec pins the in-heap rung ≡
+      // level-sync on this capped subgraph)
+      Some("""SELECT stop_name, dep_secs, CAST(lat AS DOUBLE) AS lat,
+             | CAST(lon AS DOUBLE) AS lon, CAST(score AS DOUBLE) AS score FROM (VALUES
+             | ('Gamma',51060,44.62,10.9,9.0), ('Gamma Due',51300,44.62015,10.9,8.0),
+             | ('Delta',51960,44.63,10.91,5.0), ('Beta',50760,44.61,10.9,4.0),
+             | ('Delta',51360,44.63,10.91,1.0), ('Alpha',50520,44.6,10.9,0.0),
+             | ('Epsilon',52200,44.64,10.92,0.0), ('Epsilon',52800,44.64,10.92,0.0))
+             | AS t(stop_name, dep_secs, lat, lon, score)
+             |ORDER BY score DESC, stop_name, dep_secs""".stripMargin)),
+
     // §6 perf harness at the reference's graph cardinality: the 9-OD-pair
     // measurement shape (`main.py:340-369`) over a Modena-scale synthetic
     // network — 250k stoptime nodes vs the reference's 249,052

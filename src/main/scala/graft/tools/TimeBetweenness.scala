@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BW_SOURCES overrides the pivot count.
   * SPARK_GRAFT_BW_REGIME picks the branch being measured:
   *  - "csr" (default): the edge count sits under CsrBrandesMaxEdges, so
-  *    the pivot-parallel broadcast-CSR sweep runs.
+  *    the pivot-parallel broadcast-CSR sweep runs. Since r15 this regime
+  *    extends through the capped-CSR budget rung: a graph over the 2M
+  *    bound but under TransitSssp.cappedCsrMaxEdges (3× = 2.9M edges)
+  *    collects and sweeps in-heap instead of paying the level-sync rounds
+  *    (the 707.7 s r14 point).
   *  - "levelsync": localThreshold forced to 0, so the same pivots run
   *    through the level-synchronous distributed Brandes — the >2M-edge
   *    DEFAULT (the measured adjudication in Betweenness.ofProjection's
@@ -60,14 +64,24 @@ object TimeBetweenness {
       case _ => graft.graph.Betweenness.CsrBrandesMaxEdges
     }
     val t0 = System.nanoTime()
-    val top = graft.graph.Betweenness.ofProjection(proj, sources = sources,
+    val out = graft.graph.Betweenness.ofProjection(proj, sources = sources,
         localThreshold = threshold,
         transitAboveThreshold = regime == "transit")
-      .limit(5).collect()
+    val top = out.limit(5).collect()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"sampled Brandes [$regime%s] " +
       f"(${nSrc.getOrElse(graft.graph.Betweenness.DefaultSampleSources)}%d pivots): $sec%.1f s")
     top.foreach(r => println(s"  $r"))
+    // cross-regime parity digest: rows + score mass, FP-order-insensitive
+    // (scores rounded to 1e-3 before summing) — two regimes on the same
+    // pivot set must print the same line
+    import org.apache.spark.sql.functions._
+    // bit_xor, not sum: an ANSI-mode long sum over 700k+ hashes overflows
+    val dig = out.agg(count(lit(1)),
+      sum(round(col("score"), 3)), expr(
+        "bit_xor(xxhash64(stop_name, dep_secs, round(score, 3)))")).head()
+    println(s"digest rows=${dig.getLong(0)} scoreSum=${dig.get(1)} " +
+      s"hash=${dig.get(2)}")
     eng.close()
     spark.stop()
   }

@@ -177,6 +177,52 @@ class BetweennessSpec extends SparkSpec {
     }
   }
 
+  test("capped-budget in-heap rung equals level-sync above the broadcast bound (r15)") {
+    // localThreshold = 1 puts the 18-edge fixture ABOVE the broadcast-CSR
+    // bound; the new rung (budget = TransitSssp.cappedCsrMaxEdges) must
+    // collect and sweep in-heap with scores identical to the default CSR
+    // run AND to forced level-sync, and zeroing the budget knob must
+    // restore pure level-sync (the 100 TB control).
+    import graft.graph.TransitSssp
+    val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("stop_name"),
+        r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val viaDefault = rows(Betweenness.ofProjection(g))
+    val viaRung = rows(Betweenness.ofProjection(g, localThreshold = 1L))
+    assert(viaRung == viaDefault,
+      "capped-budget in-heap betweenness diverged from the CSR regime")
+    val maxE = TransitSssp.cappedCsrMaxEdges
+    val viaControl = try {
+      TransitSssp.cappedCsrMaxEdges = 0L
+      rows(Betweenness.ofProjection(g, localThreshold = 1L))
+    } finally TransitSssp.cappedCsrMaxEdges = maxE
+    assert(viaControl == viaDefault,
+      "budget-zeroed control (level-sync) diverged")
+  }
+
+  test("windowed betweenness: in-heap rung equals level-sync on the capped subgraph (r15)") {
+    val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+    import spark.implicits._
+    // cap at the median departure — a proper subgraph (some rows drop)
+    val clk = g.nodes.select(org.apache.spark.sql.functions.col("dep_secs")
+      .cast("double")).as[Double].collect().sorted.apply(g.nodeCount.toInt / 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("stop_name"),
+        r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val inHeap = rows(Betweenness.ofProjection(g, clockCap = clk))
+    val levelSync = rows(Betweenness.ofProjection(g, localThreshold = 0L,
+      clockCap = clk))
+    assert(inHeap == levelSync,
+      "windowed in-heap betweenness diverged from windowed level-sync")
+    val full = rows(Betweenness.ofProjection(g))
+    assert(inHeap.size < full.size,
+      "the cap should restrict the scored rows to the window")
+    assert(inHeap.nonEmpty)
+  }
+
   test("betweenness of the projected routing graph ranks transfer stoptimes") {
     val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
     val top = Betweenness.ofProjection(g).collect()

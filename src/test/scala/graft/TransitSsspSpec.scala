@@ -352,6 +352,36 @@ class TransitSsspSpec extends SparkSpec {
     assert(out == Seq((-42L, -42L, 0.0, -1L)))
   }
 
+  test("cap buckets are shared within a pad - the memo's lifetime bound (r15)") {
+    // The long-lived-service memory story rests on the bucket key space
+    // being ceil(cap / pad): two caps inside one pad window must
+    // materialize ONE bucket (slice + CSR shared), a third in the next
+    // window a second — so a service's residency is bounded by the
+    // service-day span over the pad, never by call count.
+    val ts = new TransitSssp(g.nodes, changeEdges)
+    val sources = g.nodes.orderBy("id").limit(1).select("id")
+      .as[Long].collect().toSet
+    val (minN, pad) =
+      (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedSlicePadSecs)
+    try {
+      TransitSssp.cappedSliceMinNodes = 0L
+      TransitSssp.cappedSlicePadSecs = 3600L
+      def run(cap: Double): Unit = {
+        val st = ts.staged(sources, clockCap = cap); st.distances.count()
+        st.release()
+      }
+      run(15 * 3600.0 + 100); run(15 * 3600.0 + 900) // same pad window
+      assert(ts.cappedBucketCount == 1,
+        s"same-pad caps must share one bucket, got ${ts.cappedBucketCount}")
+      run(17 * 3600.0 + 100) // next window
+      assert(ts.cappedBucketCount == 2)
+    } finally {
+      TransitSssp.cappedSliceMinNodes = minN
+      TransitSssp.cappedSlicePadSecs = pad
+      ts.releasePins()
+    }
+  }
+
   test("negative-weight edge list: in-heap fixpoint equals Pregel (r15 SPFA)") {
     // A negative-weight DAG where the greedy settle-once answer is WRONG
     // (1→2 direct costs 5, via 3 costs −2): the local regime must now
