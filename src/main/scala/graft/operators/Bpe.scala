@@ -288,15 +288,15 @@ object Bpe {
         lastRegimes.clear()
         lastRegimes.add("inheap")
         val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-        val map = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        val idx = new PairMapIndex
         counts.as[(String, String, Long)].collect()
-          .foreach { case (a, b, n) => map.update((a, b), n) }
+          .foreach { case (a, b, n) => idx.seed(a, b, n) }
         rel(counts)
         import scala.jdk.CollectionConverters._
         val state = buildInHeapState(
           syms.as[(String, Long)].toLocalIterator().asScala)
         rel(syms) // encoded; the checkpoint blocks can go
-        trainInHeap(state, map, merges, numMerges)
+        trainInHeap(state, idx, merges, numMerges)
       } else trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs,
         inHeapMaxBytes)
     } else trainTableLoop(syms, counts, merges, numMerges)
@@ -409,8 +409,7 @@ object Bpe {
     * hundreds of rows — the 0.59 s/merge Spark scheduling floor the r13
     * nat run measured becomes microseconds of driver work (32k MEASURED
     * at 2025 s in r14). */
-  private def trainInHeap(st: InHeapState,
-      map: scala.collection.mutable.HashMap[(String, String), Long],
+  private def trainInHeap(st: InHeapState, map: PairMapIndex,
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
       numMerges: Int): Unit = {
     val syms = st.syms
@@ -472,9 +471,7 @@ object Bpe {
                 val c = counts(w)
                 i = 0
                 while (i < s.length - 1) {
-                  val k = (vocab(s(i)), vocab(s(i + 1)))
-                  val n = map.getOrElse(k, 0L) - c
-                  if (n > 0L) map.update(k, n) else map.remove(k)
+                  map.add((vocab(s(i)), vocab(s(i + 1))), -c)
                   i += 1
                 }
                 var out = s
@@ -487,8 +484,7 @@ object Bpe {
                 syms(w) = out
                 i = 0
                 while (i < out.length - 1) {
-                  val k = (vocab(out(i)), vocab(out(i + 1)))
-                  map.update(k, map.getOrElse(k, 0L) + c)
+                  map.add((vocab(out(i)), vocab(out(i + 1))), c)
                   // newly-present pairs always involve a batch-created
                   // symbol (only positions at a merge site change)
                   if (isBatchSym(out(i)) || isBatchSym(out(i + 1)))
@@ -571,9 +567,9 @@ object Bpe {
     import scala.concurrent.duration._
     lastRegimes.add("hybrid")
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-    val map = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val map = new PairMapIndex
     countsInit.as[(String, String, Long)].collect()
-      .foreach { case (a, b, n) => map.update((a, b), n) }
+      .foreach { case (a, b, n) => map.seed(a, b, n) }
     rel(countsInit)
     var syms = symsInit
     var round = 0
@@ -602,11 +598,7 @@ object Bpe {
         .filter(col("n") =!= 0L)
         .as[(String, String, Long)].collect()
       val nextSyms = Await.result(nextSymsF, 10.minutes)
-      delta.foreach { case (a, b, d) =>
-        val k = (a, b)
-        val n = map.getOrElse(k, 0L) + d
-        if (n > 0L) map.update(k, n) else map.remove(k)
-      }
+      delta.foreach { case (a, b, d) => map.add((a, b), d) }
       rel(syms)
       syms = nextSyms
       round += 1
@@ -645,19 +637,108 @@ object Bpe {
     rel(syms)
   }
 
+  /** Slack term of the per-round churn threshold that decides SCAN vs
+    * HEAP argmax mode (see [[PairMapIndex.roundStart]]). Var only as a
+    * spec hook: fixtures are too small to cross the default, so parity
+    * specs force scan mode by setting it negative. */
+  @volatile private[graft] var ArgmaxHeapMinSlack: Long = 1024L
+
+  /** Exact argmax index over the driver-resident pair-count map — the
+    * shared selection state of the hybrid and in-heap regimes (r15). The
+    * deep-round floor of both regimes was the O(P) full-map scan per
+    * argmax probe (~0.5–0.7 s/round at P ≈ 4.5M pairs on the 7M-word
+    * corpus — the scan, not the rewrite, once touched words fall to
+    * thousands). Counts only change for pairs adjacent to a merge site,
+    * so a lazy-deletion candidate heap re-ranks only the updated pairs:
+    *  - every live pair's CURRENT count has a heap entry (pushed at
+    *    seed/rebuild and at every update while the heap is active, and
+    *    the heap is rebuilt from the map whenever it re-activates), so
+    *    the best FRESH entry is the exact argmax;
+    *  - stale entries (count no longer current) and same-key duplicates
+    *    are dropped at poll (per-probe collected-key set); polled fresh
+    *    entries re-insert after the probe — still candidates;
+    *  - a heap grown past 4× the live map rebuilds (stale-mass bound).
+    * Maintenance is ADAPTIVE: a high-churn round (early training) pays
+    * more for heap pushes than one scan, so the index drops to scan mode
+    * there and re-enters heap mode when churn falls below live/8 +
+    * [[ArgmaxHeapMinSlack]]. Both modes produce the identical
+    * (n desc, a asc, b asc) UTF-8 rank order — merges are bit-identical
+    * (BpeBatchSpec pins heap ≡ scan ≡ sequential). */
+  private final class PairMapIndex {
+    private val map =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    private var heap: java.util.PriorityQueue[(String, String, Long)] = null
+    private var updatesSinceRound = 0L
+
+    def size: Int = map.size
+    def nonEmpty: Boolean = map.nonEmpty
+
+    /** Initial load (no heap yet — the first roundStart decides mode). */
+    def seed(a: String, b: String, n: Long): Unit = map.update((a, b), n)
+
+    /** Read-modify-write: fold `delta` into k's count, dropping the pair
+      * at ≤ 0 — the exact update rule both training loops used inline. */
+    def add(k: (String, String), delta: Long): Unit = {
+      val n = map.getOrElse(k, 0L) + delta
+      if (n > 0L) {
+        map.update(k, n)
+        if (heap != null) heap.add((k._1, k._2, n))
+      } else map.remove(k) // every heap entry of k goes stale
+      updatesSinceRound += 1
+    }
+
+    /** Once per round, before the probes: pick the mode for this round's
+      * argmax from last round's churn. */
+    def roundStart(): Unit = {
+      val highChurn =
+        updatesSinceRound > map.size / 8 + ArgmaxHeapMinSlack
+      updatesSinceRound = 0L
+      if (highChurn) heap = null
+      else if (heap == null || heap.size > 4L * map.size + 1024L) rebuild()
+    }
+
+    private def rebuild(): Unit = {
+      val h = new java.util.PriorityQueue[(String, String, Long)](
+        math.max(16, map.size), new java.util.Comparator[(String, String, Long)] {
+          def compare(x: (String, String, Long), y: (String, String, Long)): Int =
+            pairRankCompare(x, y)
+        })
+      map.foreach { case ((a, b), n) => h.add((a, b, n)) }
+      heap = h
+    }
+
+    /** Top-k live pairs in exact rank order; `complete` = the result
+      * covers every live pair. */
+    def topK(k: Int): (Seq[(String, String, Long)], Boolean) =
+      if (heap == null) (topPairs(map, k), k >= map.size)
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long)](
+          math.min(k, map.size))
+        val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+        while (out.size < k && !heap.isEmpty) {
+          val e = heap.poll()
+          val key = (e._1, e._2)
+          if (!seen.contains(key) && map.get(key).contains(e._3)) {
+            out += e; seen += key
+          } // stale and duplicate entries drop permanently — self-cleaning
+        }
+        out.foreach(heap.add) // fresh candidates stay candidates
+        (out.toSeq, out.size >= map.size)
+      }
+  }
+
   /** Exact argmax batch from the driver-resident count map: the total order
     * is (n desc, a asc, b asc) in UTF-8 — identical to the table loop's
     * `orderBy(desc("n"), asc("a"), asc("b"))`. */
-  private def selectBatchFromMap(
-      map: scala.collection.mutable.HashMap[(String, String), Long],
+  private def selectBatchFromMap(idx: PairMapIndex,
       prior: scala.collection.Set[String]): Seq[(String, String)] = {
+    idx.roundStart()
     var k = BatchProbe
     while (true) {
-      val complete = k >= map.size
-      val top = topPairs(map, k)
+      val (top, complete) = idx.topK(k)
       val (batch, conflictStopped) = selectBatchEx(top, prior, complete)
       if (complete || conflictStopped) return batch
-      k = math.min(map.size, k * 8)
+      k = math.min(idx.size, k * 8)
     }
     Nil
   }

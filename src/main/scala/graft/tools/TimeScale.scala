@@ -125,6 +125,7 @@ object TimeScale {
         case Some(sel) => sel.split(",").map(_.trim.toInt).toSeq.map(allPairs)
         case None => allPairs
       }
+      val csrServed0 = graft.graph.TransitSssp.cappedCsrServed.get()
       val routeSecs = pairs.map { case (a, b) =>
         val (rows, s) = timed {
           eng.routing("2024-01-18", 1.0, "08:00:00", a, b).collect()
@@ -132,6 +133,17 @@ object TimeScale {
         if (rows.isEmpty) println(s"WARN: no itinerary $a -> $b at scale $sc")
         s
       }
+      // r15 campaign guard: good numbers must not hide a silently
+      // regressed capped-CSR gate — the counter says which regime served.
+      // SPARK_GRAFT_SCALE_REQUIRE_CSR=1 (the 10×-campaign recipe) asserts
+      // every routed pair rode the capped CSR.
+      val csrServed = graft.graph.TransitSssp.cappedCsrServed.get() - csrServed0
+      if (pairs.nonEmpty && !isLocal)
+        println(s"  scale $sc capped-CSR served $csrServed/${pairs.size} pairs")
+      if (sys.env.get("SPARK_GRAFT_SCALE_REQUIRE_CSR").contains("1") &&
+          !isLocal && csrServed < pairs.size)
+        throw new IllegalStateException(
+          s"capped-CSR gate regression: served $csrServed of ${pairs.size}")
       println(f"$sc%-6d $nStoptimes%10d $edges%10d $walkSec%9.2f $buildSec%8.2f " +
         f"$csrSec%6.2f $idxSec%8.2f ${routeSecs.map(s => f"$s%.2f").mkString("/")}%13s " +
         (if (isLocal) "[csr]" else "[transit-distributed]"))

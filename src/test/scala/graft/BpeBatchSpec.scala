@@ -145,6 +145,31 @@ class BpeBatchSpec extends SparkSpec {
       s"expected a hybrid->inheap hand-off, got ${Bpe.lastRegimes.asScala}")
   }
 
+  test("argmax heap mode and scan mode learn identical merges (r15)") {
+    // Fixture maps never cross the churn threshold, so the suite's parity
+    // tests all ride the HEAP path; this forces the SCAN path (slack
+    // negative → every round counts as high-churn) and pins heap ≡ scan
+    // on a tie-heavy randomized vocabulary — the two modes must produce
+    // the same (n desc, a asc, b asc) argmax sequence.
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcde"
+    val words = Seq.tabulate(80) { i =>
+      val w = Array.fill(3 + rnd.nextInt(9))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      (w, (rnd.nextInt(12) + 1).toLong)
+    }.distinct
+    val df = words.toDF("word", "count")
+    val viaHeap = Bpe.train(df, 40, localMaxWords = 0L)
+    val slack = Bpe.ArgmaxHeapMinSlack
+    val viaScan = try {
+      Bpe.ArgmaxHeapMinSlack = Long.MinValue / 2
+      Bpe.train(df, 40, localMaxWords = 0L)
+    } finally Bpe.ArgmaxHeapMinSlack = slack
+    assert(viaHeap == viaScan,
+      s"argmax modes diverge:\n  heap: $viaHeap\n  scan: $viaScan")
+    assert(viaHeap == Bpe.train(df, 40), "distributed diverged from local")
+  }
+
   test("both checkpoint storage levels produce identical merges") {
     // Same guard as TransitSsspSpec's storage-level test: the knob must
     // never change answers and both branches must run under a spec.
