@@ -427,12 +427,30 @@ object Betweenness {
       if (localThreshold <= 0L) 0L
       else math.max(localThreshold, TransitSssp.cappedCsrMaxEdges)
     val scores =
-      if (g.edgeCount > localThreshold && transitAboveThreshold)
+      if (g.edgeCount > localThreshold && transitAboveThreshold) {
         // changeEnriched is interchangeable with the 5-column view here:
         // TransitBetweenness re-keys to HOP space (its own positions,
         // waiting_time = 1) before its inner TransitSssp ever sees the
-        // frame, so the r14 enrichment neither helps nor hurts this branch
-        TransitBetweenness.run(g.nodes, g.changeEnriched, srcs)
+        // frame, so the r14 enrichment neither helps nor hurts this branch.
+        // Windowed runs hand it the CAPPED frames (r15 review): positions
+        // re-key over the filtered nodes, which reproduces the capped
+        // subgraph exactly because a dep-clock cap truncates a SUFFIX of
+        // each trip (dep_secs is the grid's monotone key — the same
+        // assumption the capped routing slice makes), so consecutive rows
+        // stay consecutive; CHANGE edges prune to within-cap endpoints,
+        // mirroring scopeEdges' semi-joins.
+        val ce =
+          if (!windowed) g.changeEnriched
+          else {
+            val within = scopeNodes.select(col("id"))
+            g.changeEnriched
+              .join(within.withColumnRenamed("id", "source"),
+                Seq("source"), "left_semi")
+              .join(within.withColumnRenamed("id", "target"),
+                Seq("target"), "left_semi")
+          }
+        TransitBetweenness.run(if (windowed) scopeNodes else g.nodes, ce, srcs)
+      }
       else
         run(scopeEdges, srcs, inHeapBudget)
     scopeNodes.join(scores, scopeNodes("id") === scores("vertex_id"))

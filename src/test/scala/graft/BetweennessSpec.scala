@@ -221,6 +221,13 @@ class BetweennessSpec extends SparkSpec {
     assert(inHeap.size < full.size,
       "the cap should restrict the scored rows to the window")
     assert(inHeap.nonEmpty)
+    // the transit (hop-space) branch must honor the window too (r15
+    // review: it previously scored the FULL graph and only clipped the
+    // output rows) — force it via localThreshold = -1 so edgeCount > -1
+    val transit = rows(Betweenness.ofProjection(g, localThreshold = -1L,
+      transitAboveThreshold = true, clockCap = clk))
+    assert(transit == inHeap,
+      "windowed transit-branch betweenness diverged from the capped subgraph")
   }
 
   test("betweenness of the projected routing graph ranks transfer stoptimes") {
