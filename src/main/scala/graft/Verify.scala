@@ -57,14 +57,15 @@ object Verify {
         // digests against the twin-verified pinned values, so a content
         // drift fails the row into the correctness file as an error
         // instead of hiding behind a rows-only check.
-        Verify.pinnedHarnessDigests.get(name).foreach { expected =>
-          val got = df.select("name", "itineraryDigest").collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-          require(got == expected,
-            s"harness itinerary digest drift: got $got expected $expected")
-        }
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        if (pinned) df.unpersist()
+        try {
+          Verify.pinnedHarnessDigests.get(name).foreach { expected =>
+            val got = df.select("name", "itineraryDigest").collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            require(got == expected,
+              s"harness itinerary digest drift: got $got expected $expected")
+          }
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } finally if (pinned) df.unpersist() // drift must not leak the cache
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -45,8 +45,12 @@ object Betweenness {
     * [[ShortestPaths.LocalDijkstraMaxEdges]] — both answer "does the full
     * graph fit comfortably in one JVM's heap", and the reference's own
     * "distributed" GDS graph is a single-node in-memory CSR at exactly this
-    * scale. Above it, the level-synchronous DataFrame branch takes over. */
-  val CsrBrandesMaxEdges: Long = ShortestPaths.LocalDijkstraMaxEdges
+    * scale. Above it, the level-synchronous DataFrame branch takes over.
+    * Var only as a spec hook (r15: fixtures are too small to sit between
+    * this bound and the capped-CSR budget, so the rung spec shrinks it);
+    * production callers never touch it. */
+  @volatile private[graft] var CsrBrandesMaxEdges: Long =
+    ShortestPaths.LocalDijkstraMaxEdges
 
   /** edges: (src: long, dst: long) directed. Returns (vertex_id, score). */
   def run(edges: DataFrame, sources: Seq[Long],
@@ -423,11 +427,32 @@ object Betweenness {
     // localThreshold <= 0 is the forced-level-sync measurement convention
     // and disables the rung, as does TransitSssp.cappedCsrMaxEdges = 0;
     // feeds over the budget keep level-sync — the only 100 TB-safe branch.
+    // The rung only widens the DEFAULT threshold: a caller-supplied
+    // explicit bound keeps bounding the driver collect exactly (r15
+    // review — a memory-constrained caller's small threshold must not
+    // silently escalate to the ~6M-edge capped budget).
     val inHeapBudget =
       if (localThreshold <= 0L) 0L
+      else if (localThreshold != CsrBrandesMaxEdges) localThreshold
       else math.max(localThreshold, TransitSssp.cappedCsrMaxEdges)
+    // The hop-space collapse derives PRECEDES structure from CONSECUTIVE
+    // rows, so a windowed transit run is exact only when the cap truncates
+    // a SUFFIX of each trip (dep_secs monotone within the trip — true of
+    // every valid schedule). A clock-inconsistent feed can put a
+    // non-monotone dep inside a trip, where the cap drops a MIDDLE row and
+    // re-keyed positions would fabricate a ride edge across the hole —
+    // detect it (one window agg, windowed+transit calls only) and keep the
+    // edge-list branch, which is exact by construction (r15 review).
+    def windowedDepHole: Boolean = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("trip_id").orderBy("stop_sequence")
+      !g.nodes.select(col("trip_id"), col("stop_sequence"), col("dep_secs"))
+        .withColumn("prev_dep", lag(col("dep_secs"), 1).over(w))
+        .filter(col("prev_dep") > col("dep_secs")).isEmpty
+    }
     val scores =
-      if (g.edgeCount > localThreshold && transitAboveThreshold) {
+      if (g.edgeCount > localThreshold && transitAboveThreshold &&
+          !(windowed && windowedDepHole)) {
         // changeEnriched is interchangeable with the 5-column view here:
         // TransitBetweenness re-keys to HOP space (its own positions,
         // waiting_time = 1) before its inner TransitSssp ever sees the
@@ -435,10 +460,10 @@ object Betweenness {
         // Windowed runs hand it the CAPPED frames (r15 review): positions
         // re-key over the filtered nodes, which reproduces the capped
         // subgraph exactly because a dep-clock cap truncates a SUFFIX of
-        // each trip (dep_secs is the grid's monotone key — the same
-        // assumption the capped routing slice makes), so consecutive rows
-        // stay consecutive; CHANGE edges prune to within-cap endpoints,
-        // mirroring scopeEdges' semi-joins.
+        // each trip (see windowedDepHole — non-monotone feeds keep the
+        // edge-list branch), so consecutive rows stay consecutive; CHANGE
+        // edges prune to within-cap endpoints, mirroring scopeEdges'
+        // semi-joins.
         val ce =
           if (!windowed) g.changeEnriched
           else {

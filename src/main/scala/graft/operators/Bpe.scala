@@ -668,7 +668,14 @@ object Bpe {
     private val map =
       scala.collection.mutable.HashMap.empty[(String, String), Long]
     private var heap: java.util.PriorityQueue[(String, String, Long)] = null
-    private var updatesSinceRound = 0L
+    // Starts HIGH so round 0 runs in SCAN mode (r15 review): the first
+    // roundStart has observed no churn yet, and round 0 is the
+    // highest-churn round of a training run — entering heap mode there
+    // pays a full O(P log P) rebuild plus millions of per-update heap
+    // pushes that round 1's detector would immediately discard. One
+    // observed low-churn round flips to the heap. (MaxValue/2, not
+    // MaxValue: add() increments and must not overflow.)
+    private var updatesSinceRound = Long.MaxValue / 2
 
     def size: Int = map.size
     def nonEmpty: Boolean = map.nonEmpty

@@ -178,11 +178,16 @@ class BetweennessSpec extends SparkSpec {
   }
 
   test("capped-budget in-heap rung equals level-sync above the broadcast bound (r15)") {
-    // localThreshold = 1 puts the 18-edge fixture ABOVE the broadcast-CSR
-    // bound; the new rung (budget = TransitSssp.cappedCsrMaxEdges) must
-    // collect and sweep in-heap with scores identical to the default CSR
-    // run AND to forced level-sync, and zeroing the budget knob must
-    // restore pure level-sync (the 100 TB control).
+    // Shrinking the broadcast-bound SPEC HOOK to 1 puts the 18-edge
+    // fixture ABOVE the broadcast-CSR bound at the DEFAULT threshold; the
+    // new rung (budget = TransitSssp.cappedCsrMaxEdges, engaged only from
+    // the default — an explicit caller threshold binds the driver collect
+    // exactly, r15 review) must collect and sweep in-heap with scores
+    // identical to the default CSR run AND to forced level-sync, and
+    // zeroing the budget knob must restore pure level-sync (the 100 TB
+    // control). An explicit sub-default threshold must NOT escalate: it
+    // runs level-sync above its own bound (same scores — pinned here so
+    // the path executes under a spec).
     import graft.graph.TransitSssp
     val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -190,16 +195,79 @@ class BetweennessSpec extends SparkSpec {
         r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
       .sortBy(t => (t._1, t._2, t._3)).toSeq
     val viaDefault = rows(Betweenness.ofProjection(g))
-    val viaRung = rows(Betweenness.ofProjection(g, localThreshold = 1L))
-    assert(viaRung == viaDefault,
-      "capped-budget in-heap betweenness diverged from the CSR regime")
-    val maxE = TransitSssp.cappedCsrMaxEdges
-    val viaControl = try {
+    val (maxB, maxE) =
+      (Betweenness.CsrBrandesMaxEdges, TransitSssp.cappedCsrMaxEdges)
+    try {
+      Betweenness.CsrBrandesMaxEdges = 1L
+      val viaRung = rows(Betweenness.ofProjection(g))
+      assert(viaRung == viaDefault,
+        "capped-budget in-heap betweenness diverged from the CSR regime")
       TransitSssp.cappedCsrMaxEdges = 0L
-      rows(Betweenness.ofProjection(g, localThreshold = 1L))
-    } finally TransitSssp.cappedCsrMaxEdges = maxE
-    assert(viaControl == viaDefault,
-      "budget-zeroed control (level-sync) diverged")
+      val viaControl = rows(Betweenness.ofProjection(g))
+      assert(viaControl == viaDefault,
+        "budget-zeroed control (level-sync) diverged")
+    } finally {
+      Betweenness.CsrBrandesMaxEdges = maxB
+      TransitSssp.cappedCsrMaxEdges = maxE
+    }
+    val viaExplicit = rows(Betweenness.ofProjection(g, localThreshold = 1L))
+    assert(viaExplicit == viaDefault,
+      "explicit-threshold level-sync diverged")
+  }
+
+  test("windowed transit on a dep-dirty feed keeps the exact edge-list branch (r15 review)") {
+    // The hop-space collapse derives PRECEDES from consecutive rows, so a
+    // cap that drops a MIDDLE row (possible only when dep_secs runs
+    // backward inside a trip) would fabricate a ride edge across the hole
+    // if positions re-keyed over the filtered nodes. The dep-hole guard
+    // must detect the non-monotone feed and route the windowed transit
+    // call through the edge-list branch — identical to windowed level-sync.
+    import graft.functions.TimeFunctions.secondsSinceMidnight
+    import org.apache.spark.sql.functions.col
+    val agency = Seq(("A", "http://example.org", "Europe/Rome"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    val routes = Seq(("R1", "1", "L1", 3), ("R2", "2", "L2", 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = Seq(("R1", "S1", "TA"), ("R2", "S1", "TB"))
+      .map { case (r, s, t) => (r, s, t, "0", "SH", "h") }
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id",
+        "trip_headsign")
+    val stops = Seq(
+      ("SA", "A", 44.6000, 10.9000), ("SB", "B", 44.6100, 10.9000),
+      ("SC", "C", 44.6200, 10.9000), ("SD", "D", 44.6300, 10.9100))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    // TB's middle dep (14:45) sits ABOVE the 14:40 cap while its final dep
+    // (14:30) sits below AND runs backward — the cap drops only the middle
+    // row, the exact hole the guard exists for. TA feeds a change into TB.
+    val stopTimes = Seq(
+      ("TA", "14:00:00", "14:00:00", "SA", 1),
+      ("TA", "14:06:00", "14:07:00", "SB", 2),
+      ("TB", "14:10:00", "14:12:00", "SB", 1),
+      ("TB", "14:44:00", "14:45:00", "SC", 2), // dep above the cap
+      ("TB", "14:20:00", "14:30:00", "SD", 3)) // dep below the cap, rewound
+      .toDF("trip_id", "arrival_time", "departure_time", "stop_id",
+        "stop_sequence")
+      .withColumn("arr_secs", secondsSinceMidnight(col("arrival_time")))
+      .withColumn("dep_secs", secondsSinceMidnight(col("departure_time")))
+    val calendar = Seq(("S1", java.sql.Date.valueOf("2024-01-18"), "1"))
+      .toDF("service_id", "day", "exception_type")
+    val tables = graft.model.GtfsTables(agency, routes, trips, stops,
+      stopTimes, calendar)
+    val eng = new graft.api.RoutingEngine(tables)
+    val g = eng.projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+    val cap = 52800.0 // 14:40
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("stop_name"),
+        r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val levelSync = rows(Betweenness.ofProjection(g, localThreshold = 0L,
+      clockCap = cap))
+    val transit = rows(Betweenness.ofProjection(g, localThreshold = -1L,
+      transitAboveThreshold = true, clockCap = cap))
+    assert(transit == levelSync,
+      "dep-dirty windowed transit diverged from the exact edge-list branch")
+    // the dropped middle row must actually be a hole (guard precondition)
+    assert(g.nodes.filter(col("dep_secs") > cap).count() == 1)
   }
 
   test("windowed betweenness: in-heap rung equals level-sync on the capped subgraph (r15)") {
