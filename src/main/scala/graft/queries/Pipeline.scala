@@ -998,6 +998,53 @@ object Pipeline {
              |WHERE g.doc_id % 20 <> 0
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // The same contamination check with a BLOOM-FILTER PREFILTER on the
+    // corpus side — the shape that actually survives 100 TB: the benchmark
+    // gram sketch (one binary blob, ~KBs–MBs) is collected once and
+    // embedded as a LITERAL, so every executor probes the exploded corpus
+    // gram stream at ~ns/row with ZERO join machinery; only bloom-positive
+    // rows (true matches + the sketch's ~3 % false positives) reach the
+    // exact broadcast verify join, which removes the false positives —
+    // results are IDENTICAL to pipeline_contamination (same oracle). The
+    // broadcast-distinct of the exact row stays correct at any scale, but
+    // its semi-join still hashes every corpus gram; the bloom probe is a
+    // codegen'd expression on the scan side of the join.
+    Q("pipeline_contamination_bloom", "decontamination",
+      (s, dir) => {
+        val g = t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+          .select(col("doc_id"), explode(tokenGrams(col("tk"), 8)).as("gram"))
+        val bench = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
+        // benchmark side is small BY CONSTRUCTION (same premise as the
+        // exact row's broadcast) — one tiny agg job builds the sketch,
+        // sized for a generous fixed benchmark bound (1M grams ≈ 0.9 MB of
+        // bits, comfortably under the large-task-binary warning;
+        // oversizing costs bits, never correctness, and avoids a separate
+        // count job — at deployment the benchmark cardinality is known
+        // upfront)
+        val bloom = bench.agg(graft.functions.SketchFunctions.bloomAgg(
+            xxhash64(col("gram")), 1024L * 1024).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        g.filter(col("doc_id") % 20 =!= 0)
+          .filter(graft.functions.SketchFunctions.bloomMightContain(
+            lit(bloom), xxhash64(col("gram"))))
+          .join(broadcast(bench), Seq("gram"))
+          .groupBy("doc_id").agg(countDistinct("gram").as("n_shared_8grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+             |    ELSE list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' ')) END) AS gram
+             |  FROM toks),
+             |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+             |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_8grams
+             |FROM g JOIN bench USING (gram)
+             |WHERE g.doc_id % 20 <> 0
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
     // Sequence packing (the pretraining batch-construction fold): docs in
     // corpus order greedily packed into fixed-token-budget bins, per shard
     // (doc_id % 8) so shards pack independently and in parallel — exactly

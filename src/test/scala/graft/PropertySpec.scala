@@ -43,6 +43,35 @@ class PropertySpec extends SparkSpec {
     check("sssp-oracle", prop, minTests = 15)
   }
 
+  test("negative-weight DAGs: in-heap SPFA equals Pregel, preds included (r15)") {
+    // Random DAGs (edges only i→j with i<j, so no cycles of any sign)
+    // with weights spanning negative values — the class the r15 dispatch
+    // routes to the label-correcting fixpoint, where settle-once Dijkstra
+    // would be silently wrong. Parity must hold on dist AND pred (the
+    // canonical min-index tie-break), across the local and Pregel regimes.
+    val genGraph = for {
+      n <- Gen.choose(3, 12)
+      m <- Gen.choose(2, 30)
+      edges <- Gen.listOfN(m, for {
+        s <- Gen.choose(0L, n - 2L)
+        dOff <- Gen.choose(1L, n - 1L)
+        w <- Gen.choose(-5, 12)
+      } yield (s, math.min(s + dOff, n - 1L), w.toDouble))
+    } yield edges.distinct.filter(e => e._1 != e._2)
+    val prop = Prop.forAll(genGraph) { edges =>
+      edges.nonEmpty ==> {
+        val df = edges.toDF("src", "dst", "weight")
+        val src = edges.map(_._1).min
+        def key(t: Long) = ShortestPaths.fromDF(df, Set(src),
+          localThreshold = t)
+          .select("vertex_id", "dist", "pred")
+          .as[(Long, Double, Long)].collect().toSet
+        key(Long.MaxValue) == key(0L)
+      }
+    }
+    check("spfa-pregel-parity", prop, minTests = 15)
+  }
+
   test("target-bounded Dijkstra equals the full run on requested targets") {
     // runForTargets stops each source's search once every in-graph target
     // settles (r10) — target distances, preds, and reconstructed paths
@@ -179,6 +208,33 @@ class PropertySpec extends SparkSpec {
         .map { case (bin, id, n) => (shard, bin, id, n) }
     }.toSet
     assert(distributed == reference)
+  }
+
+  test("bloom sketch: no false negatives; prefiltered contamination equals exact (r15)") {
+    import graft.functions.SketchFunctions._
+    // membership law: every inserted value probes TRUE (false negatives
+    // are impossible by construction); absent values may probe true but
+    // the rate is bounded — assert well under 50 % at the sized capacity
+    val present = (1L to 500L).map(i => s"gram-$i")
+    val absent = (1L to 500L).map(i => s"other-$i")
+    val bloom = present.toDF("g")
+      .agg(bloomAgg(xxhash64($"g"), 10000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probe = (present.map((_, true)) ++ absent.map((_, false)))
+      .toDF("g", "inserted")
+      .select($"inserted",
+        bloomMightContain(lit(bloom), xxhash64($"g")).as("hit"))
+      .as[(Boolean, Boolean)].collect()
+    assert(probe.filter(_._1).forall(_._2), "false negative in bloom probe")
+    val fp = probe.filterNot(_._1).count(_._2)
+    assert(fp < 250, s"implausible false-positive count: $fp/500")
+    // end-to-end: the bloom-prefiltered contamination row must return
+    // EXACTLY the exact row's result (the verify join removes the sketch's
+    // false positives) — same guarantee the shared oracle checks at sf0.01
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = graft.queries.Catalog.all.find(_.name == name).get
+      .run(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(rows("pipeline_contamination_bloom") == rows("pipeline_contamination"))
   }
 
   test("minhash similarity estimates correlate with true Jaccard") {
