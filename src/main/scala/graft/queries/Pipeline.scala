@@ -1014,14 +1014,18 @@ object Pipeline {
         val g = t(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .select(col("doc_id"), explode(tokenGrams(col("tk"), 8)).as("gram"))
-        val bench = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
-        // benchmark side is small BY CONSTRUCTION (same premise as the
-        // exact row's broadcast) — one tiny agg job builds the sketch,
-        // sized for a generous fixed benchmark bound (1M grams ≈ 0.9 MB of
-        // bits, comfortably under the large-task-binary warning;
-        // oversizing costs bits, never correctness, and avoids a separate
-        // count job — at deployment the benchmark cardinality is known
-        // upfront)
+        // cached: the sketch-build job below and the verify join's
+        // broadcast side both read the benchmark grams — without the cache
+        // the tokenize/explode/distinct pipeline re-scans the corpus twice
+        // (r15 review); small by construction, same premise as the exact
+        // row's broadcast
+        val bench = g.filter(col("doc_id") % 20 === 0).select("gram")
+          .distinct().cache()
+        // one tiny agg job builds the sketch, sized for a generous fixed
+        // benchmark bound (1M grams ≈ 0.9 MB of bits, comfortably under
+        // the large-task-binary warning; oversizing costs bits, never
+        // correctness, and avoids a separate count job — at deployment the
+        // benchmark cardinality is known upfront)
         val bloom = bench.agg(graft.functions.SketchFunctions.bloomAgg(
             xxhash64(col("gram")), 1024L * 1024).as("bf"))
           .head().getAs[Array[Byte]]("bf")

@@ -51,11 +51,20 @@ object TimeBetweenness {
     val (nodes, edges) = (proj.nodeCount, proj.edgeCount)
     println(s"projection: $nodes nodes / $edges edges")
 
+    // SPARK_GRAFT_BW_CAP (seconds since midnight) runs WINDOWED
+    // betweenness over the horizon-bounded subgraph — read before the
+    // pivot sample so explicit pivots draw from WITHIN the window
+    // (ofProjection scores only the capped subgraph; out-of-window pivots
+    // would be silently dropped and the printed pivot count would
+    // overstate the run — r15 review).
+    val cap = sys.env.get("SPARK_GRAFT_BW_CAP").map(_.toDouble)
+      .getOrElse(Double.PositiveInfinity)
     val nSrc = sys.env.get("SPARK_GRAFT_BW_SOURCES").map(_.toInt)
     val sources = nSrc.map { k =>
       import spark.implicits._
       import org.apache.spark.sql.functions._
-      proj.nodes.select(col("id")).orderBy(xxhash64(col("id"), lit(42L)))
+      proj.nodes.filter(col("dep_secs") <= cap)
+        .select(col("id")).orderBy(xxhash64(col("id"), lit(42L)))
         .limit(k).as[Long].collect().toSeq
     }
     val regime = sys.env.getOrElse("SPARK_GRAFT_BW_REGIME", "csr")
@@ -63,13 +72,6 @@ object TimeBetweenness {
       case "transit" | "levelsync" => 0L
       case _ => graft.graph.Betweenness.CsrBrandesMaxEdges
     }
-    // SPARK_GRAFT_BW_CAP (seconds since midnight) runs WINDOWED
-    // betweenness over the horizon-bounded subgraph — at scales whose full
-    // graph exceeds the in-heap budget, the capped subgraph often fits and
-    // rides the collect+sweep rung instead of the level-sync rounds (the
-    // r15 windowed measurement). Unset keeps whole-projection semantics.
-    val cap = sys.env.get("SPARK_GRAFT_BW_CAP").map(_.toDouble)
-      .getOrElse(Double.PositiveInfinity)
     val t0 = System.nanoTime()
     // cached: the digest agg below must read the sweep's result, not
     // re-run every pivot BFS a second time (the orderBy forces the full

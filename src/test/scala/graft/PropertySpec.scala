@@ -57,7 +57,8 @@ class PropertySpec extends SparkSpec {
         dOff <- Gen.choose(1L, n - 1L)
         w <- Gen.choose(-5, 12)
       } yield (s, math.min(s + dOff, n - 1L), w.toDouble))
-    } yield edges.distinct.filter(e => e._1 != e._2)
+      // dst > src always (s <= n-2, dOff >= 1) — acyclic by construction
+    } yield edges.distinct
     val prop = Prop.forAll(genGraph) { edges =>
       edges.nonEmpty ==> {
         val df = edges.toDF("src", "dst", "weight")
