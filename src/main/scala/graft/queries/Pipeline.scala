@@ -1014,13 +1014,21 @@ object Pipeline {
         val g = t(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("tk"))
           .select(col("doc_id"), explode(tokenGrams(col("tk"), 8)).as("gram"))
-        // cached: the sketch-build job below and the verify join's
-        // broadcast side both read the benchmark grams — without the cache
-        // the tokenize/explode/distinct pipeline re-scans the corpus twice
-        // (r15 review); small by construction, same premise as the exact
-        // row's broadcast
-        val bench = g.filter(col("doc_id") % 20 === 0).select("gram")
-          .distinct().cache()
+        // The sketch-build job below and the verify join's broadcast side
+        // both read the benchmark grams — without a cache the
+        // tokenize/explode/distinct pipeline re-scans the CORPUS twice
+        // (r15 review). Stats-gated like the projection's enrichment gate
+        // (stats-not-jobs): cache only when the corpus scan's Catalyst
+        // stat says a re-scan costs more than materializing the small
+        // distinct gram set — fixture-scale corpora skip the cache (and
+        // its ~0.6 s write+broadcast-from-cache premium), 100 TB corpora
+        // scan once.
+        val bench0 = g.filter(col("doc_id") % 20 === 0).select("gram")
+          .distinct()
+        val bench =
+          if (t(s, dir, "documents").queryExecution.optimizedPlan.stats
+              .sizeInBytes >= BigInt(64L << 20)) bench0.cache()
+          else bench0
         // one tiny agg job builds the sketch, sized for a generous fixed
         // benchmark bound (1M grams ≈ 0.9 MB of bits, comfortably under
         // the large-task-binary warning; oversizing costs bits, never
