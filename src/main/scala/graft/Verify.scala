@@ -70,6 +70,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // builder-retained caches (the contamination rows' bench-gram cache
+      // feeds the returned plan's broadcast side, so the builder cannot
+      // unpersist it) are dead once the row's parquet is written —
+      // release them here instead of retaining for the session (r15
+      // ADVICE). Bench's per-run clearCache() already covers its side.
+      graft.queries.Pipeline.releaseRetainedCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -393,8 +393,27 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
         .getOrElse(return Nil)
       val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
       predOne = staged.resolve(bestSrc).cache()
-      val path = ShortestPaths.pathDistributed(predOne, bestSrc, bestTgt,
-        pathDriverWalkMaxRows)
+      val path =
+        try ShortestPaths.pathDistributed(predOne, bestSrc, bestTgt,
+          pathDriverWalkMaxRows)
+        catch {
+          // Zero-total-cycle feed (r16): the canonical pred selection has
+          // no tree here — distances are final and correct, so re-resolve
+          // with the level-layered acyclic selection and walk that
+          // (TransitSssp.resolveStateAcyclic; parity on distances, pred
+          // tree non-canonical by the same contract as the in-heap strict
+          // repair). Runners without a structural repair keep the pointed
+          // error.
+          case e: ShortestPaths.PredCycleException =>
+            staged.resolveAcyclic(bestSrc) match {
+              case Some(repaired) =>
+                predOne.unpersist()
+                predOne = repaired.cache()
+                ShortestPaths.pathDistributed(predOne, bestSrc, bestTgt,
+                  pathDriverWalkMaxRows)
+              case None => throw e
+            }
+        }
       // path ids are collected; every remaining consumer is driver-side
       if (path.size < 2) return Nil
       segments(g, path)

@@ -46,10 +46,10 @@ object Betweenness {
     * graph fit comfortably in one JVM's heap", and the reference's own
     * "distributed" GDS graph is a single-node in-memory CSR at exactly this
     * scale. Above it, the level-synchronous DataFrame branch takes over.
-    * Var only as a spec hook (r15: fixtures are too small to sit between
-    * this bound and the capped-CSR budget, so the rung spec shrinks it);
-    * production callers never touch it. */
-  @volatile private[graft] var CsrBrandesMaxEdges: Long =
+    * Immutable (r16, r15 ADVICE: the @volatile spec hook made the branch
+    * choice process-global mutable state); the rung spec injects a small
+    * bound via [[ofProjectionImpl]]'s `defaultCsrBound` parameter instead. */
+  private[graft] val CsrBrandesMaxEdges: Long =
     ShortestPaths.LocalDijkstraMaxEdges
 
   /** edges: (src: long, dst: long) directed. Returns (vertex_id, score). */
@@ -378,15 +378,35 @@ object Betweenness {
     * that wins for weighted transit SSSP (TransitSssp, round count
     * 12-15) loses here; both branches are spec-pinned to runLocal
     * (BetweennessSpec). */
+  /** `localThreshold`: None (the default) uses [[CsrBrandesMaxEdges]] and
+    * lets the capped-budget rung widen the in-heap collect to
+    * [[TransitSssp.cappedCsrMaxEdges]]; `Some(x)` is an EXACT caller bound
+    * on the driver collect — never escalated (r16, r15 ADVICE: the
+    * previous sentinel-by-value-equality made an explicit bound equal to
+    * the default indistinguishable from it). `Some(x ≤ 0)` forces the
+    * level-synchronous regime (the measurement convention). */
   def ofProjection(g: graft.projection.TimeExpandedGraph,
       sources: Option[Seq[Long]] = None, seed: Long = 42L,
-      localThreshold: Long = CsrBrandesMaxEdges,
+      localThreshold: Option[Long] = None,
       transitAboveThreshold: Boolean = false,
       /** r15: clock cap for WINDOWED betweenness — scores computed over
         * the subgraph of stoptimes departing at or before the cap (the
         * same horizon-bounded subgraph the capped routing regime
         * collects). ∞ (default) keeps whole-projection semantics. */
-      clockCap: Double = Double.PositiveInfinity): DataFrame = {
+      clockCap: Double = Double.PositiveInfinity): DataFrame =
+    ofProjectionImpl(g, sources, seed, localThreshold, transitAboveThreshold,
+      clockCap, CsrBrandesMaxEdges)
+
+  /** [[ofProjection]] with the DEFAULT broadcast bound injectable —
+    * fixtures are too small to sit between the production bound and the
+    * capped-CSR budget, so the rung spec passes a tiny `defaultCsrBound`
+    * per call instead of mutating a process-global (r15 ADVICE). */
+  private[graft] def ofProjectionImpl(g: graft.projection.TimeExpandedGraph,
+      sources: Option[Seq[Long]], seed: Long,
+      localThreshold: Option[Long],
+      transitAboveThreshold: Boolean,
+      clockCap: Double,
+      defaultCsrBound: Long): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val windowed = !clockCap.isPosInfinity
@@ -424,34 +444,44 @@ object Betweenness {
     // pivot-parallel in-heap sweep, identical scores to level-sync
     // (BetweennessSpec pins it), at ns/edge instead of ~600 scheduler
     // rounds (3× grid: 707.7 s level-sync → seconds; see COVERAGE).
-    // localThreshold <= 0 is the forced-level-sync measurement convention
-    // and disables the rung, as does TransitSssp.cappedCsrMaxEdges = 0;
-    // feeds over the budget keep level-sync — the only 100 TB-safe branch.
-    // The rung only widens the DEFAULT threshold: a caller-supplied
-    // explicit bound keeps bounding the driver collect exactly (r15
-    // review — a memory-constrained caller's small threshold must not
-    // silently escalate to the ~6M-edge capped budget).
-    val inHeapBudget =
-      if (localThreshold <= 0L) 0L
-      else if (localThreshold != CsrBrandesMaxEdges) localThreshold
-      else math.max(localThreshold, TransitSssp.cappedCsrMaxEdges)
+    // Some(x ≤ 0) is the forced-level-sync measurement convention and
+    // disables the rung, as does TransitSssp.cappedCsrMaxEdges = 0; feeds
+    // over the budget keep level-sync — the only 100 TB-safe branch. The
+    // rung only widens the DEFAULT (None) threshold: a caller-supplied
+    // explicit bound keeps bounding the driver collect exactly — the
+    // Option makes that distinction structural (r16; the r15 sentinel
+    // compared by VALUE, so an explicit bound equal to the default
+    // silently escalated).
+    val effThreshold = localThreshold.getOrElse(defaultCsrBound)
+    val inHeapBudget = localThreshold match {
+      case Some(x) if x <= 0L => 0L
+      case Some(x) => x
+      case None => math.max(defaultCsrBound, TransitSssp.cappedCsrMaxEdges)
+    }
     // The hop-space collapse derives PRECEDES structure from CONSECUTIVE
-    // rows, so a windowed transit run is exact only when the cap truncates
-    // a SUFFIX of each trip (dep_secs monotone within the trip — true of
-    // every valid schedule). A clock-inconsistent feed can put a
+    // rows, so a windowed transit run is exact only when the cap drops a
+    // SUFFIX of each trip it touches. A clock-inconsistent feed can put a
     // non-monotone dep inside a trip, where the cap drops a MIDDLE row and
     // re-keyed positions would fabricate a ride edge across the hole —
-    // detect it (one window agg, windowed+transit calls only) and keep the
-    // edge-list branch, which is exact by construction (r15 review).
-    def windowedDepHole: Boolean = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("trip_id").orderBy("stop_sequence")
-      !g.nodes.select(col("trip_id"), col("stop_sequence"), col("dep_secs"))
-        .withColumn("prev_dep", lag(col("dep_secs"), 1).over(w))
-        .filter(col("prev_dep") > col("dep_secs")).isEmpty
-    }
+    // detect exactly that (r16, r15 ADVICE: test the HOLE itself — a kept
+    // row preceded by a dropped one — not feed-wide monotonicity, so dirty
+    // trips entirely inside or outside the window no longer disable the
+    // fast branch) and keep the edge-list branch, which is exact by
+    // construction. Memoized per (projection, cap) on the projection: a
+    // multi-call harness pays the one window agg once.
+    def windowedDepHole: Boolean =
+      g.depHoleMemo.computeIfAbsent(clockCap, { _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("trip_id").orderBy("stop_sequence")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        java.lang.Boolean.valueOf(
+          !g.nodes.select(col("trip_id"), col("stop_sequence"), col("dep_secs"))
+            .withColumn("prev_max", max(col("dep_secs")).over(w))
+            .filter(col("dep_secs") <= clockCap && col("prev_max") > clockCap)
+            .isEmpty)
+      }).booleanValue
     val scores =
-      if (g.edgeCount > localThreshold && transitAboveThreshold &&
+      if (g.edgeCount > effThreshold && transitAboveThreshold &&
           !(windowed && windowedDepHole)) {
         // changeEnriched is interchangeable with the 5-column view here:
         // TransitBetweenness re-keys to HOP space (its own positions,

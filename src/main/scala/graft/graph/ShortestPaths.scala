@@ -108,9 +108,10 @@ object ShortestPaths {
     @annotation.tailrec
     def walk(v: VertexId, acc: List[VertexId], steps: Int): List[VertexId] =
       if (v == source) v :: acc
-      else if (steps > chain.size) throw new IllegalStateException(
+      else if (steps > chain.size) throw new PredCycleException(
         "predecessor cycle in path walk - canonical ties have no tree on " +
-          "this feed (zero-total cycle); route through the in-heap regime")
+          "this feed (zero-total cycle); re-resolve acyclically or route " +
+          "through the in-heap regime")
       else chain.get(v) match {
         case Some(p) if p != -1L => walk(p, v :: acc, steps + 1)
         case _ => v :: acc
@@ -168,10 +169,10 @@ object ShortestPaths {
         @annotation.tailrec
         def walk(v: Long, acc: List[Long], steps: Int): List[Long] =
           if (v == source) v :: acc
-          else if (steps > chain.size) throw new IllegalStateException(
+          else if (steps > chain.size) throw new PredCycleException(
             "predecessor cycle in path walk - canonical ties have no tree " +
-              "on this feed (zero-total cycle); route through the in-heap " +
-              "regime")
+              "on this feed (zero-total cycle); re-resolve acyclically or " +
+              "route through the in-heap regime")
           else chain.get(v) match {
             case Some(p) => walk(p, v :: acc, steps + 1)
             case None => v :: acc // seed row (pred −1) was filtered out
@@ -183,10 +184,10 @@ object ShortestPaths {
       // still non-empty past that proves a pred cycle — fail clean
       // instead of launching jobs forever
       while (!jumps.last.isEmpty) {
-        if (jumps.size > 63) throw new IllegalStateException(
+        if (jumps.size > 63) throw new PredCycleException(
           "predecessor cycle in jump tables - canonical ties have no tree " +
-            "on this feed (zero-total cycle); route through the in-heap " +
-            "regime")
+            "on this feed (zero-total cycle); re-resolve acyclically or " +
+            "route through the in-heap regime")
         val jk = jumps.last
         // flattenStats: the self-join SQUARES the size estimate per
         // doubling level (see TransitSssp.ckpt's scaladoc for the
@@ -243,8 +244,15 @@ object ShortestPaths {
     * pathDistributed needs), and `release()` frees any retained state once
     * every derived frame is consumed. */
   final class DistRun(val distances: DataFrame,
-      resolveFn: Long => DataFrame, releaseFn: () => Unit = () => ()) {
+      resolveFn: Long => DataFrame, releaseFn: () => Unit = () => (),
+      /** Acyclic pred RE-resolution (r16): same distances as `resolve`,
+        * pred selection guaranteed cycle-free — the zero-total-cycle
+        * repair. None when the runner has no structural repair (generic
+        * fallback); callers then keep the pointed [[PredCycleException]]. */
+      resolveAcyclicFn: Option[Long => DataFrame] = None) {
     def resolve(source: Long): DataFrame = resolveFn(source)
+    def resolveAcyclic(source: Long): Option[DataFrame] =
+      resolveAcyclicFn.map(f => f(source))
     def release(): Unit = releaseFn()
   }
 
@@ -545,6 +553,27 @@ object ShortestPaths {
     * fallback catch it and decline the in-heap regime. */
   final class NegativeCycleException(msg: String) extends RuntimeException(msg)
 
+  /** Thrown by the path walks when the CANONICAL predecessor assignment is
+    * cyclic — the zero-total-cycle pathology (see [[acyclicPreds]]): the
+    * per-vertex minima of the equal-dist smaller-pred rule themselves form
+    * a cycle, so no tie-break tweak yields a tree. Distances are final and
+    * correct; only the pred SELECTION needs repair. TYPED (r16) so the
+    * distributed routing caller can catch it and retry with the acyclic
+    * re-resolution ([[graft.graph.TransitSssp.Staged.resolveAcyclic]])
+    * instead of failing the route. */
+  final class PredCycleException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** High-water mark of per-vertex dequeue counts across every [[spfaCsr]]
+    * run in this JVM (r16, r15 verdict #8): SPFA's worst case is O(V·E) —
+    * a pathological-but-legal dirty feed degenerates long before the
+    * negative-cycle abort at dequeues > n fires, and without telemetry
+    * that shows up only as a wall-time mystery. Read it after a routing
+    * campaign; a value approaching the subgraph's vertex count says the
+    * feed is driving SPFA toward its quadratic regime. */
+  private[graft] val spfaMaxDequeues =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graph] def buildCsr(rows: Array[(Long, Long, Double)]): Csr = {
     val all = new Array[Long](rows.length * 2)
     var i = 0
@@ -698,6 +727,7 @@ object ShortestPaths {
     val pred = Array.fill(n)(-1)
     val inQueue = new Array[Boolean](n)
     val dequeues = new Array[Int](n)
+    var maxDeq = 0 // worst-case guard telemetry — see spfaMaxDequeues
     var queue = new Array[Int](math.max(1024, math.min(n, 1 << 16)))
     var head = 0; var tail = 0; var size = 0
     def enqueue(v: Int): Unit = {
@@ -720,6 +750,7 @@ object ShortestPaths {
       size -= 1
       inQueue(v) = false
       dequeues(v) += 1
+      if (dequeues(v) > maxDeq) maxDeq = dequeues(v)
       if (dequeues(v) > n)
         throw new NegativeCycleException("no SSSP fixpoint: negative-total " +
           s"cycle reachable from vertex ${g.ids(srcIdx)}")
@@ -740,6 +771,7 @@ object ShortestPaths {
         j += 1
       }
     }
+    spfaMaxDequeues.getAndUpdate(prev => math.max(prev, maxDeq.toLong))
     (dist, pred)
   }
 

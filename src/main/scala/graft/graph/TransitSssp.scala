@@ -102,6 +102,14 @@ object TransitSssp {
   private[graft] val cappedCsrNegativeServed =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Counts ACYCLIC pred re-resolutions served (r16 — the distributed
+    * zero-total-cycle repair, [[TransitSssp!.resolveStateAcyclic]]): specs
+    * assert the repair actually engaged (a PredCycleException fired and
+    * the retry routed) rather than the canonical walk having silently
+    * succeeded. */
+  private[graft] val acyclicResolveServed =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** SPARK_GRAFT_SSSP_TRACE=1 prints one line per iteration (round index,
     * improved-row count, wall seconds) plus the one-time pin cost — dev
     * diagnostics for decomposing a routing call's cost; off by default. */
@@ -840,6 +848,10 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * once every derived frame has been consumed. */
   final class Staged private[TransitSssp] (state: DataFrame,
       sources: Seq[Long], clockCap: Double) {
+    /** Checkpoints retained by [[resolveAcyclic]] (the level frame its
+      * output plan reads) — released with the run in [[release]]. */
+    private val retained =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     // The grid stores rel distances and no ids; ONE position join against
     // the pinned trip prefix restores both (dist = rel + A, id) — the
     // prefix side is already partitioned/sorted on the join key, so only
@@ -863,8 +875,25 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       resolveState(state.filter(col("src") === source), Seq(source),
         selectRun(clockCap).slice)
     }
-    def release(): Unit =
-      org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint(state)
+    /** ACYCLIC predecessor re-resolution for one source (r16 — the
+      * zero-total-cycle repair in the DISTRIBUTED regime; r15 verdict #3).
+      * Same distances as [[resolve]] — only the pred SELECTION differs.
+      * Callers invoke it after [[ShortestPaths.PredCycleException]] proves
+      * the canonical selection has no tree on this feed; see
+      * [[resolveStateAcyclic]] for the construction and proof. */
+    def resolveAcyclic(source: Long): DataFrame = {
+      require(sources.contains(source), s"$source is not a seed of this run")
+      TransitSssp.acyclicResolveServed.incrementAndGet()
+      resolveStateAcyclic(state.filter(col("src") === source), source,
+        selectRun(clockCap).slice, d => { retained.add(d); () })
+    }
+    def release(): Unit = {
+      val rel =
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
+      retained.forEach(rel(_))
+      retained.clear()
+      rel(state)
+    }
   }
 
   /** See [[Staged]]. `sources` must be non-empty.
@@ -1659,6 +1688,167 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .select(col("id").as("vertex_id"), col("src").as("source_id"),
         (col("rel") + col("acum")).as("dist"), col("pred"))
     val phantom = sidDim
+      .join(prepared.select(col("id").as("sid")), Seq("sid"), "left_anti")
+      .select(col("sid").as("vertex_id"), col("sid").as("source_id"),
+        lit(0.0).as("dist"), lit(-1L).as("pred"))
+    resolved.unionByName(phantom)
+  }
+
+  /** ACYCLIC predecessor resolution for ONE source over the converged grid
+    * (r16 — closes the zero-total-cycle regime asymmetry, r15 verdict #3).
+    *
+    * On a feed whose optimal-path structure carries a cycle of total
+    * weight EXACTLY zero (inconsistent clock data), the canonical
+    * equal-dist smaller-pred selection in [[resolveState]] can be CYCLIC —
+    * the per-vertex minima themselves form the cycle, and the path walk
+    * throws [[ShortestPaths.PredCycleException]]. The in-heap regimes
+    * repair via a strict-improvement rerun (ShortestPaths.acyclicPreds);
+    * that argument is relaxation-ORDER-dependent and does not distribute,
+    * so the distributed repair re-selects preds against a CHANGE-LEVEL
+    * layering of the tight subgraph instead:
+    *
+    *  - TIGHT edges are the fixpoint-equality edges resolveState already
+    *    enumerates: ride v→u with rel(u) = rel(v) (within a trip the
+    *    converged rel is non-increasing along stop_sequence — the ride
+    *    closure is a prefix-min — so equal-rel rows form CONTIGUOUS runs
+    *    and (trip_id, rel) keys a run); change v→u with
+    *    rel(u) = rel(v) + w_rel.
+    *  - lev(u) = minimum number of CHANGE edges on any tight path
+    *    seed→u. Computed by the same ride-closure ∘ change-candidate
+    *    iteration the main fixpoint runs (ride propagates lev at +0 via a
+    *    running min over the run; change propagates at +1 through the
+    *    run's slice), converging in (max change level + 1) rounds — the
+    *    same transfer-bounded cadence as the distance fixpoint. Every
+    *    reached row gets a level: its shortest path from the seed is a
+    *    tight path (fixpoint property), so tight-reachability covers the
+    *    reached set.
+    *  - SELECTION: seeds keep pred −1; otherwise any ride candidate with
+    *    lev(pred) = lev(u) (the immediate earlier row of u's run — its
+    *    level always equals u's when u's min-level path rides, see below),
+    *    or any change candidate with lev(pred) = lev(u) − 1; ties resolve
+    *    by smallest pred id (deterministic).
+    *
+    * ACYCLICITY: a selected change edge strictly DECREASES lev; a selected
+    * ride edge keeps lev and strictly decreases stop_sequence within one
+    * trip (a run never spans trips). (lev, stop_sequence) is therefore a
+    * strictly decreasing lexicographic measure along any pred chain — no
+    * cycle exists, on ANY feed. EXISTENCE: u's min-level tight path ends
+    * either in a change from v — where lev(v) ≤ lev(u) − 1 by the path
+    * prefix and ≥ lev(u) − 1 by minimality, so v satisfies the filter —
+    * or in a ride within u's run from v with lev(v) = lev(u) (same
+    * sandwich), and then the IMMEDIATE earlier run row p also has
+    * lev(p) = lev(u): lev(p) ≤ lev(v) via v→p ride and lev(u) ≤ lev(p)
+    * via p→u ride. Distances are NOT touched — output dist equals
+    * [[resolveState]]'s bit for bit; only pred differs, and only on feeds
+    * where the canonical rule HAS no tree (the same contract the in-heap
+    * strict repair documents).
+    *
+    * Cost: only ever runs after a detected cycle (zero overhead on clean
+    * feeds), over the ONE source's reached rows, with transfer-bounded
+    * rounds over frontier-sized candidate joins — the 100 TB posture of
+    * the main fixpoint. `retain` receives the level checkpoint the output
+    * plan reads; the caller releases it with the run. */
+  private[graph] def resolveStateAcyclic(state: DataFrame, source: Long,
+      slice: DataFrame, retain: DataFrame => Unit,
+      maxIterations: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
+    val reached = state.filter(col("dist").isNotNull)
+      .select(col("trip_id"), col("stop_sequence"), col("dist"))
+    // seed position(s): the source's own grid row sits at rel = −acum at
+    // the fixpoint (strictly below would telescope to a negative-total
+    // cycle, which the converged run excludes)
+    val seed = prepared.filter(col("id") === source)
+      .select(col("trip_id"), col("stop_sequence"), (-col("acum")).as("srel"))
+    var lev = reached
+      .join(broadcast(seed), Seq("trip_id", "stop_sequence"), "left")
+      .select(col("trip_id"), col("stop_sequence"), col("dist"),
+        when(col("dist") === col("srel"), lit(0L)).as("lev"))
+      .transform(TransitSssp.ckpt)
+    // ride closure of levels: running min over the row's equal-rel run
+    // (contiguous by the non-increasing converged rel; integer-valued
+    // doubles, so the (trip_id, dist) partition key is exact)
+    val wRun = Window.partitionBy("trip_id", "dist").orderBy("stop_sequence")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    var it = 0
+    var converged = false
+    while (it < maxIterations && !converged) {
+      val ridden = lev.withColumn("rlev", min(col("lev")).over(wRun))
+      val srcSide = ridden.filter(col("rlev").isNotNull)
+        .select(col("trip_id").as("s_trip"), col("stop_sequence").as("s_seq"),
+          col("dist").as("s_rel"), col("rlev").as("s_lev"))
+      val cand = slice.join(srcSide, Seq("s_trip", "s_seq"))
+        .select(col("d_trip").as("c_trip"), col("d_seq").as("c_seq"),
+          (col("s_rel") + col("w_rel")).as("t_need"),
+          (col("s_lev") + 1L).as("clev"))
+        .groupBy("c_trip", "c_seq", "t_need").agg(min("clev").as("clev"))
+      val obs = org.apache.spark.sql.Observation(
+        s"transit-acyclic-${TransitSssp.runSeq.incrementAndGet()}-round-$it")
+      val next = ridden
+        .join(cand, col("trip_id") === col("c_trip") &&
+          col("stop_sequence") === col("c_seq") &&
+          col("dist") === col("t_need"), "left")
+        .select(col("trip_id"), col("stop_sequence"), col("dist"),
+          col("lev"), least(col("rlev"), col("clev")).as("nlev"))
+        .observe(obs, coalesce(sum((col("nlev").isNotNull &&
+          (col("lev").isNull || col("nlev") < col("lev"))).cast("long")),
+          lit(0L)).as("improved"))
+        .select(col("trip_id"), col("stop_sequence"), col("dist"),
+          col("nlev").as("lev"))
+        .transform(TransitSssp.ckpt)
+      converged = obs.get("improved").asInstanceOf[Long] == 0L
+      rel(lev)
+      lev = next
+      it += 1
+    }
+    if (!converged) {
+      rel(lev)
+      throw new IllegalStateException(
+        s"acyclic re-resolution did not converge in $maxIterations rounds")
+    }
+    retain(lev)
+    // defensive contract check, one cheap agg: an unlabeled reached row
+    // would silently vanish from the output (tight-reachability makes
+    // this impossible — see the scaladoc — so a hit means a regression)
+    val unlabeled = lev.filter(col("lev").isNull).count()
+    if (unlabeled > 0) throw new IllegalStateException(
+      s"acyclic re-resolution left $unlabeled reached rows unlabeled")
+    val wTripR = Window.partitionBy("trip_id").orderBy("stop_sequence")
+    val rideC = lev
+      .withColumn("p_seq", lag("stop_sequence", 1).over(wTripR))
+      .withColumn("p_rel", lag("dist", 1).over(wTripR))
+      .withColumn("p_lev", lag("lev", 1).over(wTripR))
+      .filter(col("p_rel").isNotNull && col("dist") === col("p_rel") &&
+        col("p_lev") === col("lev"))
+      .join(prepared.select(col("trip_id"),
+        col("stop_sequence").as("p_seq"), col("id").as("pred")),
+        Seq("trip_id", "p_seq"))
+      .select(col("trip_id"), col("stop_sequence"), col("dist").as("rel"),
+        col("pred"), lit(1).as("prio"))
+    val sv = lev.select(col("trip_id").as("s_trip"),
+      col("stop_sequence").as("s_seq"), col("dist").as("s_rel"),
+      col("lev").as("s_lev"))
+    val tv = lev.select(col("trip_id").as("d_trip"),
+      col("stop_sequence").as("d_seq"), col("dist").as("t_rel"),
+      col("lev").as("t_lev"))
+    val changeC = slice
+      .join(sv, Seq("s_trip", "s_seq"))
+      .join(tv, Seq("d_trip", "d_seq"))
+      .filter(col("t_rel") === col("s_rel") + col("w_rel") &&
+        col("t_lev") === col("s_lev") + 1L)
+      .select(col("d_trip").as("trip_id"), col("d_seq").as("stop_sequence"),
+        col("t_rel").as("rel"), col("e_src").as("pred"), lit(1).as("prio"))
+    val seedC = prepared.filter(col("id") === source)
+      .select(col("trip_id"), col("stop_sequence"), (-col("acum")).as("rel"),
+        lit(-1L).as("pred"), lit(0).as("prio"))
+    val wPick = Window.partitionBy("trip_id", "stop_sequence")
+      .orderBy(col("prio"), col("pred"))
+    val resolved = rideC.unionByName(changeC).unionByName(seedC)
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .join(prepared, Seq("trip_id", "stop_sequence"))
+      .select(col("id").as("vertex_id"), lit(source).as("source_id"),
+        (col("rel") + col("acum")).as("dist"), col("pred"))
+    val phantom = Seq(source).toDF("sid")
       .join(prepared.select(col("id").as("sid")), Seq("sid"), "left_anti")
       .select(col("sid").as("vertex_id"), col("sid").as("source_id"),
         lit(0.0).as("dist"), lit(-1L).as("pred"))

@@ -68,6 +68,14 @@ final class TimeExpandedGraph(val nodes: DataFrame,
   def nodeCount: Long = nodes.count()
   def edgeCount: Long = edges.count()
 
+  /** Memo for [[graft.graph.Betweenness]]'s windowed dep-hole guard, keyed
+    * by clock cap — the guard is one window agg over `nodes`, paid once per
+    * (projection, cap) instead of per windowed+transit call (r16, r15
+    * ADVICE). Bounded like the capped-slice buckets: caps are event clocks
+    * within the service day. */
+  private[graft] val depHoleMemo =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Double, java.lang.Boolean]()
+
   /** Edge list in the shape ShortestPaths.fromDF expects. */
   def weightedEdges: DataFrame =
     edges.select(col("source").as("src"), col("target").as("dst"),
@@ -116,7 +124,11 @@ final class TimeExpandedGraph(val nodes: DataFrame,
       distributedStaged = Some { (srcs, costCap, clockCap) =>
         val st = transit.staged(srcs, costCap = costCap, clockCap = clockCap)
         new graft.graph.ShortestPaths.DistRun(
-          st.distances, s => st.resolve(s), () => st.release())
+          st.distances, s => st.resolve(s), () => st.release(),
+          // zero-total-cycle repair (r16): level-layered acyclic pred
+          // re-selection, engaged by the router only after a detected
+          // pred cycle — over-budget dirty feeds route instead of erroring
+          resolveAcyclicFn = Some(s => st.resolveAcyclic(s)))
       },
       // clock-capped driver-CSR regime (r14): a horizon-bounded subgraph
       // that fits the driver budget routes in-heap — the hub-cadence lever

@@ -69,16 +69,19 @@ object TimeBetweenness {
     }
     val regime = sys.env.getOrElse("SPARK_GRAFT_BW_REGIME", "csr")
     val threshold = regime match {
-      case "transit" | "levelsync" => 0L
-      case _ => graft.graph.Betweenness.CsrBrandesMaxEdges
+      case "transit" | "levelsync" => Some(0L)
+      case _ => None // default bound + the capped-budget rung
     }
     val t0 = System.nanoTime()
-    // cached: the digest agg below must read the sweep's result, not
-    // re-run every pivot BFS a second time (the orderBy forces the full
-    // score aggregation on the first action, so the cache is complete)
+    // cached, then count()-forced: limit(5) over an InMemoryRelation plans
+    // as CollectLimit and may materialize only part of the final sorted
+    // RDD, letting the digest agg recompute the rest (r15 ADVICE — the
+    // orderBy does NOT guarantee a complete cache); the count forces every
+    // partition so both reads below hit materialized blocks.
     val out = graft.graph.Betweenness.ofProjection(proj, sources = sources,
         localThreshold = threshold,
         transitAboveThreshold = regime == "transit", clockCap = cap).cache()
+    out.count()
     val top = out.limit(5).collect()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"sampled Brandes [$regime%s] " +

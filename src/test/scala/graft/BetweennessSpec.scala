@@ -162,8 +162,8 @@ class BetweennessSpec extends SparkSpec {
     val viaCsr = rows(Betweenness.ofProjection(g))
     // both above-threshold branches: the level-synchronous default AND the
     // trip-collapse alternative must reproduce the CSR rows
-    val viaLevelSync = rows(Betweenness.ofProjection(g, localThreshold = 0L))
-    val viaTransit = rows(Betweenness.ofProjection(g, localThreshold = 0L,
+    val viaLevelSync = rows(Betweenness.ofProjection(g, localThreshold = Some(0L)))
+    val viaTransit = rows(Betweenness.ofProjection(g, localThreshold = Some(0L),
       transitAboveThreshold = true))
     assert(viaCsr.size == viaLevelSync.size)
     viaCsr.zip(viaLevelSync).foreach { case ((n1, d1, s1), (n2, d2, s2)) =>
@@ -178,11 +178,12 @@ class BetweennessSpec extends SparkSpec {
   }
 
   test("capped-budget in-heap rung equals level-sync above the broadcast bound (r15)") {
-    // Shrinking the broadcast-bound SPEC HOOK to 1 puts the 18-edge
-    // fixture ABOVE the broadcast-CSR bound at the DEFAULT threshold; the
-    // new rung (budget = TransitSssp.cappedCsrMaxEdges, engaged only from
-    // the default — an explicit caller threshold binds the driver collect
-    // exactly, r15 review) must collect and sweep in-heap with scores
+    // Injecting a broadcast bound of 1 (ofProjectionImpl's defaultCsrBound
+    // — a per-call parameter since r16, not a mutated global) puts the
+    // 18-edge fixture ABOVE the broadcast-CSR bound at the DEFAULT
+    // threshold; the rung (budget = TransitSssp.cappedCsrMaxEdges, engaged
+    // only from the None default — an explicit caller threshold binds the
+    // driver collect exactly) must collect and sweep in-heap with scores
     // identical to the default CSR run AND to forced level-sync, and
     // zeroing the budget knob must restore pure level-sync (the 100 TB
     // control). An explicit sub-default threshold must NOT escalate: it
@@ -194,23 +195,28 @@ class BetweennessSpec extends SparkSpec {
       .map(r => (r.getAs[String]("stop_name"),
         r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
       .sortBy(t => (t._1, t._2, t._3)).toSeq
+    def viaBound(bound: Long) = rows(Betweenness.ofProjectionImpl(g,
+      sources = None, seed = 42L, localThreshold = None,
+      transitAboveThreshold = false, clockCap = Double.PositiveInfinity,
+      defaultCsrBound = bound))
     val viaDefault = rows(Betweenness.ofProjection(g))
-    val (maxB, maxE) =
-      (Betweenness.CsrBrandesMaxEdges, TransitSssp.cappedCsrMaxEdges)
+    val viaRung = viaBound(1L)
+    assert(viaRung == viaDefault,
+      "capped-budget in-heap betweenness diverged from the CSR regime")
+    val maxE = TransitSssp.cappedCsrMaxEdges
     try {
-      Betweenness.CsrBrandesMaxEdges = 1L
-      val viaRung = rows(Betweenness.ofProjection(g))
-      assert(viaRung == viaDefault,
-        "capped-budget in-heap betweenness diverged from the CSR regime")
       TransitSssp.cappedCsrMaxEdges = 0L
-      val viaControl = rows(Betweenness.ofProjection(g))
+      val viaControl = viaBound(1L)
       assert(viaControl == viaDefault,
         "budget-zeroed control (level-sync) diverged")
-    } finally {
-      Betweenness.CsrBrandesMaxEdges = maxB
-      TransitSssp.cappedCsrMaxEdges = maxE
-    }
-    val viaExplicit = rows(Betweenness.ofProjection(g, localThreshold = 1L))
+    } finally TransitSssp.cappedCsrMaxEdges = maxE
+    // an explicit bound equal to the production default must ALSO bind
+    // exactly (r16 — the r15 value-equality sentinel could not tell them
+    // apart); on this tiny fixture both run the CSR branch, same rows
+    val viaExplicitEqDefault = rows(Betweenness.ofProjection(g,
+      localThreshold = Some(Betweenness.CsrBrandesMaxEdges)))
+    assert(viaExplicitEqDefault == viaDefault)
+    val viaExplicit = rows(Betweenness.ofProjection(g, localThreshold = Some(1L)))
     assert(viaExplicit == viaDefault,
       "explicit-threshold level-sync diverged")
   }
@@ -260,9 +266,9 @@ class BetweennessSpec extends SparkSpec {
       .map(r => (r.getAs[String]("stop_name"),
         r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
       .sortBy(t => (t._1, t._2, t._3)).toSeq
-    val levelSync = rows(Betweenness.ofProjection(g, localThreshold = 0L,
+    val levelSync = rows(Betweenness.ofProjection(g, localThreshold = Some(0L),
       clockCap = cap))
-    val transit = rows(Betweenness.ofProjection(g, localThreshold = -1L,
+    val transit = rows(Betweenness.ofProjection(g, localThreshold = Some(-1L),
       transitAboveThreshold = true, clockCap = cap))
     assert(transit == levelSync,
       "dep-dirty windowed transit diverged from the exact edge-list branch")
@@ -281,7 +287,7 @@ class BetweennessSpec extends SparkSpec {
         r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
       .sortBy(t => (t._1, t._2, t._3)).toSeq
     val inHeap = rows(Betweenness.ofProjection(g, clockCap = clk))
-    val levelSync = rows(Betweenness.ofProjection(g, localThreshold = 0L,
+    val levelSync = rows(Betweenness.ofProjection(g, localThreshold = Some(0L),
       clockCap = clk))
     assert(inHeap == levelSync,
       "windowed in-heap betweenness diverged from windowed level-sync")
@@ -292,7 +298,7 @@ class BetweennessSpec extends SparkSpec {
     // the transit (hop-space) branch must honor the window too (r15
     // review: it previously scored the FULL graph and only clipped the
     // output rows) — force it via localThreshold = -1 so edgeCount > -1
-    val transit = rows(Betweenness.ofProjection(g, localThreshold = -1L,
+    val transit = rows(Betweenness.ofProjection(g, localThreshold = Some(-1L),
       transitAboveThreshold = true, clockCap = clk))
     assert(transit == inHeap,
       "windowed transit-branch betweenness diverged from the capped subgraph")

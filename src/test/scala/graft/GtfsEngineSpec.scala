@@ -348,6 +348,80 @@ class GtfsEngineSpec extends SparkSpec {
       Seq("Mid0", "Mid0", "Mid", "End"))
   }
 
+  test("zero-total-cycle dirty feed routes OVER-BUDGET via the acyclic re-resolution (r16)") {
+    // The r15 contract left one regime asymmetry: an over-budget dirty
+    // feed whose optimal-path structure carries a zero-total cycle got a
+    // pointed PredCycleException from the distributed walk (the canonical
+    // tie-break provably has no tree there) while the in-heap regimes
+    // repaired. r16 ports the repair: the router catches the typed
+    // exception and retries the walk over the level-layered acyclic
+    // re-resolution (TransitSssp.resolveStateAcyclic) — distances
+    // unchanged, pred tree cycle-free by construction.
+    //
+    // Fixture: TB's second row runs 20 min backward (ride −1200 s) and TC
+    // boards with ZERO dwell — the cycle TB1 →ride TB2 →change TC1
+    // →change TB1 telescopes to the dwell, exactly 0. The seed chain
+    // (TA) enters only at TB1, and TC1's node id sorts below TA's SB row,
+    // so the canonical min-pred selection realizes the cycle (asserted —
+    // the served counter proves the repair path actually ran). Forcing
+    // cappedCsrMaxEdges = 0 on top of ssspLocalThreshold = 0 is the
+    // over-budget variant: no in-heap regime can serve the route.
+    import graft.functions.TimeFunctions.secondsSinceMidnight
+    import graft.graph.TransitSssp
+    val agency = Seq(("A", "http://example.org", "Europe/Rome"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    val routes = Seq(("R1", "1", "L1", 3), ("R2", "2", "L2", 3),
+      ("R3", "3", "L3", 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = Seq(("R1", "S1", "TA"), ("R2", "S1", "TB"), ("R3", "S1", "TC"))
+      .map { case (r, s, t) => (r, s, t, "0", "SH", "h") }
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id",
+        "trip_headsign")
+    // SB/SC/SD co-located (walk 0 between them); Start and End far away
+    val stops = Seq(
+      ("SA", "Start", 44.6000, 10.9000), ("SB", "Mid0", 44.6100, 10.9000),
+      ("SC", "Mid1", 44.6100, 10.9000), ("SD", "Mid2", 44.6100, 10.9000),
+      ("SE", "End", 44.6300, 10.9100))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    val stopTimes = Seq(
+      ("TA", "14:00:00", "14:00:00", "SA", 1),
+      ("TA", "14:20:00", "14:21:00", "SB", 2),
+      ("TB", "14:25:00", "14:25:00", "SB", 1),
+      ("TB", "14:05:00", "14:05:00", "SC", 2), // arr 14:05 < prev dep 14:25
+      ("TC", "14:10:00", "14:10:00", "SD", 1), // zero dwell → cycle sums 0
+      ("TC", "14:40:00", "14:41:00", "SE", 2))
+      .toDF("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")
+      .withColumn("arr_secs", secondsSinceMidnight(col("arrival_time")))
+      .withColumn("dep_secs", secondsSinceMidnight(col("departure_time")))
+    val calendar = Seq(("S1", java.sql.Date.valueOf("2024-01-18"), "1"))
+      .toDF("service_id", "day", "exception_type")
+    val tables = graft.model.GtfsTables(agency, routes, trips, stops,
+      stopTimes, calendar)
+    def seg(eng: graft.api.RoutingEngine) =
+      eng.routing(Day, 1.0, "13:50:00", "Start", "End").collect().toSeq
+    val segL = seg(new graft.api.RoutingEngine(tables)) // in-heap strict repair
+    assert(segL.nonEmpty, "fixture must route in-heap")
+    val (maxE, srv0) =
+      (TransitSssp.cappedCsrMaxEdges, TransitSssp.acyclicResolveServed.get())
+    val segD = try {
+      TransitSssp.cappedCsrMaxEdges = 0L // over-budget: distributed only
+      seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
+    } finally TransitSssp.cappedCsrMaxEdges = maxE
+    assert(TransitSssp.acyclicResolveServed.get() > srv0,
+      "the canonical walk did not cycle - the repair path never ran " +
+        "(fixture id-order regressed?)")
+    assert(segD.nonEmpty,
+      "over-budget dirty feed must route via the acyclic re-resolution")
+    // parity on the cost-carrying fields: the repaired tree is a valid
+    // shortest-path tree over the SAME distances, so boarding and final
+    // arrival match the in-heap itinerary (path structure may differ —
+    // both trees are optimal; same contract as the in-heap strict repair)
+    assert(segD.head.getAs[String]("departure") ==
+      segL.head.getAs[String]("departure"))
+    assert(segD.last.getAs[String]("arrival") ==
+      segL.last.getAs[String]("arrival"))
+  }
+
   test("concurrent routing calls do not corrupt each other's paths") {
     // two threads route different OD pairs against the SAME engine (shared
     // projection + Sssp handle); each TargetRun owns its own path state, so

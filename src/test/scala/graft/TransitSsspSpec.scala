@@ -401,6 +401,63 @@ class TransitSsspSpec extends SparkSpec {
     assert(local == pregel)
     assert(local.contains((2L, 1L, -2.0, 3L)), s"wrong fixpoint: $local")
     assert(local.contains((5L, 1L, -2.0, 4L)))
+    // r16 worst-case guard telemetry: the SPFA run above must have logged
+    // its dequeue high-water mark (≥ 1 — a degenerating feed shows up here
+    // long before the negative-cycle abort)
+    assert(ShortestPaths.spfaMaxDequeues.get() >= 1L)
+  }
+
+  test("zero-total cycle in the transit fixpoint: acyclic re-resolution routes where the canonical walk cycles (r16)") {
+    // Mixed ride/change cycle of total weight EXACTLY zero (dirty clock:
+    // T1's second arrival runs 10 s backward; 10 →ride 11 →change 12
+    // →change 10 sums −10 + 4 + 6 = 0), with the seed's direct entries
+    // tying every member — the canonical min-pred selection then picks
+    // each member's cycle predecessor (ids 10/11/12 sort below the seed
+    // 100) and the distributed walk throws. The level-layered
+    // re-resolution (resolveAcyclic) must return the SAME distances with
+    // an acyclic tree, and the walk must reach every member.
+    val nodes = Seq(
+      (100L, "T0", 1, 0, 0),
+      (10L, "T1", 1, 100, 100),
+      (11L, "T1", 2, 90, 90), // arr 90 < prev dep 100: ride weight −10
+      (12L, "T2", 1, 50, 50))
+      .toDF("id", "trip_id", "stop_sequence", "arr_secs", "dep_secs")
+    val change = Seq(
+      (100L, 10L, 5.0), (100L, 11L, -5.0), (100L, 12L, -1.0),
+      (11L, 12L, 4.0), (12L, 10L, 6.0))
+      .toDF("source", "target", "waiting_time")
+    val ts = new TransitSssp(nodes, change)
+    val st = ts.staged(Set(100L))
+    try {
+      val canonical = st.resolve(100L).cache()
+      val distRows = canonical.select("vertex_id", "dist")
+        .as[(Long, Double)].collect().toMap
+      assert(distRows == Map(100L -> 0.0, 10L -> 5.0, 11L -> -5.0, 12L -> -1.0))
+      // the canonical selection must realize the cycle (fixture precondition)
+      val preds = canonical.select("vertex_id", "pred")
+        .as[(Long, Long)].collect().toMap
+      assert(preds(10L) == 12L && preds(12L) == 11L && preds(11L) == 10L,
+        s"fixture no longer canonically cyclic: $preds")
+      assertThrows[ShortestPaths.PredCycleException] {
+        ShortestPaths.pathDistributed(canonical, 100L, 10L)
+      }
+      canonical.unpersist()
+      // the repair: same distances, acyclic tree, every member walks home
+      val repaired = st.resolveAcyclic(100L).cache()
+      val rDist = repaired.select("vertex_id", "dist")
+        .as[(Long, Double)].collect().toMap
+      assert(rDist == distRows, "acyclic re-resolution changed distances")
+      assert(ShortestPaths.pathDistributed(repaired, 100L, 10L) ==
+        List(100L, 10L))
+      assert(ShortestPaths.pathDistributed(repaired, 100L, 11L) ==
+        List(100L, 10L, 11L))
+      assert(ShortestPaths.pathDistributed(repaired, 100L, 12L) ==
+        List(100L, 12L))
+      repaired.unpersist()
+    } finally {
+      st.release()
+      ts.releasePins()
+    }
   }
 
   test("zero-total cycle: canonical ties have no tree - in-heap repairs, distributed walk fails clean") {
