@@ -38,4 +38,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // measurement-only passthrough (e.g. codecache/JIT logging for the
+  // bench-context adjudications) — unset in driver runs
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Nil)

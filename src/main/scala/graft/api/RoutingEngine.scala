@@ -115,6 +115,26 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     }
   }
 
+  /** G3 — Brandes betweenness of the day's projected routing graph, joined
+    * to stop names and ranked (`gds.betweenness.stream`, `main.py:46-60`).
+    * Exact below [[graft.graph.Betweenness.ExactSourcesMaxVertices]]
+    * vertices, hash-sampled above. */
+  def betweenness(date: String, speed: Double = 1.0): DataFrame =
+    graft.graph.Betweenness.ofProjection(projected(day(date), speed))
+
+  /** Windowed G3 (r16 — surfaces the r15 capped in-heap rung through the
+    * api): betweenness over the HORIZON-BOUNDED subgraph of stoptimes
+    * departing at or before `capTime` ("HH:mm:ss") — the capped routing
+    * regime's subgraph semantics applied to centrality. At scale the
+    * windowed subgraph rides the collect+sweep rung whenever it fits the
+    * capped-CSR budget (12.9 s vs 510 s level-sync at the 10× grid,
+    * COVERAGE.md); windows over the budget keep the level-sync branch —
+    * the only 100 TB-safe full-graph plan. */
+  def betweennessWindow(date: String, capTime: String,
+      speed: Double = 1.0): DataFrame =
+    graft.graph.Betweenness.ofProjection(projected(day(date), speed),
+      clockCap = parseHms(capTime).toDouble)
+
   /** Candidate endpoint of a routing call: stop-name list plus, for the
     * point-to-point variant, the walk origin whose straight-line walking
     * time (at the call's speed) adjusts the time predicates and the pair

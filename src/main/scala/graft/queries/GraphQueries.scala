@@ -363,11 +363,9 @@ object GraphQueries {
     // G3 — Brandes betweenness centrality of the projected routing graph,
     // joined back to stop names and ranked (gds.betweenness.stream analog).
     Q("gtfs_betweenness", "G3",
-      (s, _) => {
-        val g = graft.api.DemoGtfs.engine(s)
-          .projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
-        graft.graph.Betweenness.ofProjection(g)
-      },
+      // through the api method (r16) so the public surface is what the
+      // oracle pins
+      (s, _) => graft.api.DemoGtfs.engine(s).betweenness("2024-01-18"),
       // literal-VALUES golden oracle (exact Brandes on the 16-node demo
       // projection — scores are exact halves, safe as double literals)
       Some("""SELECT stop_name, dep_secs, CAST(lat AS DOUBLE) AS lat,
@@ -387,12 +385,11 @@ object GraphQueries {
     // subgraph semantics applied to centrality; at scale this rides the
     // same in-heap budget rung instead of the level-sync rounds.
     Q("gtfs_betweenness_windowed", "G3",
-      (s, _) => {
-        val g = graft.api.DemoGtfs.engine(s)
-          .projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
-        // 14:40 cap — a proper sub-window of the demo day
-        graft.graph.Betweenness.ofProjection(g, clockCap = 52800.0)
-      },
+      // through the api mirror (r16, r15 verdict #7): the windowed rung is
+      // user-reachable, and the oracle pins the public surface — 14:40
+      // cap, a proper sub-window of the demo day
+      (s, _) => graft.api.DemoGtfs.engine(s)
+        .betweennessWindow("2024-01-18", "14:40:00"),
       // literal-VALUES golden oracle (exact Brandes over the 8 stoptimes
       // departing ≤ 14:40 — BetweennessSpec pins the in-heap rung ≡
       // level-sync on this capped subgraph)

@@ -54,6 +54,16 @@ object TimeBpe {
            |  i -> substring('$freqTable',
            |         1 + cast(conv(substring(md5(cast(id as string)), 1 + ((i - 1) * 2) % 28, 2), 16, 10) as int) % 64, 1)))"""
           .stripMargin.replace("\n", " ")
+      case "wide" =>
+        // 2048-codepoint alphabet (CJK block) with 4–8-char words — the
+        // pair table is alphabet-driven, so this is the shape that
+        // genuinely forces the >HybridPairMaxRows TABLE-LOOP regime
+        // (millions of distinct adjacent pairs) at a synthesizable word
+        // count; hex/alpha/nat alphabets cap out at thousands of pairs.
+        s"""concat_ws('', transform(
+           |  sequence(1, 4 + cast(id % 5 as int)),
+           |  i -> chr(19968 + cast(conv(substring(md5(cast(id as string)), 1 + ((i - 1) * 3) % 27, 3), 16, 10) as int) % 2048)))"""
+          .stripMargin.replace("\n", " ")
       case _ => hexWord
     }
     val words = spark.range(n)
@@ -81,6 +91,9 @@ object TimeBpe {
     println(f"$nMerges merges (forced distributed, regime=$regime): " +
       f"$total%.1f s total, " +
       f"${total / math.max(1, merges.size)}%.3f s/merge, learned ${merges.size}")
+    // cross-regime parity digest (MurmurHash3 — deterministic across JVMs):
+    // two regimes on the same corpus must print the same line
+    println(s"mergesDigest=${scala.util.hashing.MurmurHash3.seqHash(merges)}")
     spark.stop()
   }
 }

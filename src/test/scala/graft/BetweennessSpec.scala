@@ -304,6 +304,21 @@ class BetweennessSpec extends SparkSpec {
       "windowed transit-branch betweenness diverged from the capped subgraph")
   }
 
+  test("api betweennessWindow mirrors the windowed rung (r16)") {
+    // the engine-level mirror of the capped betweenness capability —
+    // "HH:mm:ss" cap parses to the same clock the direct call takes
+    val eng = DemoGtfs.engine(spark)
+    val g = eng.projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("stop_name"),
+        r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(rows(eng.betweennessWindow("2024-01-18", "14:40:00")) ==
+      rows(Betweenness.ofProjection(g, clockCap = 52800.0)))
+    assert(rows(eng.betweenness("2024-01-18")) ==
+      rows(Betweenness.ofProjection(g)))
+  }
+
   test("betweenness of the projected routing graph ranks transfer stoptimes") {
     val g = DemoGtfs.engine(spark).projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
     val top = Betweenness.ofProjection(g).collect()
