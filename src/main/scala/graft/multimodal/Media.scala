@@ -16,6 +16,22 @@ import org.apache.spark.sql.types._
   */
 object Media {
 
+  // ROOT CAUSE of the r14/r15 bench-context decode inflation (r16, r15
+  // verdict #2): with ImageIO's default useCache=true,
+  // createImageInputStream — called internally by EVERY ImageIO.read —
+  // wraps even a ByteArrayInputStream in a FileCacheImageInputStream,
+  // i.e. writes each image's bytes to a java.io.tmpdir TEMP FILE before
+  // decoding (jshell-verified: stream class flips to
+  // MemoryCacheImageInputStream with the flag off). Decode latency
+  // therefore tracked tmp-disk/page-cache state, which a ~90-query bench
+  // prefix (GBs of checkpoint/shuffle writes) perturbs — exactly the
+  // observed profile: follows any heavy prefix, decays with repeats (the
+  // cache warms), heap-insensitive. The payloads are ALREADY byte arrays
+  // in memory; disk-backing their streams is pure pathology here. The
+  // flag is JVM-global — executors initialize it on first Media access
+  // (the decode closures all enter through this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic fake "decoded width" for non-image payloads (matches the
     * decodeMeta fallback). */
   def fakeWidth(blob: Column): Column =
