@@ -796,6 +796,39 @@ object Bpe {
     * before it approaches the hybrid regime's driver budget. */
   private[graft] val TableLoopOvMaxPairs: Int = 1 << 20
 
+  /** Affected-row bound for the table loop's SPARSE round shape: at or
+    * below it the round collects the affected words (wid, s, count),
+    * rewrites them and folds exact pair deltas ON THE DRIVER — one
+    * scan-only Spark job, no syms write. Above it (dense early rounds)
+    * the round keeps the distributed delta agg + full rewrite
+    * checkpoint. 64k rows × ~100 B ≈ 6.5 MB per collect. Var only as a
+    * spec hook (fixtures are all-sparse at the default; parity specs
+    * zero it to force the dense shape); production never touches it. */
+  @volatile private[graft] var SymsOverlayMaxAffected: Int = 65536
+
+  /** Word-overlay refreeze trigger: rewritten rows accumulate in a
+    * driver map that broadcasts into every subsequent scan — fold it
+    * back into a fresh syms checkpoint before the per-round broadcast
+    * outgrows useful size. Var only as a spec hook (the refreeze needs
+    * forcing on fixture-scale overlays). */
+  @volatile private[graft] var SymsOverlayMaxWords: Int = 65536
+
+  /** Signed adjacent-pair fold of one symbol string into a driver delta
+    * map — the driver twin of [[pairCounts]]' explode ∘ zip_with (same
+    * split semantics as [[symbolsOf]]: trim, split on runs of spaces). */
+  private def addPairDeltas(
+      m: scala.collection.mutable.HashMap[(String, String), Long],
+      s: String, c: Long): Unit = {
+    val parts = s.trim.split(" +")
+    var i = 0
+    while (i < parts.length - 1) {
+      val k = (parts(i), parts(i + 1))
+      val n = m.getOrElse(k, 0L) + c
+      if (n == 0L) m.remove(k) else m.update(k, n)
+      i += 1
+    }
+  }
+
   /** Fully-distributed rounds — the word/symbol table and the pair-count
     * BASE stay on the cluster; the regime for pair tables too big for the
     * driver map (or mid-training hand-off from [[trainHybrid]], continuing
@@ -832,6 +865,16 @@ object Bpe {
     *    the overlay outgrows [[TableLoopOvMaxPairs]] — amortized over the
     *    many rounds a freeze serves.
     *
+    *  - The WORD table freezes the same way (r16 second lever): syms
+    *    checkpoints once with stable word ids; a SPARSE round (affected
+    *    rows ≤ [[SymsOverlayMaxAffected]] — the deep-merge shape)
+    *    collects the affected rows, rewrites them and folds exact pair
+    *    deltas ON THE DRIVER (string twins of the distributed
+    *    explode/agg), patching subsequent scans with a bounded
+    *    (wid → symbols) broadcast — no per-round syms WRITE at all; a
+    *    dense round keeps the distributed delta agg + full rewrite
+    *    checkpoint (folding the word overlay in).
+    *
     * Counts stay exact longs; merges stay bit-identical to sequential
     * BPE (BpeBatchSpec's four-regime parity matrix runs through this
     * loop). At true web scale the base and the word table remain
@@ -846,7 +889,27 @@ object Bpe {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-    var syms = symsInit
+    // syms: frozen base with STABLE word ids + driver overlay of rewritten
+    // rows (r16 second lever): deep rounds touch a handful of words, so
+    // materializing a table-sized checkpoint per round is pure write
+    // amplification — the base freezes once and sparse rounds patch it
+    // with a bounded broadcast of (wid → current symbols).
+    var symsBase = symsInit
+      .withColumn("wid", monotonically_increasing_id())
+      .select(col("wid"), col("s"), col("count"))
+      .transform(ckpt)
+    rel(symsInit)
+    val ovW = scala.collection.mutable.HashMap.empty[Long, String]
+    def patchedSyms: DataFrame =
+      if (ovW.isEmpty) symsBase
+      else symsBase.join(broadcast(ovW.iterator.map { case (w, v) => (w, v) }
+          .toSeq.toDF("wid", "ov_s")), Seq("wid"), "left")
+        .select(col("wid"), coalesce(col("ov_s"), col("s")).as("s"),
+          col("count"))
+    def refreezeSyms(): Unit = if (ovW.nonEmpty) {
+      val nb = patchedSyms.transform(ckpt)
+      rel(symsBase); symsBase = nb; ovW.clear()
+    }
     var base = countsInit
     // overlay: CURRENT count of every pair touched since the freeze
     // (≤ 0 entries retained — they mask a consumed base row); `cand`
@@ -855,7 +918,6 @@ object Bpe {
     val cand = scala.collection.mutable.HashMap.empty[(String, String), Long]
     var floor = 0L
     var baseComplete = false
-    var baseEmpty = false
     def refreeze(): Unit = {
       if (ov.nonEmpty) {
         val ovDF = ov.iterator.map { case ((a, b), n) => (a, b, n) }.toSeq
@@ -871,7 +933,6 @@ object Bpe {
       val top = base.orderBy(desc("n"), asc("a"), asc("b"))
         .limit(BaseTopRows + 1).as[(String, String, Long)].collect()
       baseComplete = top.length <= BaseTopRows
-      baseEmpty = top.isEmpty
       val baseTop = top.take(BaseTopRows)
       floor = if (baseComplete) 0L else baseTop.last._3
       cand.clear()
@@ -920,57 +981,94 @@ object Bpe {
         def replaceAll(c: Column): Column = batch.foldLeft(c) {
           case (acc, (a, b)) => applyMerge(acc, a, b)
         }
-        val affected = syms.filter(containsAny)
-        // the rewrite's checkpoint job runs while the delta aggregation
-        // and the base probe collect — all scan pinned checkpoints
-        val nextSymsF = Future {
-          syms.select(
-            when(containsAny, replaceAll(col("s"))).otherwise(col("s")).as("s"),
-            col("count")).transform(ckpt)
+        val cur = patchedSyms
+        // SPARSE round probe: collect the affected rows when few (the
+        // deep-merge shape — a batch touches hundreds of words). The
+        // limit-collect short-circuits once the bound overflows, so a
+        // dense round pays one cheap scan before taking the wide shape.
+        val affRows = cur.filter(containsAny)
+          .limit(SymsOverlayMaxAffected + 1).collect()
+        // Applied either way: fold the round's exact deltas into the
+        // count overlay, pulling frozen base counts for FIRST-touched
+        // pairs via one broadcast-probe scan (a changed pair absent from
+        // the base froze at 0).
+        def applyDeltas(deltaRows: Iterable[(String, String, Long)]): Unit = {
+          val need = deltaRows.iterator
+            .collect { case (a, b, _) if !ov.contains((a, b)) => (a, b) }
+            .toSeq.distinct
+          val baseN: Map[(String, String), Long] =
+            if (need.isEmpty) Map.empty
+            else base.join(broadcast(need.toDF("a", "b")), Seq("a", "b"))
+              .as[(String, String, Long)].collect()
+              .map { case (a, b, n) => (a, b) -> n }.toMap
+          deltaRows.foreach { case (a, b, d) =>
+            val k = (a, b)
+            val curN = ov.getOrElse(k, baseN.getOrElse(k, 0L)) + d
+            ov(k) = curN
+            if (curN > floor) cand(k) = curN else cand.remove(k)
+          }
         }
-        // Net pair-count change inside the affected words, in ONE signed
-        // aggregation: each affected word contributes its pre-merge pairs
-        // at −count and its post-merge pairs at +count, and the same
-        // groupBy(a, b).sum that counts pairs nets them — exact long
-        // arithmetic. Cached: the base probe below broadcasts the same
-        // tiny frame without re-scanning the affected words.
-        val deltaDF = pairCounts(affected.select(explode(array(
-            struct(col("s"), (-col("count")).as("count")),
-            struct(replaceAll(col("s")).as("s"), col("count")))).as("r"))
-            .select(col("r.s").as("s"), col("r.count").as("count")))
-          .withColumnRenamed("n", "d")
-          .filter(col("d") =!= 0L)
-          .cache()
-        val deltaRows = deltaDF.as[(String, String, Long)].collect()
-        // frozen base counts for pairs touched the FIRST time since the
-        // freeze: one broadcast-probe scan of the base, no shuffle (inner
-        // join — a changed pair absent from the base froze at 0)
-        val needBase = deltaRows.exists { case (a, b, _) =>
-          !ov.contains((a, b)) }
-        val baseN: Map[(String, String), Long] =
-          if (!needBase) Map.empty
-          else base.join(broadcast(deltaDF.select("a", "b")), Seq("a", "b"))
+        if (affRows.length <= SymsOverlayMaxAffected) {
+          // driver-side rewrite + exact pair deltas (the string twins of
+          // the distributed explode/agg: same split, same left-to-right
+          // non-overlapping replace — the four-regime parity matrix pins
+          // it) — NO syms write, no delta agg; one optional base probe
+          val deltas =
+            scala.collection.mutable.HashMap.empty[(String, String), Long]
+          affRows.foreach { r =>
+            val wid = r.getLong(0)
+            val s = r.getString(1)
+            val c = r.getLong(2)
+            addPairDeltas(deltas, s, -c)
+            val out = batch.foldLeft(s) { case (acc, (a, b)) =>
+              acc.replace(s" $a  $b ", s" $a$b ")
+            }
+            addPairDeltas(deltas, out, c)
+            ovW(wid) = out
+          }
+          applyDeltas(deltas.iterator.map { case ((a, b), d) => (a, b, d) }
+            .toSeq)
+          if (ovW.size > SymsOverlayMaxWords) refreezeSyms()
+        } else {
+          // DENSE round (early training): distributed delta agg + full
+          // rewrite checkpoint, overlapped — the r16 base-overlay shape;
+          // the rewrite folds the word overlay in and resets it
+          val nextSymsF = Future {
+            cur.select(col("wid"),
+              when(containsAny, replaceAll(col("s"))).otherwise(col("s"))
+                .as("s"),
+              col("count")).transform(ckpt)
+          }
+          val affected = cur.filter(containsAny)
+          // Net pair-count change inside the affected words, in ONE
+          // signed aggregation: each affected word contributes its
+          // pre-merge pairs at −count and its post-merge pairs at +count,
+          // and the same groupBy(a, b).sum that counts pairs nets them —
+          // exact long arithmetic.
+          val deltaRows = pairCounts(affected.select(explode(array(
+              struct(col("s"), (-col("count")).as("count")),
+              struct(replaceAll(col("s")).as("s"), col("count")))).as("r"))
+              .select(col("r.s").as("s"), col("r.count").as("count")))
+            .withColumnRenamed("n", "d")
+            .filter(col("d") =!= 0L)
             .as[(String, String, Long)].collect()
-            .map { case (a, b, n) => (a, b) -> n }.toMap
-        val nextSyms = Await.result(nextSymsF, 10.minutes)
-        deltaDF.unpersist()
-        deltaRows.foreach { case (a, b, d) =>
-          val k = (a, b)
-          val cur = ov.getOrElse(k, baseN.getOrElse(k, 0L)) + d
-          ov(k) = cur
-          if (cur > floor) cand(k) = cur else cand.remove(k)
+          val nextSyms = Await.result(nextSymsF, 10.minutes)
+          applyDeltas(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(deltaRows))
+          rel(symsBase)
+          symsBase = nextSyms
+          ovW.clear()
         }
-        rel(syms)
-        syms = nextSyms
         round += 1
         if (trace) println(f"[bpe] round $round%d batch=${batch.size}%d " +
           f"merges=${merges.size}%d ov=${ov.size}%d cand=${cand.size}%d " +
+          f"ovW=${ovW.size}%d aff=${affRows.length}%d " +
           f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
         if (ov.size > TableLoopOvMaxPairs) refreeze()
       }
     }
     rel(base)
-    rel(syms)
+    rel(symsBase)
   }
 
   /** SPARK_GRAFT_BPE_TRACE=1 prints one line per distributed round (batch

@@ -64,6 +64,37 @@ class BpeBatchSpec extends SparkSpec {
     parity(words, 40)
   }
 
+  test("table-loop dense rounds and word-overlay refreeze match the sparse shape (r16)") {
+    // Fixture rounds are all-sparse at the default affected bound, so the
+    // DENSE shape (distributed delta agg + full wid-preserving rewrite)
+    // and the sparse path's syms-overlay REFREEZE never run under the
+    // parity helper — force each and pin merges against the local
+    // reference and the default table loop.
+    val rnd = new scala.util.Random(11)
+    val words = Seq.tabulate(50) { _ =>
+      val w = Array.fill(3 + rnd.nextInt(7))(
+        "abcde" (rnd.nextInt(5))).mkString
+      (w, (rnd.nextInt(30) + 1).toLong)
+    }.distinct
+    val df = words.toDF("word", "count")
+    val local = Bpe.train(df, 25)
+    def tableLoop() = Bpe.train(df, 25, localMaxWords = 0L,
+      hybridMaxPairs = 0L, inHeapMaxBytes = 0L)
+    assert(tableLoop() == local, "default (sparse) table loop diverged")
+    val (affMax, ovMax) =
+      (Bpe.SymsOverlayMaxAffected, Bpe.SymsOverlayMaxWords)
+    try {
+      Bpe.SymsOverlayMaxAffected = 0 // every round takes the dense shape
+      assert(tableLoop() == local, "forced-dense table loop diverged")
+      Bpe.SymsOverlayMaxAffected = affMax
+      Bpe.SymsOverlayMaxWords = 0 // sparse rounds refreeze every round
+      assert(tableLoop() == local, "forced-refreeze table loop diverged")
+    } finally {
+      Bpe.SymsOverlayMaxAffected = affMax
+      Bpe.SymsOverlayMaxWords = ovMax
+    }
+  }
+
   test("selectBatch truncates to counts strictly above the first conflict") {
     // p1=(a,b) 100 and p2=(c,d) 90 are disjoint; (b,e) 80 conflicts on b →
     // stopCount 80 keeps both. With (c,d) at 80 instead, the tie with the
