@@ -553,7 +553,19 @@ object Bpe {
     * stack is worse still: Catalyst's CollapseProject substitutes each
     * layer into the 3+ references above it, growing the collapsed
     * expression 3^layers (40+ CPU-minutes of optimizer time on a 60-word
-    * fixture at 16 layers). */
+    * fixture at 16 layers).
+    *
+    * r16: the word table FREEZES with stable ids and SPARSE rounds
+    * (affected ≤ [[SymsOverlayMaxAffected]] — the deep-merge shape whose
+    * ~0.59 s/merge Spark floor the r13 COVERAGE measured on this loop)
+    * collect the affected words and fold driver-exact deltas straight
+    * into the pair map — ONE scan-only job, no syms write, no delta agg;
+    * the bounded (wid → symbols) overlay patches subsequent scans and
+    * refreezes on its own bound. Dense rounds keep the eager
+    * rewrite-∥-delta shape above (which folds the overlay in). The
+    * overlay is materialized back into a plain (s, count) frame at every
+    * hand-off boundary, so the in-heap and table-loop successors are
+    * oblivious. */
   private def trainHybrid(symsInit: DataFrame, countsInit: DataFrame,
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
       numMerges: Int, hybridMaxPairs: Long,
@@ -571,7 +583,22 @@ object Bpe {
     countsInit.as[(String, String, Long)].collect()
       .foreach { case (a, b, n) => map.seed(a, b, n) }
     rel(countsInit)
-    var syms = symsInit
+    var symsBase = symsInit
+      .withColumn("wid", monotonically_increasing_id())
+      .select(col("wid"), col("s"), col("count"))
+      .transform(ckpt)
+    rel(symsInit)
+    val ovW = scala.collection.mutable.HashMap.empty[Long, String]
+    def patchedSyms: DataFrame =
+      if (ovW.isEmpty) symsBase
+      else symsBase.join(broadcast(ovW.iterator.map { case (w, v) => (w, v) }
+          .toSeq.toDF("wid", "ov_s")), Seq("wid"), "left")
+        .select(col("wid"), coalesce(col("ov_s"), col("s")).as("s"),
+          col("count"))
+    def refreezeSyms(): Unit = if (ovW.nonEmpty) {
+      val nb = patchedSyms.transform(ckpt)
+      rel(symsBase); symsBase = nb; ovW.clear()
+    }
     var round = 0
     while (merges.size < numMerges && map.nonEmpty) {
       val roundT0 = System.nanoTime()
@@ -583,32 +610,62 @@ object Bpe {
       def replaceAll(c: Column): Column = batch.foldLeft(c) {
         case (acc, (a, b)) => applyMerge(acc, a, b)
       }
-      // the rewrite's checkpoint job runs while the delta aggregation
-      // collects — both scan the same pinned pre-merge checkpoint
-      val nextSymsF = Future {
-        syms.select(when(containsAny, replaceAll(col("s"))).otherwise(col("s")).as("s"),
-          col("count")).transform(ckpt)
+      val cur = patchedSyms
+      val affRows = cur.filter(containsAny)
+        .limit(SymsOverlayMaxAffected + 1).collect()
+      if (affRows.length <= SymsOverlayMaxAffected) {
+        // sparse round: driver rewrite + exact deltas into the map
+        val deltas =
+          scala.collection.mutable.HashMap.empty[(String, String), Long]
+        affRows.foreach { r =>
+          val wid = r.getLong(0)
+          val s = r.getString(1)
+          val c = r.getLong(2)
+          addPairDeltas(deltas, s, -c)
+          val out = batch.foldLeft(s) { case (acc, (a, b)) =>
+            acc.replace(s" $a  $b ", s" $a$b ")
+          }
+          addPairDeltas(deltas, out, c)
+          ovW(wid) = out
+        }
+        deltas.foreach { case (k, d) => map.add(k, d) }
+        if (ovW.size > SymsOverlayMaxWords) refreezeSyms()
+      } else {
+        // dense round: the rewrite's checkpoint job runs while the delta
+        // aggregation collects — both scan the same pinned frames
+        val nextSymsF = Future {
+          cur.select(col("wid"),
+            when(containsAny, replaceAll(col("s"))).otherwise(col("s")).as("s"),
+            col("count")).transform(ckpt)
+        }
+        // same signed one-shuffle delta as the table loop (scaladoc there)
+        val affected = cur.filter(containsAny)
+        val delta = pairCounts(affected.select(explode(array(
+            struct(col("s"), (-col("count")).as("count")),
+            struct(replaceAll(col("s")).as("s"), col("count")))).as("r"))
+            .select(col("r.s").as("s"), col("r.count").as("count")))
+          .filter(col("n") =!= 0L)
+          .as[(String, String, Long)].collect()
+        val nextSyms = Await.result(nextSymsF, 10.minutes)
+        delta.foreach { case (a, b, d) => map.add((a, b), d) }
+        rel(symsBase)
+        symsBase = nextSyms
+        ovW.clear()
       }
-      // same signed one-shuffle delta as the table loop (scaladoc there)
-      val affected = syms.filter(containsAny)
-      val delta = pairCounts(affected.select(explode(array(
-          struct(col("s"), (-col("count")).as("count")),
-          struct(replaceAll(col("s")).as("s"), col("count")))).as("r"))
-          .select(col("r.s").as("s"), col("r.count").as("count")))
-        .filter(col("n") =!= 0L)
-        .as[(String, String, Long)].collect()
-      val nextSyms = Await.result(nextSymsF, 10.minutes)
-      delta.foreach { case (a, b, d) => map.add((a, b), d) }
-      rel(syms)
-      syms = nextSyms
       round += 1
       if (trace) println(f"[bpe] hybrid round $round%d batch=${batch.size}%d " +
-        f"merges=${merges.size}%d pairs=${map.size}%d " +
-        f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
+        f"merges=${merges.size}%d pairs=${map.size}%d ovW=${ovW.size}%d " +
+        f"aff=${affRows.length}%d ${(System.nanoTime() - roundT0) / 1e9}%.2f s")
       if (map.size > hybridMaxPairs + hybridMaxPairs / 2) {
         if (trace) println(s"[bpe] pair map outgrew the driver bound " +
           s"(${map.size}) — handing off to the distributed table loop")
-        trainTableLoop(syms, pairCounts(syms).transform(ckpt),
+        // materialize a plain (s, count) checkpoint for the successor —
+        // unpersistCheckpoint only releases bare LogicalRDDs, so handing
+        // a projection over our base would leak its blocks
+        refreezeSyms()
+        val handoff = symsBase.select(col("s"), col("count")).transform(ckpt)
+        rel(symsBase)
+        trainTableLoop(handoff, pairCounts(handoff).transform(ckpt),
           merges, numMerges)
         return
       }
@@ -620,21 +677,21 @@ object Bpe {
       // (same map, same batch selection — merges stay bit-identical).
       if (inHeapMaxBytes > 0L && merges.size < numMerges && map.nonEmpty &&
           round % InHeapHandoffCheckRounds == 0) {
-        val footprint = inHeapFootprint(syms)
+        val footprint = inHeapFootprint(patchedSyms)
         if (footprint <= inHeapMaxBytes) {
           if (trace) println(s"[bpe] encoded state fits the in-heap bound " +
             s"(~$footprint B) at merge ${merges.size} — handing off in-heap")
           lastRegimes.add("inheap")
           import scala.jdk.CollectionConverters._
-          val state = buildInHeapState(
-            syms.as[(String, Long)].toLocalIterator().asScala)
-          rel(syms)
+          val state = buildInHeapState(patchedSyms.select("s", "count")
+            .as[(String, Long)].toLocalIterator().asScala)
+          rel(symsBase)
           trainInHeap(state, map, merges, numMerges)
           return
         }
       }
     }
-    rel(syms)
+    rel(symsBase)
   }
 
   /** Slack term of the per-round churn threshold that decides SCAN vs
