@@ -26,6 +26,14 @@ object Pipeline {
       .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
         i => concat_ws(" ", slice(tk, i, lit(n)))))
 
+  /** Corpus Catalyst-stat floor above which the EXACT contamination row
+    * takes the Bloom-prefiltered plan and caches the benchmark grams
+    * (see [[contaminationPlan]]) — the same stats-not-jobs posture as
+    * TimeExpandedGraph.EnrichMinStatBytes. Var: the 100×-corpus probe
+    * (tools.TimeContamination) raises it to force the semi-join control
+    * at scale; production never touches it. */
+  @volatile private[graft] var ContaminationBloomMinStatBytes: Long = 64L << 20
+
   /** Caches a query builder RETAINED because its returned plan still reads
     * them (the contamination rows' benchmark-gram cache feeds the verify
     * join's broadcast side, so it cannot be unpersisted at build time —
@@ -79,7 +87,7 @@ object Pipeline {
     // read the benchmark grams — uncached, that tokenize/explode/distinct
     // pipeline re-scans the corpus twice)
     val big = docs.queryExecution.optimizedPlan.stats.sizeInBytes >=
-      BigInt(64L << 20)
+      BigInt(ContaminationBloomMinStatBytes)
     val useBloom = forceBloom || big
     val bench0 = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
     val bench =

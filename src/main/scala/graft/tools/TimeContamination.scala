@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: the decontamination row at ~100× the sf0.1 corpus — the
+  * measurement behind the r16 plan gate (r15 verdict #4): above the
+  * corpus-stat floor the EXACT row must run the Bloom-prefiltered plan
+  * (scan-side codegen'd sketch probe + exact verify join) instead of
+  * hashing every corpus gram into the semi-join's build relation, with
+  * IDENTICAL results. Writes a deterministic synthetic documents table
+  * as parquet (so the Catalyst stat is a real file-size stat, like the
+  * driver's testdata), runs `pipeline_contamination` both ways — the
+  * default gate (bloom at this scale) vs the gate raised to MaxValue
+  * (the semi-join control) — verifies identical output digests, prints
+  * both walls, and greps each executed plan for the bloom probe.
+  *
+  * SPARK_GRAFT_CONTAM_DOCS overrides the corpus size (default 500000
+  * ≈ 100× sf0.1's documents table). */
+object TimeContamination {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).repartition(4).count()
+
+    val n = sys.env.getOrElse("SPARK_GRAFT_CONTAM_DOCS", "500000").toInt
+    val dir = s"/tmp/graft_contam_$n"
+    // ~40-word docs over a shared template pool so benchmark docs
+    // (doc_id % 20 == 0) genuinely share 8-grams with corpus docs —
+    // same shape as the catalog fixture, deterministic (xxhash64)
+    val tid = (col("id") / 7).cast("long")
+    // ~20 % per-doc word mutation: enough row diversity that parquet's
+    // dictionary/RLE cannot compress the text column below the stat gate
+    // at the 100× size, while template sharing keeps genuine 8-gram
+    // contamination between benchmark (doc_id % 20 == 0) and corpus docs
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)), i =>
+        when(pmod(xxhash64(col("id"), i), lit(5)) === 0,
+          concat(lit("m"), pmod(xxhash64(lit("mut"), col("id"), i),
+            lit(100000)).cast("string")))
+          .otherwise(concat(lit("w"),
+            pmod(xxhash64(tid, i), lit(500)).cast("string")))))
+        .as("text"),
+      concat(lit("src"), pmod(col("id"), lit(4)).cast("string")).as("source"),
+      lit("en").as("lang"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(): (Long, Long, Double, Boolean) = {
+      val df = graft.SparkEntry.queries("pipeline_contamination")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val bloomInPlan = plan.contains("GraftBloomMightContain") ||
+        plan.toLowerCase.contains("might_contain")
+      val ((rows, digest), sec) = timed {
+        val agg = df.agg(count(lit(1)),
+          expr("bit_xor(xxhash64(doc_id, n_shared_8grams))")).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+      graft.queries.Pipeline.releaseRetainedCaches()
+      (rows, digest, sec, bloomInPlan)
+    }
+
+    val stat = graft.queries.Catalog.t(spark, dir, "documents")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    println(s"docs=$n corpusStat=${stat / (1 << 20)}MB " +
+      s"gate=${graft.queries.Pipeline.ContaminationBloomMinStatBytes / (1 << 20)}MB")
+    val (rB, dB, sB, pB) = run() // default gate → bloom plan at this scale
+    println(f"bloom-gated:   rows=$rB%d digest=$dB%d wall=$sB%.1f s " +
+      f"bloomInPlan=$pB%s")
+    val prev = graft.queries.Pipeline.ContaminationBloomMinStatBytes
+    val (rE, dE, sE, pE) = try {
+      graft.queries.Pipeline.ContaminationBloomMinStatBytes = Long.MaxValue
+      run() // forced semi-join control
+    } finally graft.queries.Pipeline.ContaminationBloomMinStatBytes = prev
+    println(f"semi-join ctl: rows=$rE%d digest=$dE%d wall=$sE%.1f s " +
+      f"bloomInPlan=$pE%s")
+    require(rB == rE && dB == dE, "bloom plan diverged from the semi-join")
+    require(pB && !pE, "plan-shape check failed: the gate did not switch plans")
+    spark.stop()
+  }
+}
