@@ -91,6 +91,15 @@ object HubScale {
     println(f"hub route $src%s -> $tgt%s: ${rows.length}%d segments " +
       f"in $routeSec%.1f s")
     require(rows.nonEmpty, "hub route returned no itinerary")
+    // cost-carrying endpoints (boarding + final arrival) — lets an
+    // over-budget dirty run be compared against the in-heap run on the
+    // repair contract (parity on distances; path structure may differ
+    // when a zero-total cycle forces a non-canonical tree)
+    println(s"hub route endpoints: depart ${rows.head.getAs[String]("departure")}" +
+      s" arrive ${rows.last.getAs[String]("arrival")}")
+    val acyc = graft.graph.TransitSssp.acyclicResolveServed.get()
+    if (acyc > 0) println(s"acyclic re-resolutions served: $acyc " +
+      "(zero-total-cycle repair engaged on the distributed walk)")
 
     // parity: raised-threshold CSR twin on the same pair
     if (!sys.env.get("SPARK_GRAFT_SCALE_NOPARITY").contains("1")) {
