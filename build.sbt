@@ -41,4 +41,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // measurement-only passthrough (e.g. codecache/JIT logging for the
   // bench-context adjudications) — unset in driver runs
-  sys.env.get("SPARK_GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Nil)
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM")
+    .map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

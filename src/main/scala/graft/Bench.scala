@@ -97,6 +97,10 @@ object Bench {
         // Queries may cache intermediates internally; drop them so one run's
         // cached blocks neither speed up the next run nor pressure its memory.
         spark.catalog.clearCache()
+        // clearCache frees the BLOCKS but builder-retained cache handles
+        // would still accumulate plan references across a 96-query run —
+        // drain the registry too (review r16)
+        graft.queries.Pipeline.releaseRetainedCaches()
         (start, dt)
       }
       val base = (1 to repeats).map(_ => runOnce())

@@ -583,22 +583,7 @@ object Bpe {
     countsInit.as[(String, String, Long)].collect()
       .foreach { case (a, b, n) => map.seed(a, b, n) }
     rel(countsInit)
-    var symsBase = symsInit
-      .withColumn("wid", monotonically_increasing_id())
-      .select(col("wid"), col("s"), col("count"))
-      .transform(ckpt)
-    rel(symsInit)
-    val ovW = scala.collection.mutable.HashMap.empty[Long, String]
-    def patchedSyms: DataFrame =
-      if (ovW.isEmpty) symsBase
-      else symsBase.join(broadcast(ovW.iterator.map { case (w, v) => (w, v) }
-          .toSeq.toDF("wid", "ov_s")), Seq("wid"), "left")
-        .select(col("wid"), coalesce(col("ov_s"), col("s")).as("s"),
-          col("count"))
-    def refreezeSyms(): Unit = if (ovW.nonEmpty) {
-      val nb = patchedSyms.transform(ckpt)
-      rel(symsBase); symsBase = nb; ovW.clear()
-    }
+    val words = new WordOverlay(symsInit)
     var round = 0
     while (merges.size < numMerges && map.nonEmpty) {
       val roundT0 = System.nanoTime()
@@ -610,7 +595,7 @@ object Bpe {
       def replaceAll(c: Column): Column = batch.foldLeft(c) {
         case (acc, (a, b)) => applyMerge(acc, a, b)
       }
-      val cur = patchedSyms
+      val cur = words.patched
       val affRows = cur.filter(containsAny)
         .limit(SymsOverlayMaxAffected + 1).collect()
       if (affRows.length <= SymsOverlayMaxAffected) {
@@ -626,13 +611,16 @@ object Bpe {
             acc.replace(s" $a  $b ", s" $a$b ")
           }
           addPairDeltas(deltas, out, c)
-          ovW(wid) = out
+          words.set(wid, out)
         }
         deltas.foreach { case (k, d) => map.add(k, d) }
-        if (ovW.size > SymsOverlayMaxWords) refreezeSyms()
+        words.maybeRefreeze()
       } else {
         // dense round: the rewrite's checkpoint job runs while the delta
-        // aggregation collects — both scan the same pinned frames
+        // aggregation collects — both scan the same pinned frames. The
+        // collected delta is BOUNDED here (unlike the table loop's dense
+        // shape): changed pairs are a subset of the live pair universe,
+        // which the hybrid gate caps at ~1.5× hybridMaxPairs.
         val nextSymsF = Future {
           cur.select(col("wid"),
             when(containsAny, replaceAll(col("s"))).otherwise(col("s")).as("s"),
@@ -648,23 +636,16 @@ object Bpe {
           .as[(String, String, Long)].collect()
         val nextSyms = Await.result(nextSymsF, 10.minutes)
         delta.foreach { case (a, b, d) => map.add((a, b), d) }
-        rel(symsBase)
-        symsBase = nextSyms
-        ovW.clear()
+        words.replaceBase(nextSyms)
       }
       round += 1
       if (trace) println(f"[bpe] hybrid round $round%d batch=${batch.size}%d " +
-        f"merges=${merges.size}%d pairs=${map.size}%d ovW=${ovW.size}%d " +
+        f"merges=${merges.size}%d pairs=${map.size}%d ovW=${words.overlaySize}%d " +
         f"aff=${affRows.length}%d ${(System.nanoTime() - roundT0) / 1e9}%.2f s")
       if (map.size > hybridMaxPairs + hybridMaxPairs / 2) {
         if (trace) println(s"[bpe] pair map outgrew the driver bound " +
           s"(${map.size}) — handing off to the distributed table loop")
-        // materialize a plain (s, count) checkpoint for the successor —
-        // unpersistCheckpoint only releases bare LogicalRDDs, so handing
-        // a projection over our base would leak its blocks
-        refreezeSyms()
-        val handoff = symsBase.select(col("s"), col("count")).transform(ckpt)
-        rel(symsBase)
+        val handoff = words.handoff()
         trainTableLoop(handoff, pairCounts(handoff).transform(ckpt),
           merges, numMerges)
         return
@@ -677,21 +658,21 @@ object Bpe {
       // (same map, same batch selection — merges stay bit-identical).
       if (inHeapMaxBytes > 0L && merges.size < numMerges && map.nonEmpty &&
           round % InHeapHandoffCheckRounds == 0) {
-        val footprint = inHeapFootprint(patchedSyms)
+        val footprint = inHeapFootprint(words.patched)
         if (footprint <= inHeapMaxBytes) {
           if (trace) println(s"[bpe] encoded state fits the in-heap bound " +
             s"(~$footprint B) at merge ${merges.size} — handing off in-heap")
           lastRegimes.add("inheap")
           import scala.jdk.CollectionConverters._
-          val state = buildInHeapState(patchedSyms.select("s", "count")
+          val state = buildInHeapState(words.patched.select("s", "count")
             .as[(String, Long)].toLocalIterator().asScala)
-          rel(symsBase)
+          words.release()
           trainInHeap(state, map, merges, numMerges)
           return
         }
       }
     }
-    rel(symsBase)
+    words.release()
   }
 
   /** Slack term of the per-round churn threshold that decides SCAN vs
@@ -870,6 +851,57 @@ object Bpe {
     * forcing on fixture-scale overlays). */
   @volatile private[graft] var SymsOverlayMaxWords: Int = 65536
 
+  /** Frozen word table + bounded driver overlay — the r16 write-kill
+    * lever, SHARED by both distributed loops (review r16: the mechanics
+    * were duplicated): syms checkpoints ONCE with stable word ids; sparse
+    * rounds record rewritten words in a driver map that patches
+    * subsequent scans via a bounded broadcast and refreezes into a fresh
+    * checkpoint on its own bound; dense rounds replace the base outright
+    * (folding the overlay in). Owns the base checkpoint — callers exit
+    * through [[handoff]] or [[release]]. */
+  private final class WordOverlay(symsInit: DataFrame) {
+    private val spark = symsInit.sparkSession
+    import spark.implicits._
+    private val rel =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
+    private var base: DataFrame = {
+      val b = symsInit.withColumn("wid", monotonically_increasing_id())
+        .select(col("wid"), col("s"), col("count")).transform(ckpt)
+      rel(symsInit)
+      b
+    }
+    private val ovW = scala.collection.mutable.HashMap.empty[Long, String]
+    def overlaySize: Int = ovW.size
+    /** The effective word table: the frozen base patched by the overlay. */
+    def patched: DataFrame =
+      if (ovW.isEmpty) base
+      else base.join(broadcast(ovW.iterator.map { case (w, v) => (w, v) }
+          .toSeq.toDF("wid", "ov_s")), Seq("wid"), "left")
+        .select(col("wid"), coalesce(col("ov_s"), col("s")).as("s"),
+          col("count"))
+    def set(wid: Long, s: String): Unit = ovW.update(wid, s)
+    def maybeRefreeze(): Unit = if (ovW.size > SymsOverlayMaxWords) refreeze()
+    def refreeze(): Unit = if (ovW.nonEmpty) {
+      val nb = patched.transform(ckpt)
+      rel(base); base = nb; ovW.clear()
+    }
+    /** Dense-round replacement; `next` must carry (wid, s, count) and
+      * already fold the overlay (derive it from [[patched]]). */
+    def replaceBase(next: DataFrame): Unit = {
+      rel(base); base = next; ovW.clear()
+    }
+    /** Plain (s, count) CHECKPOINT for a successor regime, releasing this
+      * overlay's state — unpersistCheckpoint only releases bare
+      * LogicalRDDs, so handing a projection would leak the base. */
+    def handoff(): DataFrame = {
+      refreeze()
+      val h = base.select(col("s"), col("count")).transform(ckpt)
+      rel(base)
+      h
+    }
+    def release(): Unit = rel(base)
+  }
+
   /** Signed adjacent-pair fold of one symbol string into a driver delta
     * map — the driver twin of [[pairCounts]]' explode ∘ zip_with (same
     * split semantics as [[symbolsOf]]: trim, split on runs of spaces). */
@@ -930,7 +962,11 @@ object Bpe {
     *    explode/agg), patching subsequent scans with a bounded
     *    (wid → symbols) broadcast — no per-round syms WRITE at all; a
     *    dense round keeps the distributed delta agg + full rewrite
-    *    checkpoint (folding the word overlay in).
+    *    checkpoint (folding the word overlay in), and its delta folds
+    *    into the DISTRIBUTED base (full_outer + top re-collect — never a
+    *    driver collect: a wide-alphabet dense round can change millions
+    *    of pairs in exactly the regime that exists for >driver-map pair
+    *    tables).
     *
     * Counts stay exact longs; merges stay bit-identical to sequential
     * BPE (BpeBatchSpec's four-regime parity matrix runs through this
@@ -946,27 +982,10 @@ object Bpe {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-    // syms: frozen base with STABLE word ids + driver overlay of rewritten
-    // rows (r16 second lever): deep rounds touch a handful of words, so
-    // materializing a table-sized checkpoint per round is pure write
-    // amplification — the base freezes once and sparse rounds patch it
-    // with a bounded broadcast of (wid → current symbols).
-    var symsBase = symsInit
-      .withColumn("wid", monotonically_increasing_id())
-      .select(col("wid"), col("s"), col("count"))
-      .transform(ckpt)
-    rel(symsInit)
-    val ovW = scala.collection.mutable.HashMap.empty[Long, String]
-    def patchedSyms: DataFrame =
-      if (ovW.isEmpty) symsBase
-      else symsBase.join(broadcast(ovW.iterator.map { case (w, v) => (w, v) }
-          .toSeq.toDF("wid", "ov_s")), Seq("wid"), "left")
-        .select(col("wid"), coalesce(col("ov_s"), col("s")).as("s"),
-          col("count"))
-    def refreezeSyms(): Unit = if (ovW.nonEmpty) {
-      val nb = patchedSyms.transform(ckpt)
-      rel(symsBase); symsBase = nb; ovW.clear()
-    }
+    // syms: frozen base + bounded driver overlay (see [[WordOverlay]]) —
+    // deep rounds touch a handful of words, so materializing a
+    // table-sized checkpoint per round is pure write amplification
+    val words = new WordOverlay(symsInit)
     var base = countsInit
     // overlay: CURRENT count of every pair touched since the freeze
     // (≤ 0 entries retained — they mask a consumed base row); `cand`
@@ -975,18 +994,18 @@ object Bpe {
     val cand = scala.collection.mutable.HashMap.empty[(String, String), Long]
     var floor = 0L
     var baseComplete = false
-    def refreeze(): Unit = {
-      if (ov.nonEmpty) {
-        val ovDF = ov.iterator.map { case ((a, b), n) => (a, b, n) }.toSeq
-          .toDF("a", "b", "cur")
-        val nb = base.join(broadcast(ovDF), Seq("a", "b"), "full_outer")
-          .select(col("a"), col("b"), coalesce(col("cur"), col("n")).as("n"))
-          .filter(col("n") > 0L)
-          .transform(ckpt)
-        rel(base)
-        base = nb
-        ov.clear()
-      }
+    def foldOvIntoBase(): Unit = if (ov.nonEmpty) {
+      val ovDF = ov.iterator.map { case ((a, b), n) => (a, b, n) }.toSeq
+        .toDF("a", "b", "cur")
+      val nb = base.join(broadcast(ovDF), Seq("a", "b"), "full_outer")
+        .select(col("a"), col("b"), coalesce(col("cur"), col("n")).as("n"))
+        .filter(col("n") > 0L)
+        .transform(ckpt)
+      rel(base)
+      base = nb
+      ov.clear()
+    }
+    def recollectTop(): Unit = {
       val top = base.orderBy(desc("n"), asc("a"), asc("b"))
         .limit(BaseTopRows + 1).as[(String, String, Long)].collect()
       baseComplete = top.length <= BaseTopRows
@@ -995,6 +1014,7 @@ object Bpe {
       cand.clear()
       baseTop.foreach { case (a, b, n) => cand((a, b)) = n }
     }
+    def refreeze(): Unit = { foldOvIntoBase(); recollectTop() }
     refreeze()
     // driver argmax over the candidate map, same probe-deepening shape as
     // selectBatchFromMap: entries ≤ floor are indistinguishable from the
@@ -1038,7 +1058,7 @@ object Bpe {
         def replaceAll(c: Column): Column = batch.foldLeft(c) {
           case (acc, (a, b)) => applyMerge(acc, a, b)
         }
-        val cur = patchedSyms
+        val cur = words.patched
         // SPARSE round probe: collect the affected rows when few (the
         // deep-merge shape — a batch touches hundreds of words). The
         // limit-collect short-circuits once the bound overflows, so a
@@ -1081,15 +1101,22 @@ object Bpe {
               acc.replace(s" $a  $b ", s" $a$b ")
             }
             addPairDeltas(deltas, out, c)
-            ovW(wid) = out
+            words.set(wid, out)
           }
           applyDeltas(deltas.iterator.map { case ((a, b), d) => (a, b, d) }
             .toSeq)
-          if (ovW.size > SymsOverlayMaxWords) refreezeSyms()
+          words.maybeRefreeze()
+          if (ov.size > TableLoopOvMaxPairs) refreeze()
         } else {
-          // DENSE round (early training): distributed delta agg + full
-          // rewrite checkpoint, overlapped — the r16 base-overlay shape;
-          // the rewrite folds the word overlay in and resets it
+          // DENSE round (early training): the delta FOLDS INTO THE
+          // DISTRIBUTED BASE (review r16 — a wide-alphabet dense round
+          // can change millions of pairs, which must never collect to
+          // the driver in the regime that exists for >driver-map pair
+          // tables; this is the r15 full_outer shape), overlapped with
+          // the full rewrite checkpoint; the visible top then
+          // re-collects. Net pair-count change in ONE signed
+          // aggregation: each affected word contributes its pre-merge
+          // pairs at −count and its post-merge pairs at +count.
           val nextSymsF = Future {
             cur.select(col("wid"),
               when(containsAny, replaceAll(col("s"))).otherwise(col("s"))
@@ -1097,35 +1124,34 @@ object Bpe {
               col("count")).transform(ckpt)
           }
           val affected = cur.filter(containsAny)
-          // Net pair-count change inside the affected words, in ONE
-          // signed aggregation: each affected word contributes its
-          // pre-merge pairs at −count and its post-merge pairs at +count,
-          // and the same groupBy(a, b).sum that counts pairs nets them —
-          // exact long arithmetic.
-          val deltaRows = pairCounts(affected.select(explode(array(
+          val deltaDF = pairCounts(affected.select(explode(array(
               struct(col("s"), (-col("count")).as("count")),
               struct(replaceAll(col("s")).as("s"), col("count")))).as("r"))
               .select(col("r.s").as("s"), col("r.count").as("count")))
             .withColumnRenamed("n", "d")
             .filter(col("d") =!= 0L)
-            .as[(String, String, Long)].collect()
+          foldOvIntoBase() // overlay overrides base, so it folds FIRST
+          val newBase = base.join(deltaDF, Seq("a", "b"), "full_outer")
+            .select(col("a"), col("b"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L)))
+                .as("n"))
+            .filter(col("n") > 0L)
+            .transform(ckpt)
+          rel(base)
+          base = newBase
+          recollectTop()
           val nextSyms = Await.result(nextSymsF, 10.minutes)
-          applyDeltas(scala.collection.immutable.ArraySeq
-            .unsafeWrapArray(deltaRows))
-          rel(symsBase)
-          symsBase = nextSyms
-          ovW.clear()
+          words.replaceBase(nextSyms)
         }
         round += 1
         if (trace) println(f"[bpe] round $round%d batch=${batch.size}%d " +
           f"merges=${merges.size}%d ov=${ov.size}%d cand=${cand.size}%d " +
-          f"ovW=${ovW.size}%d aff=${affRows.length}%d " +
+          f"ovW=${words.overlaySize}%d aff=${affRows.length}%d " +
           f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
-        if (ov.size > TableLoopOvMaxPairs) refreeze()
       }
     }
     rel(base)
-    rel(symsBase)
+    words.release()
   }
 
   /** SPARK_GRAFT_BPE_TRACE=1 prints one line per distributed round (batch
