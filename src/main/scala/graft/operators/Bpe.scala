@@ -841,7 +841,12 @@ object Bpe {
     * the round keeps the distributed delta agg + full rewrite
     * checkpoint. 64k rows × ~100 B ≈ 6.5 MB per collect. Var only as a
     * spec hook (fixtures are all-sparse at the default; parity specs
-    * zero it to force the dense shape); production never touches it. */
+    * zero it to force the dense shape); production never touches it.
+    * Unlike the r15 Betweenness bound (made a per-call parameter because
+    * it changed the driver-collect CONTRACT), this bound is
+    * cost-shaping only — every shape is parity-pinned to identical
+    * merges, so a concurrent mutation can shift wall time, never
+    * answers. */
   @volatile private[graft] var SymsOverlayMaxAffected: Int = 65536
 
   /** Word-overlay refreeze trigger: rewritten rows accumulate in a
