@@ -498,6 +498,65 @@ class TransitSsspSpec extends SparkSpec {
       }
   }
 
+  test("randomized: acyclic re-resolution matches canonical distances and walks home (r16)") {
+    // The fixed fixture pins the repair TRIGGER (a realized zero-total
+    // cycle); this randomized twin pins the re-resolution's EXACTNESS
+    // surface — the level BFS over tight edges and the (lev, seq)
+    // selection — across random transit shapes with dirty (negative)
+    // ride weights and heavy ties: distances must equal the canonical
+    // resolution's bit for bit, and every reached vertex must walk to
+    // the source. Change weights are kept ≥ trip-ride losses so no
+    // negative-total cycle can form (cycle total = Σ changes ≥ 40 each
+    // + Σ rides ≥ −30 per trip segment, and every cycle alternates).
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 3) {
+      val nTrips = 4 + rnd.nextInt(3)
+      var id = 100L
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Int, Int)]
+      for (t <- 0 until nTrips) {
+        var clock = 100 + rnd.nextInt(50)
+        val len = 2 + rnd.nextInt(3)
+        for (seq <- 1 to len) {
+          // dirty: ~1 in 3 arrivals rewind ≤ 30 s against the prev dep
+          clock += (if (seq > 1 && rnd.nextInt(3) == 0) -rnd.nextInt(30)
+            else 5 + rnd.nextInt(20))
+          nodes += ((id, s"T$t", seq, clock, clock + rnd.nextInt(5)))
+          id += 1
+        }
+      }
+      val ids = nodes.map(_._1)
+      val change = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      for (_ <- 0 until nodes.size * 2) {
+        val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+        // small weight SET → tied equal-cost paths are common
+        if (a != b) change += ((a, b, (40 + 10 * rnd.nextInt(3)).toDouble))
+      }
+      val seed = ids(rnd.nextInt(ids.size))
+      val ts = new TransitSssp(
+        nodes.toSeq.toDF("id", "trip_id", "stop_sequence", "arr_secs", "dep_secs"),
+        change.toSeq.distinct.toDF("source", "target", "waiting_time"))
+      val st = ts.staged(Set(seed))
+      try {
+        def distKey(df: org.apache.spark.sql.DataFrame) =
+          df.select("vertex_id", "dist").as[(Long, Double)].collect().toSet
+        val canonical = st.resolve(seed)
+        val repaired = st.resolveAcyclic(seed).cache()
+        assert(distKey(repaired) == distKey(canonical),
+          s"trial $trial: acyclic distances diverged")
+        val reachedIds = repaired.select("vertex_id").as[Long].collect()
+        reachedIds.foreach { v =>
+          val p = ShortestPaths.pathDistributed(repaired, seed, v)
+          assert(p.headOption.contains(seed) && p.lastOption.contains(v),
+            s"trial $trial: walk to $v did not span $seed -> $v")
+        }
+        repaired.unpersist()
+      } finally {
+        st.release()
+        ts.releasePins()
+      }
+    }
+  }
+
   test("reachable negative-total cycle aborts the in-heap fixpoint") {
     val edges = Seq(
       (1L, 2L, 1.0), (2L, 3L, -5.0), (3L, 2L, 1.0), (2L, 4L, 1.0))
