@@ -117,9 +117,22 @@ object Bpe {
     import spark.implicits._
     val w = words.select(col("word").cast("string").as("word"),
       col("count").cast("long").as("count"))
-    // Local-vs-distributed pre-gate: a plain parallel count() (per-partition
-    // counts combine map-side) — no rows move unless the answer is "local".
-    if (w.count() <= math.min(localMaxWords, (Int.MaxValue - 2).toLong))
+    // Local-vs-distributed pre-gate: one parallel agg (per-partition
+    // partials combine map-side) answers the row count AND enforces the
+    // INPUT CONTRACT — words are whitespace-free tokens (standard BPE
+    // pre-tokenization). The symbol-string representation (" a  b ",
+    // see the class scaladoc) and the affected-word needles REQUIRE it:
+    // a word carrying a literal space would split into phantom symbols
+    // whose needle matching silently diverges from the pair parse
+    // (caught r16 — a byte-overflowing synthetic corpus produced
+    // space-bearing words and stale counts). Fail pointedly instead.
+    val pre = w.agg(count(lit(1)), coalesce(sum(
+      col("word").rlike("\\s").cast("long")), lit(0L))).head()
+    require(pre.getLong(1) == 0L,
+      s"BPE input contract violated: ${pre.getLong(1)} words contain " +
+        "whitespace - pre-tokenize the corpus (words must be " +
+        "whitespace-free tokens)")
+    if (pre.getLong(0) <= math.min(localMaxWords, (Int.MaxValue - 2).toLong))
       trainLocal(w.as[(String, Long)].collect(), numMerges)
     else trainDistributed(w, numMerges, hybridMaxPairs, inHeapMaxBytes)
   }

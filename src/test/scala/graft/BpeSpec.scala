@@ -31,6 +31,15 @@ class BpeSpec extends SparkSpec {
       .as[Int].head() == 1)
   }
 
+  test("train rejects whitespace-bearing words with a pointed error (r16)") {
+    // the symbol-string representation and the affected-word needles
+    // require whitespace-free tokens; un-pre-tokenized input previously
+    // produced silently-stale counts (r16 wide-corpus post-mortem)
+    val bad = Seq(("a b", 5L), ("cd", 3L)).toDF("word", "count")
+    val e = intercept[IllegalArgumentException] { Bpe.train(bad, 2) }
+    assert(e.getMessage.contains("whitespace"))
+  }
+
   test("training stops when no pair co-occurs") {
     val words = Seq(("a", 3L), ("b", 2L)).toDF("word", "count")
     assert(Bpe.train(words, 5).isEmpty)
