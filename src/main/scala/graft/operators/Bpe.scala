@@ -112,7 +112,16 @@ object Bpe {
   def train(words: DataFrame, numMerges: Int,
       localMaxWords: Long = LocalTrainMaxWords,
       hybridMaxPairs: Long = HybridPairMaxRows,
-      inHeapMaxBytes: Long = InHeapStateMaxBytes): Seq[(String, String)] = {
+      inHeapMaxBytes: Long = InHeapStateMaxBytes,
+      // Cost-shaping bounds of the two distributed loops, threaded as
+      // per-call parameters (r16 ADVICE — the @volatile spec-hook vars
+      // they replace were process-global mutable state, unsafe under
+      // parallel callers; same fix as Betweenness.ofProjection's
+      // defaultCsrBound): every value is parity-pinned to identical
+      // merges, so these shift wall time, never answers.
+      overlayMaxAffected: Int = SymsOverlayMaxAffected,
+      overlayMaxWords: Int = SymsOverlayMaxWords,
+      baseTopRows: Int = BaseTopRows): Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
     val w = words.select(col("word").cast("string").as("word"),
@@ -134,7 +143,8 @@ object Bpe {
         "whitespace-free tokens)")
     if (pre.getLong(0) <= math.min(localMaxWords, (Int.MaxValue - 2).toLong))
       trainLocal(w.as[(String, Long)].collect(), numMerges)
-    else trainDistributed(w, numMerges, hybridMaxPairs, inHeapMaxBytes)
+    else trainDistributed(w, numMerges, hybridMaxPairs, inHeapMaxBytes,
+      overlayMaxAffected, overlayMaxWords, baseTopRows)
   }
 
   /** Adjacent-pair weighted counts of a symbol table. */
@@ -266,7 +276,8 @@ object Bpe {
     * (the one weak regime called out by rounds 7-8; below the threshold
     * [[trainLocal]] takes over). */
   private def trainDistributed(words: DataFrame, numMerges: Int,
-      hybridMaxPairs: Long, inHeapMaxBytes: Long): Seq[(String, String)] = {
+      hybridMaxPairs: Long, inHeapMaxBytes: Long, overlayMaxAffected: Int,
+      overlayMaxWords: Int, baseTopRows: Int): Seq[(String, String)] = {
     // Eager localCheckpoint, not cache: each round's counts plan references
     // the previous round's syms plan TWICE (before/after aggregation), so
     // chained caches grow the logical plan quadratically — a 100-round run
@@ -311,8 +322,9 @@ object Bpe {
         rel(syms) // encoded; the checkpoint blocks can go
         trainInHeap(state, idx, merges, numMerges)
       } else trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs,
-        inHeapMaxBytes)
-    } else trainTableLoop(syms, counts, merges, numMerges)
+        inHeapMaxBytes, overlayMaxAffected, overlayMaxWords, baseTopRows)
+    } else trainTableLoop(syms, counts, merges, numMerges,
+      overlayMaxAffected, overlayMaxWords, baseTopRows)
     merges.toSeq
   }
 
@@ -584,7 +596,8 @@ object Bpe {
       numMerges: Int, hybridMaxPairs: Long,
       // required, not defaulted: a 0 default here silently disabled the
       // in-heap regime for any future internal caller (r14 ADVICE)
-      inHeapMaxBytes: Long): Unit = {
+      inHeapMaxBytes: Long, overlayMaxAffected: Int, overlayMaxWords: Int,
+      baseTopRows: Int): Unit = {
     val spark = symsInit.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -596,7 +609,7 @@ object Bpe {
     countsInit.as[(String, String, Long)].collect()
       .foreach { case (a, b, n) => map.seed(a, b, n) }
     rel(countsInit)
-    val words = new WordOverlay(symsInit)
+    val words = new WordOverlay(symsInit, overlayMaxWords)
     var round = 0
     while (merges.size < numMerges && map.nonEmpty) {
       val roundT0 = System.nanoTime()
@@ -610,8 +623,8 @@ object Bpe {
       }
       val cur = words.patched
       val affRows = cur.filter(containsAny)
-        .limit(SymsOverlayMaxAffected + 1).collect()
-      if (affRows.length <= SymsOverlayMaxAffected) {
+        .limit(overlayMaxAffected + 1).collect()
+      if (affRows.length <= overlayMaxAffected) {
         // sparse round: driver rewrite + exact deltas into the map
         val deltas =
           scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -660,7 +673,7 @@ object Bpe {
           s"(${map.size}) — handing off to the distributed table loop")
         val handoff = words.handoff()
         trainTableLoop(handoff, pairCounts(handoff).transform(ckpt),
-          merges, numMerges)
+          merges, numMerges, overlayMaxAffected, overlayMaxWords, baseTopRows)
         return
       }
       // Deep-merge hand-off (r14): merging SHRINKS the symbol strings, so
@@ -838,7 +851,10 @@ object Bpe {
   /** Driver rows collected from the frozen pair-count base at each freeze —
     * the visible top of the over-budget table (see [[trainTableLoop]]).
     * 64k rows × ~100 B ≈ 6 MB driver heap; everything below the 64k-th
-    * count hides behind the exactness floor until a refreeze. */
+    * count hides behind the exactness floor until a refreeze. Production
+    * DEFAULT of [[train]]'s `baseTopRows` parameter (per-call spec hook —
+    * the plateau-fallback spec shrinks it to force a max-count tie wider
+    * than the visible top). */
   private[graft] val BaseTopRows: Int = 65536
 
   /** Overlay-size refreeze trigger: the driver holds CURRENT counts for
@@ -852,22 +868,20 @@ object Bpe {
     * rewrites them and folds exact pair deltas ON THE DRIVER — one
     * scan-only Spark job, no syms write. Above it (dense early rounds)
     * the round keeps the distributed delta agg + full rewrite
-    * checkpoint. 64k rows × ~100 B ≈ 6.5 MB per collect. Var only as a
-    * spec hook (fixtures are all-sparse at the default; parity specs
-    * zero it to force the dense shape); production never touches it.
-    * Unlike the r15 Betweenness bound (made a per-call parameter because
-    * it changed the driver-collect CONTRACT), this bound is
-    * cost-shaping only — every shape is parity-pinned to identical
-    * merges, so a concurrent mutation can shift wall time, never
-    * answers. */
-  @volatile private[graft] var SymsOverlayMaxAffected: Int = 65536
+    * checkpoint. 64k rows × ~100 B ≈ 6.5 MB per collect. Production
+    * DEFAULT of [[train]]'s `overlayMaxAffected` parameter — specs pass
+    * small values per call to force the dense shape (r16 ADVICE replaced
+    * the @volatile spec-hook var: process-global mutable state, unsafe
+    * under parallel test execution). Cost-shaping only — every shape is
+    * parity-pinned to identical merges. */
+  private[graft] val SymsOverlayMaxAffected: Int = 65536
 
   /** Word-overlay refreeze trigger: rewritten rows accumulate in a
     * driver map that broadcasts into every subsequent scan — fold it
     * back into a fresh syms checkpoint before the per-round broadcast
-    * outgrows useful size. Var only as a spec hook (the refreeze needs
-    * forcing on fixture-scale overlays). */
-  @volatile private[graft] var SymsOverlayMaxWords: Int = 65536
+    * outgrows useful size. Production DEFAULT of [[train]]'s
+    * `overlayMaxWords` parameter (per-call, like the affected bound). */
+  private[graft] val SymsOverlayMaxWords: Int = 65536
 
   /** Frozen word table + bounded driver overlay — the r16 write-kill
     * lever, SHARED by both distributed loops (review r16: the mechanics
@@ -877,7 +891,7 @@ object Bpe {
     * checkpoint on its own bound; dense rounds replace the base outright
     * (folding the overlay in). Owns the base checkpoint — callers exit
     * through [[handoff]] or [[release]]. */
-  private final class WordOverlay(symsInit: DataFrame) {
+  private final class WordOverlay(symsInit: DataFrame, maxWords: Int) {
     private val spark = symsInit.sparkSession
     import spark.implicits._
     private val rel =
@@ -898,7 +912,7 @@ object Bpe {
         .select(col("wid"), coalesce(col("ov_s"), col("s")).as("s"),
           col("count"))
     def set(wid: Long, s: String): Unit = ovW.update(wid, s)
-    def maybeRefreeze(): Unit = if (ovW.size > SymsOverlayMaxWords) refreeze()
+    def maybeRefreeze(): Unit = if (ovW.size > maxWords) refreeze()
     def refreeze(): Unit = if (ovW.nonEmpty) {
       val nb = patched.transform(ckpt)
       rel(base); base = nb; ovW.clear()
@@ -959,7 +973,11 @@ object Bpe {
     *    ≤ floor, and every candidate above the floor carries its exact
     *    current count — so the (n desc, a asc, b asc) walk with stop
     *    count ≥ floor is the same probe-floor argument
-    *    [[selectBatchEx]]'s proof already covers. ZERO Spark jobs.
+    *    [[selectBatchEx]]'s proof already covers. ZERO Spark jobs. The
+    *    one driver-blind shape — a max-count tie plateau WIDER than the
+    *    visible top, where nothing sits strictly above the floor — falls
+    *    back to a single distributed TakeOrdered argmax probe after the
+    *    refreeze (r17; exhaustion is declared only on an empty base).
     *  - A round runs TWO distributed jobs, overlapped with the syms
     *    rewrite: the signed delta aggregation over affected words
     *    (cached, tiny output), and — only when a changed pair is touched
@@ -992,7 +1010,8 @@ object Bpe {
     * cluster-resident — the driver holds only the bounded top + overlay. */
   private def trainTableLoop(symsInit: DataFrame, countsInit: DataFrame,
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
-      numMerges: Int): Unit = {
+      numMerges: Int, overlayMaxAffected: Int, overlayMaxWords: Int,
+      baseTopRows: Int): Unit = {
     lastRegimes.add("tableloop")
     val spark = symsInit.sparkSession
     import spark.implicits._
@@ -1003,7 +1022,7 @@ object Bpe {
     // syms: frozen base + bounded driver overlay (see [[WordOverlay]]) —
     // deep rounds touch a handful of words, so materializing a
     // table-sized checkpoint per round is pure write amplification
-    val words = new WordOverlay(symsInit)
+    val words = new WordOverlay(symsInit, overlayMaxWords)
     var base = countsInit
     // overlay: CURRENT count of every pair touched since the freeze
     // (≤ 0 entries retained — they mask a consumed base row); `cand`
@@ -1025,9 +1044,9 @@ object Bpe {
     }
     def recollectTop(): Unit = {
       val top = base.orderBy(desc("n"), asc("a"), asc("b"))
-        .limit(BaseTopRows + 1).as[(String, String, Long)].collect()
-      baseComplete = top.length <= BaseTopRows
-      val baseTop = top.take(BaseTopRows)
+        .limit(baseTopRows + 1).as[(String, String, Long)].collect()
+      baseComplete = top.length <= baseTopRows
+      val baseTop = top.take(baseTopRows)
       floor = if (baseComplete) 0L else baseTop.last._3
       cand.clear()
       baseTop.foreach { case (a, b, n) => cand((a, b)) = n }
@@ -1055,6 +1074,28 @@ object Bpe {
       }
       Nil
     }
+    // MAX-COUNT PLATEAU fallback (r16 ADVICE, high): after a refreeze the
+    // floor equals the baseTopRows-th count, so when MORE than baseTopRows
+    // pairs tie at the running MAXIMUM (top baseTopRows+1 rows share one
+    // count — realistic exactly in the >driver-map regime this loop
+    // serves, e.g. a wide alphabet whose Poisson-spread counts put >64k
+    // pairs at one value), no candidate is strictly above the floor and
+    // the driver walk sees nothing — yet co-occurring pairs remain. One
+    // distributed TakeOrdered over the freshly-folded base (the caller
+    // refroze first, so `ov` is empty and the base IS current) yields the
+    // exact (n desc, a asc, b asc) head; selectBatchEx with the probe's
+    // own floor returns at least that head (a single sequential round is
+    // always legal), so the plateau advances one exact argmax per probe.
+    // Exhaustion is only real when the base itself has no rows.
+    def probeBaseArgmax(prior: scala.collection.Set[String])
+        : Seq[(String, String)] = {
+      assert(ov.isEmpty, "plateau probe requires a freshly-folded base")
+      val raw = base.orderBy(desc("n"), asc("a"), asc("b"))
+        .limit(BatchProbe).as[(String, String, Long)].collect()
+      if (raw.isEmpty) Nil
+      else selectBatchEx(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(raw), prior, complete = false)._1
+    }
     var exhausted = false
     var round = 0
     while (merges.size < numMerges && !exhausted) {
@@ -1063,9 +1104,14 @@ object Bpe {
       var batch = selectBatchFromCand(prior).take(numMerges - merges.size)
       if (batch.isEmpty) {
         // visible candidates decayed to the floor — fold the overlay back
-        // and re-collect the top; empty again means no pair co-occurs
+        // and re-collect the top
         refreeze()
         batch = selectBatchFromCand(prior).take(numMerges - merges.size)
+        // still empty with a non-zero floor = the tie plateau is wider
+        // than the visible top, NOT exhaustion (with floor == 0 the base
+        // was fully visible, so empty really means no pair co-occurs)
+        if (batch.isEmpty && floor > 0L)
+          batch = probeBaseArgmax(prior).take(numMerges - merges.size)
         if (batch.isEmpty) exhausted = true
       }
       if (!exhausted) {
@@ -1082,7 +1128,7 @@ object Bpe {
         // limit-collect short-circuits once the bound overflows, so a
         // dense round pays one cheap scan before taking the wide shape.
         val affRows = cur.filter(containsAny)
-          .limit(SymsOverlayMaxAffected + 1).collect()
+          .limit(overlayMaxAffected + 1).collect()
         // Applied either way: fold the round's exact deltas into the
         // count overlay, pulling frozen base counts for FIRST-touched
         // pairs via one broadcast-probe scan (a changed pair absent from
@@ -1103,7 +1149,7 @@ object Bpe {
             if (curN > floor) cand(k) = curN else cand.remove(k)
           }
         }
-        if (affRows.length <= SymsOverlayMaxAffected) {
+        if (affRows.length <= overlayMaxAffected) {
           // driver-side rewrite + exact pair deltas (the string twins of
           // the distributed explode/agg: same split, same left-to-right
           // non-overlapping replace — the four-regime parity matrix pins

@@ -81,18 +81,43 @@ class BpeBatchSpec extends SparkSpec {
     def tableLoop() = Bpe.train(df, 25, localMaxWords = 0L,
       hybridMaxPairs = 0L, inHeapMaxBytes = 0L)
     assert(tableLoop() == local, "default (sparse) table loop diverged")
-    val (affMax, ovMax) =
-      (Bpe.SymsOverlayMaxAffected, Bpe.SymsOverlayMaxWords)
-    try {
-      Bpe.SymsOverlayMaxAffected = 0 // every round takes the dense shape
-      assert(tableLoop() == local, "forced-dense table loop diverged")
-      Bpe.SymsOverlayMaxAffected = affMax
-      Bpe.SymsOverlayMaxWords = 0 // sparse rounds refreeze every round
-      assert(tableLoop() == local, "forced-refreeze table loop diverged")
-    } finally {
-      Bpe.SymsOverlayMaxAffected = affMax
-      Bpe.SymsOverlayMaxWords = ovMax
-    }
+    // per-call bounds (r16 ADVICE: the @volatile hook vars are gone)
+    val dense = Bpe.train(df, 25, localMaxWords = 0L, hybridMaxPairs = 0L,
+      inHeapMaxBytes = 0L, overlayMaxAffected = 0) // every round dense
+    assert(dense == local, "forced-dense table loop diverged")
+    val refrozen = Bpe.train(df, 25, localMaxWords = 0L, hybridMaxPairs = 0L,
+      inHeapMaxBytes = 0L, overlayMaxWords = 0) // refreeze every sparse round
+    assert(refrozen == local, "forced-refreeze table loop diverged")
+  }
+
+  test("table loop survives a max-count tie plateau wider than the visible top (r17)") {
+    // Every pair ties at the max: with baseTopRows = 2 the refrozen floor
+    // EQUALS the running maximum and nothing is strictly above it — the
+    // r16 loop declared exhaustion here and returned ZERO merges despite
+    // co-occurring pairs (ADVICE r16, high). The fallback probes the base
+    // with one distributed TakeOrdered per plateau round; merges must be
+    // the exact sequential sequence, ties resolved in UTF-8 order.
+    val words = Seq(("ab", 5L), ("cd", 5L), ("ef", 5L), ("gh", 5L),
+      ("ij", 5L), ("kl", 5L))
+    val df = words.toDF("word", "count")
+    // ask for MORE merges than exist: the fixture admits exactly 6, so
+    // this also pins that genuine exhaustion (empty base) still ends
+    // training instead of looping on the probe
+    val local = Bpe.train(df, 10)
+    assert(local.size == 6, s"fixture should admit 6 merges, got $local")
+    val plateau = Bpe.train(df, 10, localMaxWords = 0L, hybridMaxPairs = 0L,
+      inHeapMaxBytes = 0L, baseTopRows = 2)
+    assert(plateau == local,
+      s"plateau table loop diverged:\n  local:   $local\n  plateau: $plateau")
+    // mixed shape: a dominant pair above the plateau trains normally, then
+    // the loop hits the plateau mid-run and must keep going
+    val mixed = Seq(("xy", 9L)) ++ words
+    val mdf = mixed.toDF("word", "count")
+    val mlocal = Bpe.train(mdf, 7)
+    val mplateau = Bpe.train(mdf, 7, localMaxWords = 0L, hybridMaxPairs = 0L,
+      inHeapMaxBytes = 0L, baseTopRows = 2)
+    assert(mplateau == mlocal,
+      s"mid-run plateau diverged:\n  local:   $mlocal\n  plateau: $mplateau")
   }
 
   test("selectBatch truncates to counts strictly above the first conflict") {
