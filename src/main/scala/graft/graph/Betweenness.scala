@@ -377,14 +377,22 @@ object Betweenness {
     * ride almost free — COVERAGE.md betweenness section). The collapse
     * that wins for weighted transit SSSP (TransitSssp, round count
     * 12-15) loses here; both branches are spec-pinned to runLocal
-    * (BetweennessSpec). */
-  /** `localThreshold`: None (the default) uses [[CsrBrandesMaxEdges]] and
+    * (BetweennessSpec).
+    *
+    * `localThreshold`: None (the default) uses [[CsrBrandesMaxEdges]] and
     * lets the capped-budget rung widen the in-heap collect to
     * [[TransitSssp.cappedCsrMaxEdges]]; `Some(x)` is an EXACT caller bound
     * on the driver collect — never escalated (r16, r15 ADVICE: the
     * previous sentinel-by-value-equality made an explicit bound equal to
     * the default indistinguishable from it). `Some(x ≤ 0)` forces the
-    * level-synchronous regime (the measurement convention). */
+    * level-synchronous regime (the measurement convention).
+    *
+    * MIGRATION (r16): `localThreshold` changed `Long` → `Option[Long]` —
+    * a caller that passed a positional/named `Long` bound must wrap it in
+    * `Some(...)`; a caller that passed the old default
+    * `CsrBrandesMaxEdges` to mean "default behavior" should pass `None`
+    * (under the old value-equality sentinel those two were conflated,
+    * which is exactly the bug the Option fixed). */
   def ofProjection(g: graft.projection.TimeExpandedGraph,
       sources: Option[Seq[Long]] = None, seed: Long = 42L,
       localThreshold: Option[Long] = None,

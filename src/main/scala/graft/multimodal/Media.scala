@@ -27,10 +27,21 @@ object Media {
   // prefix (GBs of checkpoint/shuffle writes) perturbs — exactly the
   // observed profile: follows any heavy prefix, decays with repeats (the
   // cache warms), heap-insensitive. The payloads are ALREADY byte arrays
-  // in memory; disk-backing their streams is pure pathology here. The
-  // flag is JVM-global — executors initialize it on first Media access
-  // (the decode closures all enter through this object).
-  javax.imageio.ImageIO.setUseCache(false)
+  // in memory; disk-backing their streams is pure pathology here.
+  //
+  // CAVEAT (r16 ADVICE): ImageIO.setUseCache is JVM-GLOBAL — it also
+  // flips behavior for any unrelated ImageIO user sharing the executor
+  // JVM (acceptable here: it only moves stream buffering from a temp
+  // file to heap, never changes decoded bytes). And a static-initializer
+  // side effect alone would make the executor-side application depend on
+  // the Media$ module classloading before the first decode — an ordering
+  // that holds today only because every decode closure calls back into
+  // this object. Each mapPartitions decode closure therefore ALSO calls
+  // [[disableStreamDiskCache]] explicitly (idempotent, nanoseconds), so
+  // the fix is structural, not an accident of classload order.
+  private[multimodal] def disableStreamDiskCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+  disableStreamDiskCache() // driver + any same-JVM embedder, up front
 
   /** Deterministic fake "decoded width" for non-image payloads (matches the
     * decodeMeta fallback). */
@@ -81,6 +92,7 @@ object Media {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary")).rdd
       .mapPartitions { it =>
+        disableStreamDiskCache() // structural, not classload-ordered
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
@@ -162,6 +174,7 @@ object Media {
     def r4(x: Double): Double = math.rint(x * 10000.0) / 10000.0
     val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary")).rdd
       .mapPartitions { it =>
+        disableStreamDiskCache() // structural, not classload-ordered
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
@@ -218,6 +231,7 @@ object Media {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast("long"), col(blobCol).cast("binary")).rdd
       .mapPartitions { it =>
+        disableStreamDiskCache() // structural, not classload-ordered
         it.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)

@@ -73,11 +73,14 @@ object TimeBetweenness {
       case _ => None // default bound + the capped-budget rung
     }
     val t0 = System.nanoTime()
-    // cached, then count()-forced: limit(5) over an InMemoryRelation plans
-    // as CollectLimit and may materialize only part of the final sorted
-    // RDD, letting the digest agg recompute the rest (r15 ADVICE — the
-    // orderBy does NOT guarantee a complete cache); the count forces every
-    // partition so both reads below hit materialized blocks.
+    // cached, then count()-forced as a DEFENSIVE measure: a limit(5) read
+    // is not guaranteed to materialize every cached partition (CollectLimit
+    // may stop early), in which case the digest agg below would compute
+    // the remainder outside the timed section; the count forces all
+    // partitions up front so both reads hit materialized blocks (r16
+    // ADVICE: this is a sufficiency argument, not a claim about exactly
+    // how much a limit materializes — that is a Spark implementation
+    // detail this tool does not depend on).
     val out = graft.graph.Betweenness.ofProjection(proj, sources = sources,
         localThreshold = threshold,
         transitAboveThreshold = regime == "transit", clockCap = cap).cache()
