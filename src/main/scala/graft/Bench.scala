@@ -1,9 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark entry point. Emits a full JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},
-  *  "runs":{name:[sec,...]},"starts":{name:[epochSec,...]},"sf":dir}
+  *  "runs":{name:[sec,...]},"starts":{name:[epochSec,...]},
+  *  "controls":{name:{"pin":s,"pre":[s,...],"post":[s,...]},...},
+  *  "drift":[pre,post],"sf":dir}
   * followed by a compact FINAL line sized for a consumer that keeps only the
   * last 2000 chars of stdout (see `qmsLine`).
   *
@@ -14,8 +17,53 @@ import org.apache.spark.sql.SparkSession
   * identifiable post-hoc from the JSON alone, and the final qms line carries
   * per-query spread percent (see `qmsLine`) so even a tail-truncated log
   * flags contention mechanically.
+  *
+  * SELF-ADJUDICATION (r17, r16 verdict #1 — three rounds running the
+  * headline total moved for environmental reasons and a human had to
+  * re-derive "box drift" each time): the run brackets the catalog sweep
+  * with [[Controls]] — fixed pure-CPU/shuffle pipelines that no catalog
+  * commit touches, each with a PINNED idle-box band measured at the
+  * r17 close (32 cores, min-of-3). `drift` = [pre, post] — the median,
+  * over the controls, of measured-min / pinned-band in the window before
+  * and after the sweep. A reader normalizes any row by the drift index
+  * (rowAdj ≈ row / drift) before calling it a code regression: drift ≈ 1
+  * on an idle box at pinned core count; a contended or down-clocked box
+  * shows drift >> 1 on BOTH ends (r16's 84.71 s artifact vs the builder's
+  * 70.14 s mid-round read would have shown as drift ≈ 1.3 with catalog
+  * ratios matching it); drift that appears only in `post` is state the
+  * sweep itself created. COVERAGE cites this number instead of a manual
+  * adjudication paragraph.
   */
 object Bench {
+
+  /** Fixed CONTROL pipelines: deterministic, pure CPU + shuffle, ZERO data
+    * reads (tmp/page-cache state can't move them) and zero dependence on
+    * catalog code (no commit to operators/queries can touch them). Sized
+    * to ~0.5-1.5 s each at 32 cores — stable to time, cheap to run twice
+    * per bench. The pinned band (seconds) is the idle-box min-of-3 at
+    * local[32], spark.sql.shuffle.partitions=32, measured on the round-17
+    * box; re-pin only with an idle min-of-3 on the measurement box and say
+    * so in COVERAGE (same protocol as the Verify harness digests). */
+  private[graft] val Controls: Seq[(String, Double, SparkSession => DataFrame)] = Seq(
+    // codegen'd hash + two-level hash aggregate + 32-partition shuffle
+    ("ctl_hash_agg", 0.33, s => s.range(0L, 20000000L, 1L, 32)
+      .select((xxhash64(col("id")) % 1000).as("k"), col("id"))
+      .groupBy("k").agg(count(lit(1)).as("c"), sum(col("id")).as("s"))),
+    // range-partitioned global sort: exchange + external sorter
+    ("ctl_sort", 0.58, s => s.range(0L, 8000000L, 1L, 32)
+      .select(xxhash64(col("id")).as("h")).orderBy("h")),
+    // string-heavy column pipeline: md5 + substring + aggregate
+    ("ctl_string", 0.49, s => s.range(0L, 4000000L, 1L, 32)
+      .select(md5(concat(lit("ctl"), col("id"))).as("m"))
+      .select(substring(col("m"), 1, 6).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c"))))
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   /** JSON string-literal escaping for interpolated values (sfDir is a
     * filesystem path — a backslash or quote in it must not break the line). */
@@ -43,12 +91,16 @@ object Bench {
     * adjudication re-ran half the catalog idle to establish exactly this).
     */
   def qmsLine(totalSec: Double, sfDir: String, minsSecNameSorted: Seq[Double],
-      spreadPctNameSorted: Seq[Int] = Nil): String = {
+      spreadPctNameSorted: Seq[Int] = Nil,
+      // [pre, post] drift indices (see the class doc); empty = no controls
+      // ran (a SPARK_GRAFT_BENCH_ONLY subset run)
+      drift: Seq[Double] = Nil): String = {
     val ms = minsSecNameSorted.map(s => math.round(s * 1000)).mkString("[", ",", "]")
     val spr = spreadPctNameSorted.map(p => math.min(999, math.max(0, p)))
       .mkString("[", ",", "]")
     val tot = math.round(totalSec * 1000) / 1000.0
-    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":${jsonStr(sfDir)},"n":${minsSecNameSorted.size},"spr":$spr,"v":$ms}"""
+    val dr = drift.map(d => math.round(d * 100) / 100.0).mkString("[", ",", "]")
+    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":${jsonStr(sfDir)},"n":${minsSecNameSorted.size},"drift":$dr,"spr":$spr,"v":$ms}"""
   }
   def main(args: Array[String]): Unit = {
     // Timing runs skip the perf-harness's cross-regime verification twin:
@@ -83,6 +135,21 @@ object Bench {
     // Optional subset run for iterating on one query's timing:
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 (driver runs always leave this unset).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Controls bracket the sweep (class doc); min-of-3 like the catalog
+    // rows. Skipped on subset runs — those are local iteration, and their
+    // author is watching the box directly — unless the subset names a
+    // control (the re-pinning recipe: SPARK_GRAFT_BENCH_ONLY=ctl).
+    def runControls(): Seq[(String, Double)] =
+      if (only.exists(!_.exists(_.startsWith("ctl")))) Nil
+      else Controls.map { case (name, _, fn) =>
+        val t = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, t.min)
+      }
+    val ctlPre = runControls()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -115,6 +182,7 @@ object Bench {
       val timings = base :+ runOnce()
       (name, timings.map(_._2), timings.map(_._1))
     }
+    val ctlPost = runControls()
     def obj(pairs: Seq[(String, String)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results.map { case (k, runs, _) => k -> runs.min.toString })
@@ -123,7 +191,19 @@ object Bench {
     val startsJson = obj(results.map { case (k, _, starts) =>
       k -> starts.mkString("[", ",", "]") })
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"sf":${jsonStr(sfDir)}}""")
+    val pins = Controls.map { case (n, pin, _) => n -> pin }.toMap
+    def driftOf(ctl: Seq[(String, Double)]): Seq[Double] =
+      if (ctl.isEmpty) Nil
+      else Seq(median(ctl.map { case (n, s) => s / pins(n) }))
+    val drift = driftOf(ctlPre) ++ driftOf(ctlPost)
+    val ctlJson = obj(Controls.map { case (n, pin, _) =>
+      n -> (s"""{"pin":$pin,"pre":${ctlPre.collectFirst { case (`n`, s) => s }
+        .getOrElse(-1.0)},"post":${ctlPost.collectFirst { case (`n`, s) => s }
+        .getOrElse(-1.0)}}""")
+    })
+    val driftJson = drift.map(d => math.round(d * 100) / 100.0)
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"controls":$ctlJson,"drift":$driftJson,"sf":${jsonStr(sfDir)}}""")
     // The driver keeps only the TAIL of stdout: the full line above is 4k+
     // chars and gets cut mid-line ("parsed": null in r3-r5). Final line =
     // the compact name-free summary, guaranteed (BenchReportSpec) to fit a
@@ -133,7 +213,7 @@ object Bench {
       results.map { case (_, runs, _) =>
         val mn = runs.min
         if (mn <= 0.0) 0 else math.round((runs.max - mn) / mn * 100).toInt
-      }))
+      }, drift))
     spark.stop()
   }
 }

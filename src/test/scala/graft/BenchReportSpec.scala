@@ -1,16 +1,16 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Pins the bench self-report's tail-window contract: the consumer of the
   * bench stdout keeps only the LAST 2000 characters, so the final printed
   * line — `Bench.qmsLine` — must fit that window together with the cut-off
   * remains of the preceding full-detail line, for the real catalog size and
   * worst-case timing magnitudes. r3-r5 shipped summary lines of 2877+ chars
   * and the consumer parsed null three rounds running; this spec makes that
-  * class of regression a test failure instead.
+  * class of regression a test failure instead. Also pins the r17 drift
+  * controls: fixed row counts (a control whose plan drifts is no longer
+  * comparable to its pinned band) and the drift arithmetic.
   */
-class BenchReportSpec extends AnyFunSuite {
+class BenchReportSpec extends SparkSpec {
 
   private val names = queries.Catalog.all.map(_.name).sorted
   // Worst-case magnitudes: every query at 100+ seconds (6-digit ms) with
@@ -19,7 +19,8 @@ class BenchReportSpec extends AnyFunSuite {
   private val spreads = names.map(_ => 999)
 
   test("qms line fits the 2000-char tail window with headroom") {
-    val line = Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow, spreads)
+    val line = Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow, spreads,
+      drift = Seq(9.99, 9.99))
     assert(line.length < 1200,
       s"qms line is ${line.length} chars for ${names.size} queries — " +
         "must stay well under the consumer's 2000-char tail window")
@@ -27,7 +28,8 @@ class BenchReportSpec extends AnyFunSuite {
 
   test("qms line is the last complete line of a tail -c 2000 cut") {
     val full = "{\"metric\":\"total\"," + "x" * 8000 + "}" // stand-in for the detail line
-    val out = full + "\n" + Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow, spreads) + "\n"
+    val out = full + "\n" + Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow, spreads,
+      drift = Seq(9.99, 9.99)) + "\n"
     val tail = out.takeRight(2000)
     val lastComplete = tail.split("\n").filter(_.nonEmpty).last
     assert(lastComplete.startsWith("{\"metric\":\"qms\""))
@@ -46,5 +48,34 @@ class BenchReportSpec extends AnyFunSuite {
     // spread percent is capped at 999 so a pathological run can't blow the
     // line budget
     assert(line.contains("\"spr\":[5,999]"))
+    // no controls ran (subset run) → drift explicitly empty, not absent
+    assert(line.contains("\"drift\":[]"))
+  }
+
+  test("qms drift indices round to 2 dp (r17 self-adjudication)") {
+    val line = Bench.qmsLine(0.3, "sf", Seq(0.1), Seq(0),
+      drift = Seq(1.3333333, 0.98765))
+    assert(line.contains("\"drift\":[1.33,0.99]"))
+  }
+
+  test("control pins are positive and the median is exact") {
+    assert(Bench.Controls.nonEmpty && Bench.Controls.size >= 3)
+    assert(Bench.Controls.forall(_._2 > 0.0), "every control needs a pinned band")
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+  }
+
+  test("control pipelines evaluate with their fixed cardinalities") {
+    // A control that stops producing its pinned shape (plan change, ANSI
+    // overflow, column rename) must fail HERE, not silently time different
+    // work than the band was pinned on.
+    val counts = Bench.Controls.map { case (n, _, fn) => n -> fn(spark).count() }.toMap
+    assert(counts("ctl_hash_agg") == 1000L ||
+      counts("ctl_hash_agg") == 1999L, // xxhash64 % 1000 spans -999..999
+      s"ctl_hash_agg groups: ${counts("ctl_hash_agg")}")
+    assert(counts("ctl_sort") == 8000000L)
+    assert(counts("ctl_string") == 4000000L ||
+      counts("ctl_string") < 4000000L && counts("ctl_string") > 3000000L,
+      s"ctl_string groups: ${counts("ctl_string")}")
   }
 }
