@@ -84,6 +84,50 @@ object SyntheticGtfs {
     * ~356 m N-S (above the 300 m walk radius) keeps WALK_TO to self-loops,
     * so CHANGE density lands near the reference's ~3 edges/node instead of
     * the walk-pair grid's ~8. Departures spread over ~16 h from 05:00. */
+  /** The ZERO-TOTAL-CYCLE dirty feed (r16/r17): TB's second stoptime runs
+    * 20 minutes BACKWARD (ride −1200 s) and TC boards with zero dwell, so
+    * the cycle TB1 →ride TB2 →change TC1 →change TB1 telescopes to exactly
+    * 0 — the one shape where the canonical min-pred tie-break provably
+    * admits no tree and the router must fall back to the level-layered
+    * acyclic re-resolution (TransitSssp.resolveStateAcyclic). SB/SC/SD are
+    * co-located (walk 0); Start and End sit far away so the only route is
+    * through the dirty core. Same fixture GtfsEngineSpec pins in-heap /
+    * capped / distributed; the catalog row `gtfs_routing_zero_cycle`
+    * routes it with the capped-CSR budget forced to 0 (over-budget — no
+    * in-heap regime can serve) and DuckDB re-checks the itinerary. */
+  def zeroCycleFeed(spark: SparkSession): GtfsTables = {
+    import spark.implicits._
+    import graft.functions.TimeFunctions.secondsSinceMidnight
+    val agency = Seq(("A", "http://example.org", "Europe/Rome"))
+      .toDF("agency_name", "agency_url", "agency_timezone")
+    val routes = Seq(("R1", "1", "L1", 3), ("R2", "2", "L2", 3),
+      ("R3", "3", "L3", 3))
+      .toDF("route_id", "short_name", "route_long_name", "route_type")
+    val trips = Seq(("R1", "S1", "TA"), ("R2", "S1", "TB"), ("R3", "S1", "TC"))
+      .map { case (r, s, t) => (r, s, t, "0", "SH", "h") }
+      .toDF("route_id", "service_id", "trip_id", "direction_id", "shape_id",
+        "trip_headsign")
+    val stops = Seq(
+      ("SA", "Start", 44.6000, 10.9000), ("SB", "Mid0", 44.6100, 10.9000),
+      ("SC", "Mid1", 44.6100, 10.9000), ("SD", "Mid2", 44.6100, 10.9000),
+      ("SE", "End", 44.6300, 10.9100))
+      .toDF("stop_id", "stop_name", "stop_lat", "stop_lon")
+    val stopTimes = Seq(
+      ("TA", "14:00:00", "14:00:00", "SA", 1),
+      ("TA", "14:20:00", "14:21:00", "SB", 2),
+      ("TB", "14:25:00", "14:25:00", "SB", 1),
+      ("TB", "14:05:00", "14:05:00", "SC", 2), // arr 14:05 < prev dep 14:25
+      ("TC", "14:10:00", "14:10:00", "SD", 1), // zero dwell → cycle sums 0
+      ("TC", "14:40:00", "14:41:00", "SE", 2))
+      .toDF("trip_id", "arrival_time", "departure_time", "stop_id",
+        "stop_sequence")
+      .withColumn("arr_secs", secondsSinceMidnight(col("arrival_time")))
+      .withColumn("dep_secs", secondsSinceMidnight(col("departure_time")))
+    val calendar = Seq(("S1", java.sql.Date.valueOf("2024-01-18"), "1"))
+      .toDF("service_id", "day", "exception_type")
+    GtfsTables(agency, routes, trips, stops, stopTimes, calendar)
+  }
+
   def modena(spark: SparkSession): GtfsTables =
     grid(spark, rows = 50, cols = 50, tripsPerRoute = 25,
       baseSecs = 5 * 3600, headwaySecs = 2300, hopSecs = 90, directions = 2,

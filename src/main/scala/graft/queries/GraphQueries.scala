@@ -141,6 +141,57 @@ object GraphQueries {
              |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
              |ORDER BY hop""".stripMargin)),
 
+    // The OVER-BUDGET ZERO-TOTAL-CYCLE repair under the hash gate (r17,
+    // r16 verdict #4 — the repair landed r16 but was reachable only from
+    // HubScale and specs): a dirty feed whose optimal-path structure
+    // carries a cycle telescoping to exactly 0 (SyntheticGtfs.zeroCycleFeed
+    // scaladoc), routed with ssspLocalThreshold = 0 AND the capped-CSR
+    // budget forced to 0 — no in-heap regime can serve, so the distributed
+    // fixpoint detects the pred cycle and the route is served by the
+    // change-level acyclic re-resolution. The closure materializes the
+    // itinerary INSIDE the forcing window and REQUIRES the served counter
+    // to have advanced — if the repair path ever stops engaging (id-order
+    // regression upstream), Verify fails loudly instead of silently
+    // oracling the easy path. Oracle: the hand-verified golden itinerary
+    // as literal VALUES (in-heap parity spec-pinned in GtfsEngineSpec).
+    Q("gtfs_routing_zero_cycle", "G2,G6,J8",
+      (s, _) => {
+        import graft.graph.TransitSssp
+        val tables = graft.etl.SyntheticGtfs.zeroCycleFeed(s)
+        val (maxE, srv0) =
+          (TransitSssp.cappedCsrMaxEdges, TransitSssp.acyclicResolveServed.get())
+        val (schema, rows) = try {
+          TransitSssp.cappedCsrMaxEdges = 0L // over-budget: distributed only
+          val d = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L,
+              pathDriverWalkMaxRows = 0L)
+            .routing("2024-01-18", 1.0, "13:50:00", "Start", "End")
+          (d.schema, d.collect())
+        } finally TransitSssp.cappedCsrMaxEdges = maxE
+        require(TransitSssp.acyclicResolveServed.get() > srv0,
+          "zero-cycle row did not take the acyclic re-resolution path")
+        s.createDataFrame(s.sparkContext.parallelize(
+          rows.toIndexedSeq, 1), schema).orderBy("hop")
+      },
+      // Golden: Start --TA--> Mid0 (arr 14:20), change to TB 14:25, ride
+      // the BACKWARD edge to Mid1 (arr 14:05 — the dirty row), zero-dwell
+      // change to TC at Mid2 14:10, arrive End 14:40. Head departure and
+      // final arrival equal the in-heap strict-repair itinerary
+      // (GtfsEngineSpec's parity assertions).
+      Some("""SELECT hop, trip, departure, line, starting_stop_name, starting_stop_id,
+             | CAST(start_lat AS DOUBLE) AS start_lat, CAST(start_lon AS DOUBLE) AS start_lon,
+             | next_trip, next_stop, next_stop_id,
+             | CAST(next_lat AS DOUBLE) AS next_lat, CAST(next_lon AS DOUBLE) AS next_lon,
+             | next_line, arrival
+             |FROM (VALUES
+             | (1,'TA','14:00:00','R1','Start','SA',44.6,10.9,'TA','Mid0','SB',44.61,10.9,'R1','14:20:00'),
+             | (2,'TA','14:21:00','R1','Mid0','SB',44.61,10.9,'TB','Mid0','SB',44.61,10.9,'R2','14:25:00'),
+             | (3,'TB','14:25:00','R2','Mid0','SB',44.61,10.9,'TB','Mid1','SC',44.61,10.9,'R2','14:05:00'),
+             | (4,'TB','14:05:00','R2','Mid1','SC',44.61,10.9,'TC','Mid2','SD',44.61,10.9,'R3','14:10:00'),
+             | (5,'TC','14:10:00','R3','Mid2','SD',44.61,10.9,'TC','End','SE',44.63,10.91,'R3','14:40:00'))
+             | AS t(hop, trip, departure, line, starting_stop_name, starting_stop_id, start_lat, start_lon,
+             |      next_trip, next_stop, next_stop_id, next_lat, next_lon, next_line, arrival)
+             |ORDER BY hop""".stripMargin)),
+
     // The CANONICAL EQUAL-COST TIE-BREAK under the hash gate: a
     // bidirectional grid network where the best (source, target) pair
     // admits several equal-cost paths (in a time-expanded graph the cost
