@@ -166,8 +166,9 @@ object Bench {
         spark.catalog.clearCache()
         // clearCache frees the BLOCKS but builder-retained cache handles
         // would still accumulate plan references across a 96-query run —
-        // drain the registry too (review r16)
-        graft.queries.Pipeline.releaseRetainedCaches()
+        // drain every global registry too (review r16; r17: through the
+        // one lifecycle surface embedders get)
+        graft.Runtime.releaseAll()
         (start, dt)
       }
       val base = (1 to repeats).map(_ => runOnce())

@@ -74,8 +74,9 @@ object Verify {
       // feeds the returned plan's broadcast side, so the builder cannot
       // unpersist it) are dead once the row's parquet is written —
       // release them here instead of retaining for the session (r15
-      // ADVICE). Bench's per-run clearCache() already covers its side.
-      graft.queries.Pipeline.releaseRetainedCaches()
+      // ADVICE; r17: through the one lifecycle surface embedders get).
+      // Bench's per-run clearCache() already covers its side.
+      graft.Runtime.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

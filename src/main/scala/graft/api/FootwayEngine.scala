@@ -121,6 +121,27 @@ class FootwayEngine(val footNodes: DataFrame, val footEdges: DataFrame,
     if (nearEdgesForced) nearEdges.unpersist()
   }
 
+  /** gds.graph.list analog over the WALKING graph this engine routes on —
+    * the footway mirror of [[RoutingEngine.graphMetrics]] (r17, r16
+    * verdict #8: the one API asymmetry between the two graphs). Nodes =
+    * foot nodes plus the distinct stops a NEAR edge links in (the vertex
+    * set [[walkingGraphEdges]] can touch); degree statistics are
+    * OUT-degree by source over the typed ∪ reversed-CONTAINS ∪ NEAR edge
+    * set, matching the transit surface's shape (one partial-agg shuffle +
+    * one tiny stats agg — reference cardinality: 5,539 nodes / 11,786
+    * relationships, Tesina_Reggianini.pdf p.3-4). */
+  def graphMetrics: GraphMetrics = {
+    val n = footNodes.count() + nearEdges.select("stop_id").distinct().count()
+    val m = walkingGraphEdges.count()
+    val deg = walkingGraphEdges.groupBy("src").agg(count(lit(1)).as("degree"))
+    val stats = deg.agg(min("degree"), avg("degree"), max("degree"),
+      expr("percentile_approx(degree, 0.5)"), expr("percentile_approx(degree, 0.9)"),
+      expr("percentile_approx(degree, 0.99)")).head()
+    GraphMetrics(n, m, if (n > 1) m.toDouble / (n.toDouble * (n - 1)) else 0.0,
+      stats.getLong(0), stats.getDouble(1), stats.getLong(2),
+      stats.getLong(3).toDouble, stats.getLong(4).toDouble, stats.getLong(5).toDouble)
+  }
+
   /** The weighted walking graph: typed foot edges (CONTAINS bidirectional,
     * others directed) ∪ NEAR edges (both directions — entering and leaving
     * the transit network). */

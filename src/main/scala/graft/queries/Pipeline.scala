@@ -53,6 +53,9 @@ object Pipeline {
     while (df != null) { df.unpersist(); df = retainedCaches.poll() }
   }
 
+  /** Outstanding retained entries (graft.Runtime.retainedCount's source). */
+  private[graft] def retainedCacheCount: Int = retainedCaches.size()
+
   /** Shared builder behind BOTH contamination rows (r16, r15 verdict #4):
     * corpus docs sharing any verbatim 8-gram with the benchmark set
     * (doc_id % 20 == 0 stands in for the benchmark).

@@ -86,6 +86,24 @@ class FootwaySpec extends SparkSpec {
     assert(math.abs(km - (toF1 + oracle) / 1000.0) < 1e-9)
   }
 
+  test("footway graphMetrics mirrors the transit surface (A8, r17)") {
+    // Independent oracle: degree stats recomputed on the driver from the
+    // collected walking edge list (same oracle pattern as the Dijkstra
+    // tests). Node count is hand-derivable: 6 foot nodes + the 4 distinct
+    // NEAR stops {SA, SB, SD1, SE} pinned by the NEAR test above.
+    val m = fw.graphMetrics
+    val edges = fw.walkingGraphEdges.as[(Long, Long, Double)].collect()
+    val degrees = edges.groupBy(_._1).map(_._2.length.toLong)
+    assert(m.nodeCount == 10L, s"nodes: ${m.nodeCount}")
+    assert(m.relationshipCount == edges.length.toLong)
+    assert(m.minDegree == degrees.min && m.maxDegree == degrees.max)
+    assert(math.abs(m.meanDegree - edges.length.toDouble / degrees.size) < 1e-9)
+    assert(math.abs(m.density -
+      edges.length.toDouble / (10.0 * 9.0)) < 1e-12)
+    assert(m.p50Degree >= m.minDegree && m.p50Degree <= m.p90Degree &&
+      m.p90Degree <= m.p99Degree && m.p99Degree <= m.maxDegree)
+  }
+
   test("graph CSV export → import round-trip with merge-on-key upsert (S4/S5)") {
     val dir = java.nio.file.Files.createTempDirectory("graphcsv").toString
     GraphCsv.exportTable(fw.footNodes, s"$dir/foot_nodes", single = true)

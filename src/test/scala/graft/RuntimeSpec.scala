@@ -1,0 +1,33 @@
+package graft
+
+/** Pins the process-level lifecycle surface (r17): `Runtime.releaseAll()`
+  * must drain every library-global retained-cache registry — the same
+  * hygiene Verify and Bench apply between queries, exposed to embedders as
+  * one call. The contamination rows are the registry's only current
+  * producer (their benchmark-gram cache feeds the returned plan's
+  * broadcast side, so the builder retains it). */
+class RuntimeSpec extends SparkSpec {
+
+  test("releaseAll drains the builder-retained caches after a catalog row") {
+    Runtime.releaseAll() // isolate from any earlier suite's leftovers
+    assert(Runtime.retainedCount == 0)
+    val q = queries.Catalog.all.find(_.name == "pipeline_contamination")
+      .getOrElse(fail("catalog row pipeline_contamination missing"))
+    // retention only fires at the deployment-scale stats gate (the
+    // fixture corpus is far under 64 MB) — lower the gate so the spec
+    // exercises the exact production path that retains
+    val gate = queries.Pipeline.ContaminationBloomMinStatBytes
+    try {
+      queries.Pipeline.ContaminationBloomMinStatBytes = 0L
+      val n = q.run(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, "contamination row must produce rows at sf0.001")
+    } finally queries.Pipeline.ContaminationBloomMinStatBytes = gate
+    assert(Runtime.retainedCount > 0,
+      "the contamination builder should have retained its gram cache — " +
+        "if it legitimately stopped retaining, repoint this spec at the " +
+        "new producer so releaseAll keeps a real workload")
+    Runtime.releaseAll()
+    assert(Runtime.retainedCount == 0,
+      "releaseAll left retained cache entries behind")
+  }
+}
