@@ -121,7 +121,9 @@ object Bpe {
       // merges, so these shift wall time, never answers.
       overlayMaxAffected: Int = SymsOverlayMaxAffected,
       overlayMaxWords: Int = SymsOverlayMaxWords,
-      baseTopRows: Int = BaseTopRows): Seq[(String, String)] = {
+      baseTopRows: Int = BaseTopRows,
+      occIndexAfterSparseRounds: Int = OccIndexAfterSparseRounds)
+      : Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
     val w = words.select(col("word").cast("string").as("word"),
@@ -144,7 +146,8 @@ object Bpe {
     if (pre.getLong(0) <= math.min(localMaxWords, (Int.MaxValue - 2).toLong))
       trainLocal(w.as[(String, Long)].collect(), numMerges)
     else trainDistributed(w, numMerges, hybridMaxPairs, inHeapMaxBytes,
-      overlayMaxAffected, overlayMaxWords, baseTopRows)
+      overlayMaxAffected, overlayMaxWords, baseTopRows,
+      occIndexAfterSparseRounds)
   }
 
   /** Adjacent-pair weighted counts of a symbol table. */
@@ -277,7 +280,8 @@ object Bpe {
     * [[trainLocal]] takes over). */
   private def trainDistributed(words: DataFrame, numMerges: Int,
       hybridMaxPairs: Long, inHeapMaxBytes: Long, overlayMaxAffected: Int,
-      overlayMaxWords: Int, baseTopRows: Int): Seq[(String, String)] = {
+      overlayMaxWords: Int, baseTopRows: Int,
+      occIndexAfterSparse: Int): Seq[(String, String)] = {
     // Eager localCheckpoint, not cache: each round's counts plan references
     // the previous round's syms plan TWICE (before/after aggregation), so
     // chained caches grow the logical plan quadratically — a 100-round run
@@ -322,9 +326,10 @@ object Bpe {
         rel(syms) // encoded; the checkpoint blocks can go
         trainInHeap(state, idx, merges, numMerges)
       } else trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs,
-        inHeapMaxBytes, overlayMaxAffected, overlayMaxWords, baseTopRows)
+        inHeapMaxBytes, overlayMaxAffected, overlayMaxWords, baseTopRows,
+        occIndexAfterSparse)
     } else trainTableLoop(syms, counts, merges, numMerges,
-      overlayMaxAffected, overlayMaxWords, baseTopRows)
+      overlayMaxAffected, overlayMaxWords, baseTopRows, occIndexAfterSparse)
     merges.toSeq
   }
 
@@ -597,7 +602,7 @@ object Bpe {
       // required, not defaulted: a 0 default here silently disabled the
       // in-heap regime for any future internal caller (r14 ADVICE)
       inHeapMaxBytes: Long, overlayMaxAffected: Int, overlayMaxWords: Int,
-      baseTopRows: Int): Unit = {
+      baseTopRows: Int, occIndexAfterSparse: Int): Unit = {
     val spark = symsInit.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -610,37 +615,47 @@ object Bpe {
       .foreach { case (a, b, n) => map.seed(a, b, n) }
     rel(countsInit)
     val words = new WordOverlay(symsInit, overlayMaxWords)
+    // r17: the hybrid's deep-round floor was the same per-round affected
+    // contains-scan the table loop had (counts live in the driver map
+    // here, so the scan was the round's ONLY distributed job) — the
+    // shared occurrence index replaces it with one pruned task
+    val occ = new OccurrenceIndex(words, occIndexAfterSparse)
     var round = 0
     while (merges.size < numMerges && map.nonEmpty) {
       val roundT0 = System.nanoTime()
       val prior = merges.iterator.map { case (a, b) => a + b }.toSet
       val batch = selectBatchFromMap(map, prior).take(numMerges - merges.size)
       merges ++= batch
+      occ.maybeBuild() // before `cur` — a build refreezes the overlay
       val needles = batch.map { case (a, b) => s" $a  $b " }
       val containsAny = needles.map(n => col("s").contains(lit(n))).reduce(_ || _)
       def replaceAll(c: Column): Column = batch.foldLeft(c) {
         case (acc, (a, b)) => applyMerge(acc, a, b)
       }
       val cur = words.patched
-      val affRows = cur.filter(containsAny)
-        .limit(overlayMaxAffected + 1).collect()
-      if (affRows.length <= overlayMaxAffected) {
+      val (affRows, provenDense) =
+        occ.probe(batch, needles, overlayMaxAffected).getOrElse {
+          val r = cur.filter(containsAny)
+            .limit(overlayMaxAffected + 1).collect()
+          (r.iterator.map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+            .toIndexedSeq, false)
+        }
+      if (!provenDense && affRows.length <= overlayMaxAffected) {
         // sparse round: driver rewrite + exact deltas into the map
         val deltas =
           scala.collection.mutable.HashMap.empty[(String, String), Long]
-        affRows.foreach { r =>
-          val wid = r.getLong(0)
-          val s = r.getString(1)
-          val c = r.getLong(2)
+        affRows.foreach { case (wid, s, c) =>
           addPairDeltas(deltas, s, -c)
           val out = batch.foldLeft(s) { case (acc, (a, b)) =>
             acc.replace(s" $a  $b ", s" $a$b ")
           }
           addPairDeltas(deltas, out, c)
-          words.set(wid, out)
+          words.set(wid, out, c)
+          occ.recordRewrite(wid, out, c)
         }
         deltas.foreach { case (k, d) => map.add(k, d) }
-        words.maybeRefreeze()
+        words.maybeRefreeze() // independent of the index (own overlay)
+        occ.onSparseRound(affRows.length)
       } else {
         // dense round: the rewrite's checkpoint job runs while the delta
         // aggregation collects — both scan the same pinned frames. The
@@ -663,17 +678,21 @@ object Bpe {
         val nextSyms = Await.result(nextSymsF, 10.minutes)
         delta.foreach { case (a, b, d) => map.add((a, b), d) }
         words.replaceBase(nextSyms)
+        occ.onDenseRound() // base replaced — index invalid
       }
       round += 1
       if (trace) println(f"[bpe] hybrid round $round%d batch=${batch.size}%d " +
         f"merges=${merges.size}%d pairs=${map.size}%d ovW=${words.overlaySize}%d " +
-        f"aff=${affRows.length}%d ${(System.nanoTime() - roundT0) / 1e9}%.2f s")
+        f"aff=${affRows.length}%d idx=${occ.active}%b " +
+        f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
       if (map.size > hybridMaxPairs + hybridMaxPairs / 2) {
         if (trace) println(s"[bpe] pair map outgrew the driver bound " +
           s"(${map.size}) — handing off to the distributed table loop")
+        occ.release() // built on a freeze the handoff is about to fold
         val handoff = words.handoff()
         trainTableLoop(handoff, pairCounts(handoff).transform(ckpt),
-          merges, numMerges, overlayMaxAffected, overlayMaxWords, baseTopRows)
+          merges, numMerges, overlayMaxAffected, overlayMaxWords, baseTopRows,
+          occIndexAfterSparse)
         return
       }
       // Deep-merge hand-off (r14): merging SHRINKS the symbol strings, so
@@ -692,12 +711,14 @@ object Bpe {
           import scala.jdk.CollectionConverters._
           val state = buildInHeapState(words.patched.select("s", "count")
             .as[(String, Long)].toLocalIterator().asScala)
+          occ.release()
           words.release()
           trainInHeap(state, map, merges, numMerges)
           return
         }
       }
     }
+    occ.release()
     words.release()
   }
 
@@ -883,6 +904,57 @@ object Bpe {
     * `overlayMaxWords` parameter (per-call, like the affected bound). */
   private[graft] val SymsOverlayMaxWords: Int = 65536
 
+  /** Hash buckets of the table loop's OCCURRENCE INDEX (r17 — the priced
+    * rung from the r16 COVERAGE): (adjacent pair) → (wid, frozen symbols,
+    * count), partitioned by pair so a deep round's probe runs ONE pruned
+    * task over its merge-site bucket instead of a contains-scan of the
+    * full word table. 512 buckets keep a 25M-entry wide-corpus index at
+    * ~50k rows/bucket — a sub-ms task read. */
+  private[graft] val OccIndexBuckets: Int = 512
+
+  /** Consecutive SPARSE rounds before the table loop builds the occurrence
+    * index (deep-regime detector): early training alternates dense/sparse
+    * and a dense round invalidates the index (full base replacement), so
+    * building eagerly would thrash corpus-scale index builds; deep
+    * training is thousands of consecutive sparse rounds, where one build
+    * amortizes to noise. Production DEFAULT of [[train]]'s
+    * `occIndexAfterSparseRounds` parameter; negative disables the index
+    * entirely (the measured A/B control and the forced-scan parity spec). */
+  private[graft] val OccIndexAfterSparseRounds: Int = 32
+
+  /** Widest batch the index probe serves: the per-task truncation bound
+    * multiplies by the batch width (duplicates — one entry per contained
+    * batch pair per word — are only deduplicated on the driver), so wide
+    * early-training batches keep the scan path; deep rounds, the regime
+    * the index exists for, run batches of 1-4. */
+  private[graft] val OccProbeMaxBatch: Int = 8
+
+  /** Bound on the occurrence index's OWN driver overlay — every word
+    * rewritten since the index build (decoupled from WordOverlay's
+    * checkpoint cycle, whose refreezes would otherwise force a corpus-
+    * scale index rebuild every few rounds in mid-training regimes —
+    * measured r17: nat-3M hybrid refroze every ~12 rounds × ~9 s rebuild
+    * and ate the 3×-per-round probe win whole). When the map outgrows the
+    * bound the index DROPS (scan fallback) and the wasted-build backoff
+    * settles, so high-churn regimes self-tune back to the scan while deep
+    * regimes (tens of rewrites per round) never hit it. ~512k entries ×
+    * ~80 B ≈ 40 MB driver heap; per-round driver needle-matching over the
+    * map stays ≤ tens of ms. */
+  private[graft] val OccIndexOvMaxWords: Int = 512 * 1024
+
+  /** Deep-regime admission on the OBSERVED affected-set size: the index
+    * builds only when the exponential moving average of recent sparse
+    * rounds' affected rows is at or below this. The economics (measured
+    * r17): a corpus-scale build costs ~9 s; the probe saves ~0.2-0.35
+    * s/round over the scan; the build amortizes only if the index lives
+    * ≥ [[OccIndexOvMaxWords]]/meanAff rounds before its overlay bound
+    * drops it — at mean aff 16k (nat-3M mid-training) that is ~32 rounds
+    * ≈ 6 s saved < 9 s build (measured: the streak-only detector lost
+    * 248 s vs the 151 s scan control there), at mean aff ≤ 4k it is
+    * ≥ 128 rounds and the build wins by an order; wide-corpus deep rounds
+    * sit at 1-20. */
+  private[graft] val OccIndexMaxMeanAff: Double = 4096.0
+
   /** Frozen word table + bounded driver overlay — the r16 write-kill
     * lever, SHARED by both distributed loops (review r16: the mechanics
     * were duplicated): syms checkpoints ONCE with stable word ids; sparse
@@ -893,6 +965,7 @@ object Bpe {
     * through [[handoff]] or [[release]]. */
   private final class WordOverlay(symsInit: DataFrame, maxWords: Int) {
     private val spark = symsInit.sparkSession
+    def session: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
     private val rel =
       org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
@@ -903,7 +976,16 @@ object Bpe {
       b
     }
     private val ovW = scala.collection.mutable.HashMap.empty[Long, String]
+    // word counts are IMMUTABLE (corpus frequencies) — kept alongside the
+    // overlay strings so the occurrence-index probe can serve overlay
+    // rows without a base lookup (r17)
+    private val ovC = scala.collection.mutable.HashMap.empty[Long, Long]
     def overlaySize: Int = ovW.size
+    /** Overlay rows as (wid, current symbols, count) — driver-side
+      * reconciliation input for the occurrence-index probe. */
+    def overlayRows: Iterator[(Long, String, Long)] =
+      ovW.iterator.map { case (w, s) => (w, s, ovC(w)) }
+    def overlayContains(wid: Long): Boolean = ovW.contains(wid)
     /** The effective word table: the frozen base patched by the overlay. */
     def patched: DataFrame =
       if (ovW.isEmpty) base
@@ -911,16 +993,25 @@ object Bpe {
           .toSeq.toDF("wid", "ov_s")), Seq("wid"), "left")
         .select(col("wid"), coalesce(col("ov_s"), col("s")).as("s"),
           col("count"))
-    def set(wid: Long, s: String): Unit = ovW.update(wid, s)
-    def maybeRefreeze(): Unit = if (ovW.size > maxWords) refreeze()
+    def set(wid: Long, s: String, count: Long): Unit = {
+      ovW.update(wid, s); ovC.update(wid, count)
+    }
+    /** Returns true when the bound tripped and the overlay refroze — the
+      * occurrence index (built against the OLD freeze) must rebuild. */
+    def maybeRefreeze(): Boolean =
+      if (ovW.size > maxWords) { refreeze(); true } else false
     def refreeze(): Unit = if (ovW.nonEmpty) {
       val nb = patched.transform(ckpt)
-      rel(base); base = nb; ovW.clear()
+      rel(base); base = nb; ovW.clear(); ovC.clear()
     }
+    /** Freeze-boundary read view for index builds: folds the overlay and
+      * returns the (wid, s, count) base. Ownership stays here — callers
+      * must not unpersist it. */
+    def frozen(): DataFrame = { refreeze(); base }
     /** Dense-round replacement; `next` must carry (wid, s, count) and
       * already fold the overlay (derive it from [[patched]]). */
     def replaceBase(next: DataFrame): Unit = {
-      rel(base); base = next; ovW.clear()
+      rel(base); base = next; ovW.clear(); ovC.clear()
     }
     /** Plain (s, count) CHECKPOINT for a successor regime, releasing this
       * overlay's state — unpersistCheckpoint only releases bare
@@ -932,6 +1023,171 @@ object Bpe {
       h
     }
     def release(): Unit = rel(base)
+  }
+
+  /** OCCURRENCE INDEX shared by both distributed loops (r17 — the rung
+    * the r16 COVERAGE priced): (adjacent pair) → (wid, frozen symbols,
+    * count), hash-partitioned by pair into [[OccIndexBuckets]] and locally
+    * checkpointed at a FREEZE BOUNDARY (the word overlay empty, so frozen
+    * == current). A deep round's affected set then comes from ONE
+    * partition-pruned task per batch pair plus a driver reconciliation
+    * against the bounded word overlay — replacing the full-table
+    * contains-scan, the measured r16 deep-round floor (~0.39 s/merge at
+    * the wide 5M-word corpus; ~0.03 s/merge with the index, identical
+    * digests — COVERAGE r17).
+    *
+    * EXACTNESS: on the canonical symbol-string form (double-space
+    * separators, single-space ends, whitespace-free symbols — train's
+    * input gate enforces it and every merge rewrite preserves it),
+    * `s contains " a  b "` holds IFF the split has adjacent pair (a, b) —
+    * the index and the scan compute the SAME affected set, row for row: a
+    * non-overlay word is unchanged since the freeze (frozen hit ⟺ current
+    * hit), an overlay word's frozen entries are masked and its CURRENT
+    * string is re-matched on the driver (BpeBatchSpec's forced-shape
+    * matrix pins index ≡ scan ≡ sequential).
+    *
+    * LIFECYCLE: built after `trigger` consecutive sparse rounds (the
+    * deep-regime detector — a dense round replaces the base outright and
+    * invalidates the index), with WASTED-BUILD BACKOFF (measured r17:
+    * early training alternates sparse runs with dense rounds, and the
+    * bare trigger thrashed ~10 corpus-scale builds into the first 128
+    * wide-corpus merges — +60 s while each index served too few rounds to
+    * pay for itself): a build dropped — by a dense round OR by its own
+    * overlay outgrowing [[OccIndexOvMaxWords]] — before serving 2× the
+    * trigger doubles the required streak; one that earned its keep resets
+    * it, so high-churn regimes self-tune back to the scan. The index
+    * keeps its OWN driver overlay of rewrites since the build
+    * ([[recordRewrite]]) precisely so WordOverlay's checkpoint refreezes
+    * do NOT invalidate it. Deep training has no dense rounds and tiny
+    * per-round rewrite sets, so exactly one final build persists. At
+    * cluster scale the index is executor-resident like the base itself;
+    * entries duplicate each word ~|distinct pairs| times — the classic
+    * occurrence-index space/time trade, the in-heap design re-expressed
+    * distributed. */
+  private final class OccurrenceIndex(words: WordOverlay, trigger: Int) {
+    private val spark = words.session
+    import spark.implicits._
+    val partitioner = new org.apache.spark.HashPartitioner(OccIndexBuckets)
+    private var idx: Option[org.apache.spark.rdd.RDD[
+      ((String, String), (Long, String, Long))]] = None
+    // (wid → (current symbols, count)) of every word rewritten since the
+    // BUILD — the probe's reconciliation source, independent of
+    // WordOverlay's fold cadence
+    private val ovI =
+      scala.collection.mutable.HashMap.empty[Long, (String, Long)]
+    private var streak = 0
+    private var backoff = 1L
+    private var served = 0
+    // EMA of sparse rounds' affected-row counts — the admission signal
+    // (init 0 so fixture-scale runs and forced-trigger specs admit)
+    private var avgAff = 0.0
+    def active: Boolean = idx.nonEmpty
+    def release(): Unit = {
+      idx.foreach(_.unpersist(blocking = false)); idx = None
+      ovI.clear()
+    }
+    private def settleDrop(): Unit = {
+      if (served < 2L * math.max(1, trigger))
+        backoff = math.min(backoff * 2L, 1024L)
+      else backoff = 1L
+      served = 0
+    }
+    private def build(): Unit = {
+      release()
+      val arr = symbolsOf(col("s"))
+      val rdd = words.frozen()
+        .select(col("wid"), col("s"), col("count"),
+          explode(array_distinct(zip_with(
+            slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+            (a, b) => struct(a.as("a"), b.as("b"))))).as("p"))
+        .select(col("p.a"), col("p.b"), col("wid"), col("s"), col("count"))
+        .as[(String, String, Long, String, Long)].rdd
+        .map { case (a, b, wid, s, c) => ((a, b), (wid, s, c)) }
+        .partitionBy(partitioner)
+      rdd.localCheckpoint() // truncate lineage off the (releasable) base
+      rdd.count()           // materialize now, off the per-round path
+      idx = Some(rdd)
+      served = 0
+    }
+    /** Round-start hook — MUST run before the round derives its view of
+      * the word table (a build refreezes the overlay). Admission = enough
+      * consecutive sparse rounds (backoff-scaled) AND small enough recent
+      * affected sets ([[OccIndexMaxMeanAff]]) for a build to amortize. */
+    def maybeBuild(): Unit =
+      if (idx.isEmpty && trigger >= 0 &&
+          streak >= trigger.toLong * backoff && avgAff <= OccIndexMaxMeanAff)
+        build()
+    /** Some((rows, certainDense)): the exact affected set, or a proof the
+      * round is dense; None: no index / batch too wide → take the scan. */
+    def probe(batch: Seq[(String, String)], needleStrs: Seq[String],
+        bound: Int): Option[(IndexedSeq[(Long, String, Long)], Boolean)] =
+      idx match {
+        case Some(i) if batch.size <= OccProbeMaxBatch =>
+          val pairSet = batch.toSet
+          // Per-task truncation bound, chosen so truncation PROVES
+          // density: a truncated task saw ≥ batch×(bound+1+overlaySize)
+          // raw entries, and raw entries over-count distinct affected
+          // words by at most ×batch (duplicates) plus overlaySize
+          // (masked stale rows) — so even after driver dedup+masking,
+          // distinct affected > bound.
+          val cap = math.min(Int.MaxValue.toLong,
+            batch.size.toLong * (bound.toLong + 1L + ovI.size)).toInt
+          val pids = batch.map(partitioner.getPartition(_)).distinct.toArray
+          val parts = spark.sparkContext.runJob(i,
+            (it: Iterator[((String, String), (Long, String, Long))]) => {
+              val buf =
+                new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
+              var truncated = false
+              while (it.hasNext && !truncated) {
+                val e = it.next()
+                if (pairSet.contains(e._1)) {
+                  buf += e._2
+                  if (buf.length > cap) truncated = true
+                }
+              }
+              (buf, truncated)
+            }, scala.collection.immutable.ArraySeq.unsafeWrapArray(pids))
+          if (parts.exists(_._2)) Some((IndexedSeq.empty, true)) // dense, proven
+          else {
+            val seen = new java.util.HashSet[java.lang.Long]
+            val out =
+              new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
+            parts.foreach(_._1.foreach { r =>
+              if (!ovI.contains(r._1) && seen.add(r._1)) out += r
+            })
+            ovI.foreach { case (wid, (s, c)) =>
+              if (needleStrs.exists(s.contains)) out += ((wid, s, c))
+            }
+            Some((out.toIndexedSeq, false))
+          }
+        case _ => None
+      }
+    /** Every sparse-round rewrite flows through here (both loops): the
+      * index's frozen entries for `wid` go stale and are masked by this
+      * record until the next build. No-op while no index is live. */
+    def recordRewrite(wid: Long, s: String, count: Long): Unit =
+      if (idx.nonEmpty) ovI.update(wid, (s, count))
+    /** Sparse-round bookkeeping: advance the detector (feeding the
+      * admission EMA with this round's affected count); drop the index
+      * (through the backoff account) when its overlay outgrew the bound. */
+    def onSparseRound(affected: Int): Unit = {
+      if (idx.nonEmpty && ovI.size > OccIndexOvMaxWords) {
+        settleDrop()
+        release()
+        streak = 0
+      }
+      avgAff = 0.875 * avgAff + 0.125 * affected
+      streak += 1
+      if (idx.nonEmpty) served += 1
+    }
+    /** Dense-round bookkeeping: the base replacement invalidated the
+      * index; settle the backoff account and reset the detector. */
+    def onDenseRound(): Unit = {
+      if (idx.nonEmpty) settleDrop()
+      release()
+      streak = 0
+      served = 0
+    }
   }
 
   /** Signed adjacent-pair fold of one symbol string into a driver delta
@@ -1011,7 +1267,7 @@ object Bpe {
   private def trainTableLoop(symsInit: DataFrame, countsInit: DataFrame,
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
       numMerges: Int, overlayMaxAffected: Int, overlayMaxWords: Int,
-      baseTopRows: Int): Unit = {
+      baseTopRows: Int, occIndexAfterSparse: Int): Unit = {
     lastRegimes.add("tableloop")
     val spark = symsInit.sparkSession
     import spark.implicits._
@@ -1031,6 +1287,48 @@ object Bpe {
     val cand = scala.collection.mutable.HashMap.empty[(String, String), Long]
     var floor = 0L
     var baseComplete = false
+    val occ = new OccurrenceIndex(words, occIndexAfterSparse)
+    // Partitioned twin of the PAIR base for the applyDeltas count probe
+    // (r17, second half of the same lever): with the word scan replaced
+    // by the occurrence index, the remaining deep-round job was the
+    // first-touched-pair base probe -- a full broadcast-semijoin scan of
+    // the multi-million-row pair table EVERY round (deep rounds touch
+    // ~20 new pairs each). The twin holds the identical (pair -> n)
+    // content hash-partitioned by pair, so the probe prunes to one task
+    // per needed bucket. Built lazily while the occurrence index is
+    // active; dropped whenever `base` is replaced (fold / dense round) --
+    // between folds the base is immutable, so the twin stays exact for
+    // the thousands of rounds one freeze serves. (Table-loop only: the
+    // hybrid regime keeps pair counts in the driver map.)
+    var baseIdx: Option[org.apache.spark.rdd.RDD[((String, String), Long)]] =
+      None
+    def dropBaseIdx(): Unit = {
+      baseIdx.foreach(_.unpersist(blocking = false)); baseIdx = None
+    }
+    def buildBaseIdx(): Unit = {
+      dropBaseIdx()
+      val rdd = base.as[(String, String, Long)].rdd
+        .map { case (a, b, n) => ((a, b), n) }
+        .partitionBy(occ.partitioner)
+      rdd.localCheckpoint()
+      rdd.count()
+      baseIdx = Some(rdd)
+    }
+    def probeBaseCounts(need: Seq[(String, String)])
+        : Map[(String, String), Long] = baseIdx match {
+      case Some(bi) =>
+        val needSet = need.toSet
+        val pids = need.map(occ.partitioner.getPartition(_)).distinct.toArray
+        spark.sparkContext.runJob(bi,
+          (it: Iterator[((String, String), Long)]) =>
+            it.filter(e => needSet.contains(e._1)).toArray,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(pids))
+          .iterator.flatten.toMap
+      case None =>
+        base.join(broadcast(need.toDF("a", "b")), Seq("a", "b"))
+          .as[(String, String, Long)].collect()
+          .map { case (a, b, n) => (a, b) -> n }.toMap
+    }
     def foldOvIntoBase(): Unit = if (ov.nonEmpty) {
       val ovDF = ov.iterator.map { case ((a, b), n) => (a, b, n) }.toSeq
         .toDF("a", "b", "cur")
@@ -1041,6 +1339,7 @@ object Bpe {
       rel(base)
       base = nb
       ov.clear()
+      dropBaseIdx() // the twin mirrors the replaced base — rebuilt lazily
     }
     def recollectTop(): Unit = {
       val top = base.orderBy(desc("n"), asc("a"), asc("b"))
@@ -1116,6 +1415,9 @@ object Bpe {
       }
       if (!exhausted) {
         merges ++= batch
+        // deep-regime detector (OccurrenceIndex scaladoc) — before `cur`
+        // is derived: a build refreezes the word overlay
+        occ.maybeBuild()
         val needles = batch.map { case (a, b) => s" $a  $b " }
         val containsAny = needles.map(n => col("s").contains(lit(n)))
           .reduce(_ || _)
@@ -1123,25 +1425,34 @@ object Bpe {
           case (acc, (a, b)) => applyMerge(acc, a, b)
         }
         val cur = words.patched
-        // SPARSE round probe: collect the affected rows when few (the
-        // deep-merge shape — a batch touches hundreds of words). The
-        // limit-collect short-circuits once the bound overflows, so a
-        // dense round pays one cheap scan before taking the wide shape.
-        val affRows = cur.filter(containsAny)
-          .limit(overlayMaxAffected + 1).collect()
+        // SPARSE round probe: the index (one pruned task per batch pair)
+        // when active, else the contains-scan — collect the affected rows
+        // when few (the deep-merge shape). The limit-collect / task cap
+        // short-circuits once the bound overflows, so a dense round pays
+        // one cheap probe before taking the wide shape.
+        val (affRows, provenDense) =
+          occ.probe(batch, needles, overlayMaxAffected).getOrElse {
+            val r = cur.filter(containsAny)
+              .limit(overlayMaxAffected + 1).collect()
+            (r.iterator.map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+              .toIndexedSeq, false)
+          }
         // Applied either way: fold the round's exact deltas into the
         // count overlay, pulling frozen base counts for FIRST-touched
-        // pairs via one broadcast-probe scan (a changed pair absent from
-        // the base froze at 0).
+        // pairs via the pruned pair-base twin (or one broadcast-probe
+        // scan before the deep regime; a changed pair absent from the
+        // base froze at 0).
         def applyDeltas(deltaRows: Iterable[(String, String, Long)]): Unit = {
           val need = deltaRows.iterator
             .collect { case (a, b, _) if !ov.contains((a, b)) => (a, b) }
             .toSeq.distinct
+          // deep regime: first-touched pairs occur ~every round — build
+          // the pruned pair-base twin alongside the occurrence index so
+          // the probe stops full-scanning the pair table
+          if (need.nonEmpty && occ.active && baseIdx.isEmpty)
+            buildBaseIdx()
           val baseN: Map[(String, String), Long] =
-            if (need.isEmpty) Map.empty
-            else base.join(broadcast(need.toDF("a", "b")), Seq("a", "b"))
-              .as[(String, String, Long)].collect()
-              .map { case (a, b, n) => (a, b) -> n }.toMap
+            if (need.isEmpty) Map.empty else probeBaseCounts(need)
           deltaRows.foreach { case (a, b, d) =>
             val k = (a, b)
             val curN = ov.getOrElse(k, baseN.getOrElse(k, 0L)) + d
@@ -1149,27 +1460,26 @@ object Bpe {
             if (curN > floor) cand(k) = curN else cand.remove(k)
           }
         }
-        if (affRows.length <= overlayMaxAffected) {
+        if (!provenDense && affRows.length <= overlayMaxAffected) {
           // driver-side rewrite + exact pair deltas (the string twins of
           // the distributed explode/agg: same split, same left-to-right
           // non-overlapping replace — the four-regime parity matrix pins
           // it) — NO syms write, no delta agg; one optional base probe
           val deltas =
             scala.collection.mutable.HashMap.empty[(String, String), Long]
-          affRows.foreach { r =>
-            val wid = r.getLong(0)
-            val s = r.getString(1)
-            val c = r.getLong(2)
+          affRows.foreach { case (wid, s, c) =>
             addPairDeltas(deltas, s, -c)
             val out = batch.foldLeft(s) { case (acc, (a, b)) =>
               acc.replace(s" $a  $b ", s" $a$b ")
             }
             addPairDeltas(deltas, out, c)
-            words.set(wid, out)
+            words.set(wid, out, c)
+            occ.recordRewrite(wid, out, c)
           }
           applyDeltas(deltas.iterator.map { case ((a, b), d) => (a, b, d) }
             .toSeq)
-          words.maybeRefreeze()
+          words.maybeRefreeze() // independent of the index (own overlay)
+          occ.onSparseRound(affRows.length)
           if (ov.size > TableLoopOvMaxPairs) refreeze()
         } else {
           // DENSE round (early training): the delta FOLDS INTO THE
@@ -1206,14 +1516,20 @@ object Bpe {
           recollectTop()
           val nextSyms = Await.result(nextSymsF, 10.minutes)
           words.replaceBase(nextSyms)
+          // the full base replacement invalidates both indexes
+          occ.onDenseRound()
+          dropBaseIdx()
         }
         round += 1
         if (trace) println(f"[bpe] round $round%d batch=${batch.size}%d " +
           f"merges=${merges.size}%d ov=${ov.size}%d cand=${cand.size}%d " +
           f"ovW=${words.overlaySize}%d aff=${affRows.length}%d " +
+          f"idx=${occ.active}%b " +
           f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
       }
     }
+    occ.release()
+    dropBaseIdx()
     rel(base)
     words.release()
   }

@@ -88,9 +88,15 @@ object TimeBpe {
       case "hybrid" | "tableloop" => 0L
       case _ => graft.operators.Bpe.InHeapStateMaxBytes
     }
+    // r17 A/B knob: occurrence-index build trigger in consecutive sparse
+    // rounds (production default when unset; -1 = index disabled — the
+    // measured control)
+    val occIdx = sys.env.get("SPARK_GRAFT_BPE_OCCIDX").map(_.toInt)
+      .getOrElse(graft.operators.Bpe.OccIndexAfterSparseRounds)
     val t0 = System.nanoTime()
     val merges = graft.operators.Bpe.train(words, nMerges, localMaxWords = 0L,
-      hybridMaxPairs = maxPairs, inHeapMaxBytes = maxInHeap)
+      hybridMaxPairs = maxPairs, inHeapMaxBytes = maxInHeap,
+      occIndexAfterSparseRounds = occIdx)
     val total = (System.nanoTime() - t0) / 1e9
     println(f"$nMerges merges (forced distributed, regime=$regime): " +
       f"$total%.1f s total, " +

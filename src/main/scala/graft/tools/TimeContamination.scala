@@ -54,34 +54,67 @@ object TimeContamination {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    def run(): (Long, Long, Double, Boolean) = {
+    // Peak BroadcastExchange dataSize in the EXECUTED plan (r17, r16
+    // verdict #5's done-criterion asks for the broadcast bytes the bloom
+    // path's prefilter probes replace): walk the adaptive plan's final
+    // physical tree including query stages and reused exchanges.
+    def peakBroadcastBytes(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+      var peak = 0L
+      def walk(x: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        x match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: QueryStageExec => walk(s.plan)
+          case r: ReusedExchangeExec => walk(r.child)
+          case b: BroadcastExchangeExec =>
+            peak = math.max(peak,
+              b.metrics.get("dataSize").map(_.value).getOrElse(0L))
+          case _ =>
+        }
+        x.children.foreach(walk)
+      }
+      walk(p)
+      peak
+    }
+    def run(): (Long, Long, Double, Boolean, Long) = {
       val df = graft.SparkEntry.queries("pipeline_contamination")(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       val bloomInPlan = plan.contains("GraftBloomMightContain") ||
         plan.toLowerCase.contains("might_contain")
-      val ((rows, digest), sec) = timed {
-        val agg = df.agg(count(lit(1)),
-          expr("bit_xor(xxhash64(doc_id, n_shared_8grams))")).head()
-        (agg.getLong(0), agg.getLong(1))
-      }
+      val adf = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id, n_shared_8grams))"))
+      val (agg, sec) = timed(adf.head())
+      val bcast = peakBroadcastBytes(adf.queryExecution.executedPlan)
       graft.queries.Pipeline.releaseRetainedCaches()
-      (rows, digest, sec, bloomInPlan)
+      (agg.getLong(0), agg.getLong(1), sec, bloomInPlan, bcast)
     }
 
     val stat = graft.queries.Catalog.t(spark, dir, "documents")
       .queryExecution.optimizedPlan.stats.sizeInBytes
-    println(s"docs=$n corpusStat=${stat / (1 << 20)}MB " +
+    // benchmark-set cardinality (outside the timed sections): the verdict
+    // asked for a PRODUCTION-sized eval suite — ~10M distinct grams
+    val benchGrams = {
+      val docs = graft.queries.Catalog.t(spark, dir, "documents")
+      val tk = split(trim(col("text")), "\\s+")
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(explode(when(size(tk) < 8, array(concat_ws(" ", tk)))
+          .otherwise(transform(sequence(lit(0), size(tk) - 8),
+            i => concat_ws(" ", slice(tk, i + 1, lit(8)))))).as("gram"))
+        .select(countDistinct("gram")).head().getLong(0)
+    }
+    println(s"docs=$n corpusStat=${stat / (1 << 20)}MB benchGrams=$benchGrams " +
       s"gate=${graft.queries.Pipeline.ContaminationBloomMinStatBytes / (1 << 20)}MB")
-    val (rB, dB, sB, pB) = run() // default gate → bloom plan at this scale
+    val (rB, dB, sB, pB, bB) = run() // default gate → bloom plan at this scale
     println(f"bloom-gated:   rows=$rB%d digest=$dB%d wall=$sB%.1f s " +
-      f"bloomInPlan=$pB%s")
+      f"bloomInPlan=$pB%s peakBroadcast=${bB / (1 << 20)}%d MB")
     val prev = graft.queries.Pipeline.ContaminationBloomMinStatBytes
-    val (rE, dE, sE, pE) = try {
+    val (rE, dE, sE, pE, bE) = try {
       graft.queries.Pipeline.ContaminationBloomMinStatBytes = Long.MaxValue
       run() // forced semi-join control
     } finally graft.queries.Pipeline.ContaminationBloomMinStatBytes = prev
     println(f"semi-join ctl: rows=$rE%d digest=$dE%d wall=$sE%.1f s " +
-      f"bloomInPlan=$pE%s")
+      f"bloomInPlan=$pE%s peakBroadcast=${bE / (1 << 20)}%d MB")
     require(rB == rE && dB == dE, "bloom plan diverged from the semi-join")
     require(pB && !pE, "plan-shape check failed: the gate did not switch plans")
     spark.stop()

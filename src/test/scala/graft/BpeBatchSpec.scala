@@ -90,6 +90,43 @@ class BpeBatchSpec extends SparkSpec {
     assert(refrozen == local, "forced-refreeze table loop diverged")
   }
 
+  test("occurrence-index table loop learns identical merges in every forced shape (r17)") {
+    // The index path must reproduce the scan path's affected set exactly:
+    // force the index from round 0 (trigger 0) and pin merges against the
+    // sequential reference and the index-disabled loop across the shapes
+    // that stress its lifecycle — overlay reconciliation (default), an
+    // overlay refreeze every sparse round (rebuild-on-refreeze), forced
+    // dense rounds (invalidate + deep-regime reset), and a mid-run build
+    // (trigger 2). Fixture: tie-heavy randomized vocabulary.
+    val rnd = new scala.util.Random(17)
+    val words = Seq.tabulate(60) { _ =>
+      val w = Array.fill(3 + rnd.nextInt(8))(
+        "abcdef" (rnd.nextInt(6))).mkString
+      (w, (rnd.nextInt(25) + 1).toLong)
+    }.distinct
+    val df = words.toDF("word", "count")
+    val local = Bpe.train(df, 30)
+    def tbl(trigger: Int, affMax: Int = Bpe.SymsOverlayMaxAffected,
+        ovMax: Int = Bpe.SymsOverlayMaxWords) =
+      Bpe.train(df, 30, localMaxWords = 0L, hybridMaxPairs = 0L,
+        inHeapMaxBytes = 0L, overlayMaxAffected = affMax,
+        overlayMaxWords = ovMax, occIndexAfterSparseRounds = trigger)
+    assert(tbl(trigger = -1) == local, "index-disabled control diverged")
+    assert(tbl(trigger = 0) == local, "index-from-round-0 diverged")
+    assert(tbl(trigger = 2) == local, "mid-run index build diverged")
+    assert(tbl(trigger = 0, ovMax = 0) == local,
+      "per-round refreeze+rebuild diverged")
+    assert(tbl(trigger = 0, affMax = 0) == local,
+      "forced-dense (index invalidated every round) diverged")
+    // the HYBRID loop shares the index (its deep floor was the same scan)
+    def hyb(trigger: Int, ovMax: Int = Bpe.SymsOverlayMaxWords) =
+      Bpe.train(df, 30, localMaxWords = 0L, inHeapMaxBytes = 0L,
+        overlayMaxWords = ovMax, occIndexAfterSparseRounds = trigger)
+    assert(hyb(trigger = 0) == local, "hybrid index-from-round-0 diverged")
+    assert(hyb(trigger = 0, ovMax = 0) == local,
+      "hybrid per-round refreeze+rebuild diverged")
+  }
+
   test("table loop survives a max-count tie plateau wider than the visible top (r17)") {
     // Every pair ties at the max: with baseTopRows = 2 the refrozen floor
     // EQUALS the running maximum and nothing is strictly above it — the
