@@ -34,6 +34,23 @@ object Pipeline {
     * at scale; production never touches it. */
   @volatile private[graft] var ContaminationBloomMinStatBytes: Long = 64L << 20
 
+  /** Corpus-stat ceiling for BROADCASTING the benchmark grams into the
+    * exact-verify join (r17, measured at the 6M-doc / 9.9M-gram point
+    * where the relation is 1,807 MB): below it the broadcast wins — the
+    * relation fits executor memory and the single-box A/B measured
+    * 52.6 s broadcast vs 160.6 s shuffled (a shuffle pays sorts that
+    * shared-memory broadcast never does) — above it the relation
+    * approaches Spark's broadcast limits and 1000-executor arithmetic
+    * reverses (N×GBs of relation copies vs a few GB of shuffle), so the
+    * hint drops and AQE picks the join from runtime sizes. The corpus
+    * stat is the right proxy HERE because this builder derives the
+    * benchmark from the corpus (doc_id % 20); 4 GiB ≈ a ~12 GB relation,
+    * past the practical broadcast cliff. Var as a measurement hook
+    * (TimeContamination forces the shuffled shape); production default
+    * never moves. */
+  @volatile private[graft] var ContaminationBroadcastVerifyMaxStatBytes: Long =
+    4L << 30
+
   /** Caches a query builder RETAINED because its returned plan still reads
     * them (the contamination rows' benchmark-gram cache feeds the verify
     * join's broadcast side, so it cannot be unpersisted at build time —
@@ -89,8 +106,8 @@ object Pipeline {
     // (the sketch-build job and the verify join's broadcast side both
     // read the benchmark grams — uncached, that tokenize/explode/distinct
     // pipeline re-scans the corpus twice)
-    val big = docs.queryExecution.optimizedPlan.stats.sizeInBytes >=
-      BigInt(ContaminationBloomMinStatBytes)
+    val statBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val big = statBytes >= BigInt(ContaminationBloomMinStatBytes)
     val useBloom = forceBloom || big
     val bench0 = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
     val bench =
@@ -114,7 +131,19 @@ object Pipeline {
         corpus.filter(graft.functions.SketchFunctions.bloomMightContain(
           lit(bloom), xxhash64(col("gram"))))
       }
-    pre.join(broadcast(bench), Seq("gram"))
+    // Verify-join strategy: broadcast the benchmark grams until the
+    // relation nears the executor-memory cliff, then drop the hint and
+    // let AQE pick the join from runtime sizes (rationale + single-box
+    // A/B at [[ContaminationBroadcastVerifyMaxStatBytes]]). The bloom
+    // prefilter has already shrunk the probe stream to near-matches by
+    // then, so the shuffled join moves only tens of millions of rows and
+    // no relation at all. At fixture scale the explicit hint stays and
+    // the pinned catalog plan shapes keep their oracle-checked form.
+    val verifySide =
+      if (useBloom && big &&
+          statBytes >= BigInt(ContaminationBroadcastVerifyMaxStatBytes)) bench
+      else broadcast(bench)
+    pre.join(verifySide, Seq("gram"))
       .groupBy("doc_id").agg(countDistinct("gram").as("n_shared_8grams"))
       .orderBy("doc_id")
   }

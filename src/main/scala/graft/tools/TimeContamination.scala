@@ -84,7 +84,10 @@ object TimeContamination {
         plan.toLowerCase.contains("might_contain")
       val adf = df.agg(count(lit(1)),
         expr("bit_xor(xxhash64(doc_id, n_shared_8grams))"))
-      val (agg, sec) = timed(adf.head())
+      // collect(), not head(): head() runs a SEPARATE limit(1)
+      // QueryExecution, leaving adf's own executed plan (where the
+      // broadcast metrics live) never run
+      val (agg, sec) = timed(adf.collect()(0))
       val bcast = peakBroadcastBytes(adf.queryExecution.executedPlan)
       graft.queries.Pipeline.releaseRetainedCaches()
       (agg.getLong(0), agg.getLong(1), sec, bloomInPlan, bcast)
@@ -115,8 +118,21 @@ object TimeContamination {
     } finally graft.queries.Pipeline.ContaminationBloomMinStatBytes = prev
     println(f"semi-join ctl: rows=$rE%d digest=$dE%d wall=$sE%.1f s " +
       f"bloomInPlan=$pE%s peakBroadcast=${bE / (1 << 20)}%d MB")
+    // third leg: bloom + SHUFFLED verify join — the past-the-broadcast-
+    // cliff plan (ContaminationBroadcastVerifyMaxStatBytes scaladoc),
+    // forced by zeroing the ceiling
+    val prevV = graft.queries.Pipeline.ContaminationBroadcastVerifyMaxStatBytes
+    val (rS, dS, sS, pS, bS) = try {
+      graft.queries.Pipeline.ContaminationBroadcastVerifyMaxStatBytes = 0L
+      run()
+    } finally
+      graft.queries.Pipeline.ContaminationBroadcastVerifyMaxStatBytes = prevV
+    println(f"bloom+shuffle: rows=$rS%d digest=$dS%d wall=$sS%.1f s " +
+      f"bloomInPlan=$pS%s peakBroadcast=${bS / (1 << 20)}%d MB")
     require(rB == rE && dB == dE, "bloom plan diverged from the semi-join")
+    require(rS == rE && dS == dE, "shuffled verify diverged from the semi-join")
     require(pB && !pE, "plan-shape check failed: the gate did not switch plans")
+    require(bS < bB, "shuffled verify should not build the broadcast relation")
     spark.stop()
   }
 }
