@@ -162,8 +162,12 @@ object GraphQueries {
           (TransitSssp.cappedCsrMaxEdges, TransitSssp.acyclicResolveServed.get())
         val (schema, rows) = try {
           TransitSssp.cappedCsrMaxEdges = 0L // over-budget: distributed only
-          val d = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L,
-              pathDriverWalkMaxRows = 0L)
+          // default path extraction (driver walk at this cardinality):
+          // the row exists to prove the DISTRIBUTED fixpoint's acyclic
+          // repair serves the route — pointer doubling is already under
+          // the oracle via gtfs_routing_distributed, and forcing it here
+          // only adds fixture-scale scheduling rounds to every bench
+          val d = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L)
             .routing("2024-01-18", 1.0, "13:50:00", "Start", "End")
           (d.schema, d.collect())
         } finally TransitSssp.cappedCsrMaxEdges = maxE

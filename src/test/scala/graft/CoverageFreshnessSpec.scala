@@ -28,7 +28,11 @@ class CoverageFreshnessSpec extends AnyFunSuite {
     val cited = "`([a-z0-9]+(?:_[a-z0-9]+)+)`".r
       .findAllMatchIn(text).map(_.group(1)).toSet
     val catalogNames = graft.queries.Catalog.all.map(_.name).toSet
-    val unknown = cited -- catalogNames -- proseAllowlist
+    // bench drift-control pipelines (r17) are code-backed names with the
+    // same liveness property as catalog queries: renaming one in
+    // Bench.Controls breaks the citation here, exactly as intended
+    val controlNames = Bench.Controls.map(_._1).toSet
+    val unknown = cited -- catalogNames -- controlNames -- proseAllowlist
     assert(unknown.isEmpty,
       s"COVERAGE.md cites retired/unknown queries (update the doc): $unknown")
     // an allowlist entry that becomes a real query name (or goes unused)
