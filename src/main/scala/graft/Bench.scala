@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * re-derive "box drift" each time): the run brackets the catalog sweep
   * with [[Controls]] — fixed pure-CPU/shuffle pipelines that no catalog
   * commit touches, each with a PINNED idle-box band measured at the
-  * r17 close (32 cores, min-of-3). `drift` = [pre, post] — the median,
-  * over the controls, of measured-min / pinned-band in the window before
-  * and after the sweep. A reader normalizes any row by the drift index
+  * r17 close (32 cores, min-of-3). `drift` = [cpuPre, cpuPost, ioPre,
+  * ioPost] — for the CPU controls the median of measured-min /
+  * pinned-band in the window before and after the sweep; for the
+  * [[IoControl]] its own ratio, indexed SEPARATELY (a median across both
+  * kinds would dilute an IO-only shift to invisibility — exactly the
+  * state the IO control exists to expose). A reader normalizes a
+  * CPU-bound row by the cpu index and a data-heavy row by the io index
   * (rowAdj ≈ row / drift) before calling it a code regression: drift ≈ 1
   * on an idle box at pinned core count; a contended or down-clocked box
   * shows drift >> 1 on BOTH ends (r16's 84.71 s artifact vs the builder's
@@ -57,6 +61,25 @@ object Bench {
       .select(md5(concat(lit("ctl"), col("id"))).as("m"))
       .select(substring(col("m"), 1, 6).as("p"))
       .groupBy("p").agg(count(lit(1)).as("c"))))
+
+  /** IO-path control (r17 close): the CPU controls above read clean while
+    * engine-build rows moved 30-70 % on untouched code — page-cache /
+    * disk-state drift is invisible to pure-CPU pipelines. This control
+    * writes and reads back a fixed 2M-row parquet (same tmp path every
+    * run, overwrite), timing the write+scan path the data-heavy rows
+    * depend on. A proxy, not a per-file oracle: `drift[2]`/`drift[3]`
+    * ≈ 1 with inflated data rows says "look at box disk state, not
+    * code"; per-row `spr` stays the tie-breaker. Pinned like the CPU
+    * bands (idle min-of-3, local[32], r17 box). */
+  private[graft] val IoControl: (String, Double, SparkSession => Unit) =
+    ("ctl_io_parquet", 0.55, s => {
+      val p = "/tmp/graft_ctl_io.parquet"
+      s.range(0L, 2000000L, 1L, 16)
+        .select(col("id"), md5(concat(lit("io"), col("id"))).as("m"))
+        .write.mode("overwrite").parquet(p)
+      s.read.parquet(p).agg(count(lit(1)), max("m")).collect()
+      ()
+    })
 
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -92,8 +115,8 @@ object Bench {
     */
   def qmsLine(totalSec: Double, sfDir: String, minsSecNameSorted: Seq[Double],
       spreadPctNameSorted: Seq[Int] = Nil,
-      // [pre, post] drift indices (see the class doc); empty = no controls
-      // ran (a SPARK_GRAFT_BENCH_ONLY subset run)
+      // [cpuPre, cpuPost, ioPre, ioPost] drift indices (class doc);
+      // empty = no controls ran (a SPARK_GRAFT_BENCH_ONLY subset run)
       drift: Seq[Double] = Nil): String = {
     val ms = minsSecNameSorted.map(s => math.round(s * 1000)).mkString("[", ",", "]")
     val spr = spreadPctNameSorted.map(p => math.min(999, math.max(0, p)))
@@ -139,8 +162,9 @@ object Bench {
     // rows. Skipped on subset runs — those are local iteration, and their
     // author is watching the box directly — unless the subset names a
     // control (the re-pinning recipe: SPARK_GRAFT_BENCH_ONLY=ctl).
+    def controlsOn: Boolean = !only.exists(!_.exists(_.startsWith("ctl")))
     def runControls(): Seq[(String, Double)] =
-      if (only.exists(!_.exists(_.startsWith("ctl")))) Nil
+      if (!controlsOn) Nil
       else Controls.map { case (name, _, fn) =>
         val t = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -149,7 +173,15 @@ object Bench {
         }
         (name, t.min)
       }
+    def runIoControl(): Option[Double] =
+      if (!controlsOn) None
+      else Some((1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        IoControl._3(spark)
+        (System.nanoTime() - t0) / 1e9
+      }.min)
     val ctlPre = runControls()
+    val ioPre = runIoControl()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -184,6 +216,7 @@ object Bench {
       (name, timings.map(_._2), timings.map(_._1))
     }
     val ctlPost = runControls()
+    val ioPost = runIoControl()
     def obj(pairs: Seq[(String, String)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results.map { case (k, runs, _) => k -> runs.min.toString })
@@ -196,12 +229,18 @@ object Bench {
     def driftOf(ctl: Seq[(String, Double)]): Seq[Double] =
       if (ctl.isEmpty) Nil
       else Seq(median(ctl.map { case (n, s) => s / pins(n) }))
-    val drift = driftOf(ctlPre) ++ driftOf(ctlPost)
-    val ctlJson = obj(Controls.map { case (n, pin, _) =>
+    // drift = [cpuPre, cpuPost, ioPre, ioPost] — CPU and IO indexed
+    // SEPARATELY (a median across both kinds would dilute an IO-only
+    // shift to invisibility, which is exactly the state the IO control
+    // exists to expose)
+    val drift = driftOf(ctlPre) ++ driftOf(ctlPost) ++
+      ioPre.map(_ / IoControl._2).toSeq ++ ioPost.map(_ / IoControl._2).toSeq
+    val ctlJson = obj((Controls.map { case (n, pin, _) =>
       n -> (s"""{"pin":$pin,"pre":${ctlPre.collectFirst { case (`n`, s) => s }
         .getOrElse(-1.0)},"post":${ctlPost.collectFirst { case (`n`, s) => s }
         .getOrElse(-1.0)}}""")
-    })
+    }) :+ (IoControl._1 -> s"""{"pin":${IoControl._2},"pre":${
+      ioPre.getOrElse(-1.0)},"post":${ioPost.getOrElse(-1.0)}}"""))
     val driftJson = drift.map(d => math.round(d * 100) / 100.0)
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"controls":$ctlJson,"drift":$driftJson,"sf":${jsonStr(sfDir)}}""")

@@ -65,6 +65,13 @@ class BenchReportSpec extends SparkSpec {
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
   }
 
+  test("io control round-trips its fixed parquet deterministically") {
+    Bench.IoControl._3(spark) // must not throw; writes+reads the tmp parquet
+    val df = spark.read.parquet("/tmp/graft_ctl_io.parquet")
+    assert(df.count() == 2000000L)
+    assert(Bench.IoControl._2 > 0.0, "io control needs a pinned band")
+  }
+
   test("control pipelines evaluate with their fixed cardinalities") {
     // A control that stops producing its pinned shape (plan change, ANSI
     // overflow, column rename) must fail HERE, not silently time different
