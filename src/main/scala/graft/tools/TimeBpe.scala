@@ -55,18 +55,21 @@ object TimeBpe {
            |         1 + cast(conv(substring(md5(cast(id as string)), 1 + ((i - 1) * 2) % 28, 2), 16, 10) as int) % 64, 1)))"""
           .stripMargin.replace("\n", " ")
       case "wide" =>
-        // 2048-codepoint alphabet (CJK block U+4E00..U+55FF) with
-        // 4–8-char words — the pair table is alphabet-driven, so this is
-        // the shape that genuinely forces the >HybridPairMaxRows
-        // TABLE-LOOP regime (millions of distinct adjacent pairs) at a
-        // synthesizable word count; hex/alpha/nat alphabets cap out at
-        // thousands of pairs. NOTE: Spark's chr() is BYTE-limited
+        // SPARK_GRAFT_BPE_ALPHABET-codepoint alphabet (CJK block
+        // U+4E00.., default 2048) with 4–8-char words — the pair table is
+        // alphabet-driven, so the default is the shape that genuinely
+        // forces the >HybridPairMaxRows TABLE-LOOP regime (millions of
+        // distinct adjacent pairs) at a synthesizable word count, while
+        // 1024 (~1M pairs) admits the HYBRID map on the same word count —
+        // the r17 hybrid-index A/B shape. hex/alpha/nat alphabets cap out
+        // at thousands of pairs. NOTE: Spark's chr() is BYTE-limited
         // (mod 256 — the r16 first cut generated space/control bytes,
         // violating the trainer's whitespace-free word contract); real
         // BMP code points come from decode(unhex(hex(cp)), 'UTF-16BE').
+        val alpha = sys.env.getOrElse("SPARK_GRAFT_BPE_ALPHABET", "2048").toInt
         s"""concat_ws('', transform(
            |  sequence(1, 4 + cast(id % 5 as int)),
-           |  i -> decode(unhex(hex(19968 + cast(conv(substring(md5(cast(id as string)), 1 + ((i - 1) * 3) % 27, 3), 16, 10) as int) % 2048)), 'UTF-16BE')))"""
+           |  i -> decode(unhex(hex(19968 + cast(conv(substring(md5(cast(id as string)), 1 + ((i - 1) * 3) % 27, 3), 16, 10) as int) % $alpha)), 'UTF-16BE')))"""
           .stripMargin.replace("\n", " ")
       case _ => hexWord
     }

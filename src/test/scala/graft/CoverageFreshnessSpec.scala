@@ -31,7 +31,7 @@ class CoverageFreshnessSpec extends AnyFunSuite {
     // bench drift-control pipelines (r17) are code-backed names with the
     // same liveness property as catalog queries: renaming one in
     // Bench.Controls breaks the citation here, exactly as intended
-    val controlNames = Bench.Controls.map(_._1).toSet
+    val controlNames = Bench.Controls.map(_._1).toSet + Bench.IoControl._1
     val unknown = cited -- catalogNames -- controlNames -- proseAllowlist
     assert(unknown.isEmpty,
       s"COVERAGE.md cites retired/unknown queries (update the doc): $unknown")
