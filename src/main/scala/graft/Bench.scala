@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 /** Benchmark entry point. Emits a full JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},
   *  "runs":{name:[sec,...]},"starts":{name:[epochSec,...]},
-  *  "controls":{name:{"pin":s,"pre":[s,...],"post":[s,...]},...},
-  *  "drift":[pre,post],"sf":dir}
+  *  "controls":{name:{"pin":s,"pre":s,"post":s},...},
+  *  "drift":[cpuPre,cpuPost,ioPre,ioPost],"sf":dir}
   * followed by a compact FINAL line sized for a consumer that keeps only the
   * last 2000 chars of stdout (see `qmsLine`).
   *
