@@ -140,6 +140,13 @@ object TimeScale {
       val csrServed = graft.graph.TransitSssp.cappedCsrServed.get() - csrServed0
       if (pairs.nonEmpty && !isLocal)
         println(s"  scale $sc capped-CSR served $csrServed/${pairs.size} pairs")
+      // campaign-log counters (r16 verdict #3/#6): a clean feed must show
+      // zero acyclic repairs, and the SPFA worst-case telemetry belongs in
+      // the same log line the gate reads
+      if (pairs.nonEmpty && !isLocal)
+        println(s"  scale $sc counters: acyclicResolveServed=" +
+          s"${graft.graph.TransitSssp.acyclicResolveServed.get()} " +
+          s"spfaMaxDequeues=${graft.graph.ShortestPaths.spfaMaxDequeues.get()}")
       if (sys.env.get("SPARK_GRAFT_SCALE_REQUIRE_CSR").contains("1") &&
           !isLocal && csrServed < pairs.size)
         throw new IllegalStateException(
