@@ -81,6 +81,34 @@ object Bench {
       ()
     })
 
+  /** Drift-gate for the r18 capture loop (r17 verdict #1: BENCH_r17 shipped
+    * at ioPre drift 2.88 while the clean 72.0 s reading lived only in
+    * COVERAGE — the artifact flagged its own inflation but the official
+    * record still NEEDED a footnote). If any PRE index (cpu or io) exceeds
+    * this gate the harness settles [[DriftSettleSec]] and re-measures the
+    * pre controls ONCE before starting the sweep — pre-drift is usually
+    * leftover state from whatever ran before (page-cache churn, a co-tenant
+    * tail), and one settle window is cheap next to depositing a drifted
+    * 90 s artifact as the round's record. If the re-measure still exceeds,
+    * both JSON lines carry `"degraded":true` so the consumer knows the
+    * numbers are upper bounds WITHOUT reading COVERAGE. Post-sweep drift is
+    * reported but never gates: state the sweep itself created is signal,
+    * not noise, and re-running the whole sweep on a busy box just measures
+    * the busy box twice. */
+  private[graft] val DriftRetryGate = 1.5
+
+  /** Settle pause before the one pre-control retry. Long enough for a
+    * co-tenant tail or page-cache write-back to drain; short next to the
+    * ~70 s sweep it protects. Env-overridable only so a local iteration
+    * doesn't have to sit through it (driver runs leave it at default). */
+  private[graft] def driftSettleSec: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "25").toInt
+
+  /** The retry/degraded decision: true when ANY index exceeds the gate.
+    * Empty indices (a subset run with controls skipped) never trip it. */
+  private[graft] def exceedsGate(indices: Seq[Double], gate: Double = DriftRetryGate): Boolean =
+    indices.exists(_ > gate)
+
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
@@ -117,13 +145,16 @@ object Bench {
       spreadPctNameSorted: Seq[Int] = Nil,
       // [cpuPre, cpuPost, ioPre, ioPost] drift indices (class doc);
       // empty = no controls ran (a SPARK_GRAFT_BENCH_ONLY subset run)
-      drift: Seq[Double] = Nil): String = {
+      drift: Seq[Double] = Nil,
+      // true = pre-drift exceeded [[DriftRetryGate]] even after the one
+      // settle-and-retry — the row minima are upper bounds, not steady-state
+      degraded: Boolean = false): String = {
     val ms = minsSecNameSorted.map(s => math.round(s * 1000)).mkString("[", ",", "]")
     val spr = spreadPctNameSorted.map(p => math.min(999, math.max(0, p)))
       .mkString("[", ",", "]")
     val tot = math.round(totalSec * 1000) / 1000.0
     val dr = drift.map(d => math.round(d * 100) / 100.0).mkString("[", ",", "]")
-    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":${jsonStr(sfDir)},"n":${minsSecNameSorted.size},"drift":$dr,"spr":$spr,"v":$ms}"""
+    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":${jsonStr(sfDir)},"n":${minsSecNameSorted.size},"degraded":$degraded,"drift":$dr,"spr":$spr,"v":$ms}"""
   }
   def main(args: Array[String]): Unit = {
     // Timing runs skip the perf-harness's cross-regime verification twin:
@@ -155,6 +186,14 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").repartition(2)
       .groupBy("r_name").count().collect()
     catch { case _: Throwable => () }
+    // ...and the parquet WRITE path (committer + codec init): the io
+    // control is the first writer otherwise and its cold first run reads
+    // ~1.6× pin on an idle box — a spurious drift-gate retry per JVM.
+    try {
+      spark.range(10000).write.mode("overwrite")
+        .parquet("/tmp/graft_bench_warmup.parquet")
+      spark.read.parquet("/tmp/graft_bench_warmup.parquet").count()
+    } catch { case _: Throwable => () }
     // Optional subset run for iterating on one query's timing:
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 (driver runs always leave this unset).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -180,8 +219,30 @@ object Bench {
         IoControl._3(spark)
         (System.nanoTime() - t0) / 1e9
       }.min)
-    val ctlPre = runControls()
-    val ioPre = runIoControl()
+    def preIndices(ctl: Seq[(String, Double)], io: Option[Double]): Seq[Double] =
+      (if (ctl.isEmpty) Nil
+       else Seq(median(ctl.map { case (n, s) =>
+         s / Controls.collectFirst { case (`n`, pin, _) => pin }.get }))) ++
+        io.map(_ / IoControl._2).toSeq
+    var ctlPre = runControls()
+    var ioPre = runIoControl()
+    // Drift-gated capture loop (see DriftRetryGate): one settle-and-retry of
+    // the PRE controls when the box reads drifted before the sweep starts;
+    // still drifted after the retry → sweep anyway but stamp degraded.
+    var retried = false
+    if (exceedsGate(preIndices(ctlPre, ioPre))) {
+      val settle = driftSettleSec
+      System.err.println(s"[bench] pre-sweep drift ${preIndices(ctlPre, ioPre)
+        .map(d => math.round(d * 100) / 100.0).mkString("[", ",", "]")} " +
+        s"exceeds gate $DriftRetryGate — settling ${settle}s and re-measuring controls once")
+      Thread.sleep(settle * 1000L)
+      ctlPre = runControls()
+      ioPre = runIoControl()
+      retried = true
+    }
+    val degraded = exceedsGate(preIndices(ctlPre, ioPre))
+    if (degraded) System.err.println(
+      "[bench] pre-sweep drift still exceeds gate after retry — artifact will be stamped degraded:true")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -243,7 +304,7 @@ object Bench {
       ioPre.getOrElse(-1.0)},"post":${ioPost.getOrElse(-1.0)}}"""))
     val driftJson = drift.map(d => math.round(d * 100) / 100.0)
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"controls":$ctlJson,"drift":$driftJson,"sf":${jsonStr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"controls":$ctlJson,"drift":$driftJson,"degraded":$degraded,"retried":$retried,"sf":${jsonStr(sfDir)}}""")
     // The driver keeps only the TAIL of stdout: the full line above is 4k+
     // chars and gets cut mid-line ("parsed": null in r3-r5). Final line =
     // the compact name-free summary, guaranteed (BenchReportSpec) to fit a
@@ -253,7 +314,7 @@ object Bench {
       results.map { case (_, runs, _) =>
         val mn = runs.min
         if (mn <= 0.0) 0 else math.round((runs.max - mn) / mn * 100).toInt
-      }, drift))
+      }, drift, degraded))
     spark.stop()
   }
 }

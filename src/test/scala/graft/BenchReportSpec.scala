@@ -21,7 +21,9 @@ class BenchReportSpec extends SparkSpec {
   test("qms line fits the 2000-char tail window with headroom") {
     val line = Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow, spreads,
       drift = Seq(9.99, 9.99))
-    assert(line.length < 1200,
+    // 1280 ≈ worst case at 97 queries incl. the r18 degraded stamp; leaves
+    // ~700 chars of the 2000-char window for the cut-off detail-line tail
+    assert(line.length < 1280,
       s"qms line is ${line.length} chars for ${names.size} queries — " +
         "must stay well under the consumer's 2000-char tail window")
   }
@@ -70,6 +72,28 @@ class BenchReportSpec extends SparkSpec {
     val df = spark.read.parquet("/tmp/graft_ctl_io.parquet")
     assert(df.count() == 2000000L)
     assert(Bench.IoControl._2 > 0.0, "io control needs a pinned band")
+  }
+
+  test("drift gate trips on any index, never on an empty subset run (r18)") {
+    // The retry/degraded decision: BENCH_r17 shipped at ioPre 2.88 with
+    // cpuPre 1.51 — either alone must trip the gate; a clean close
+    // ([1.26,1.14] pre) must not; a controls-skipped subset run (empty
+    // indices) must never trip it.
+    assert(Bench.DriftRetryGate == 1.5, "gate is pinned — re-pin only with a verdict")
+    assert(Bench.exceedsGate(Seq(1.51, 1.0)))      // cpu alone (r17 artifact)
+    assert(Bench.exceedsGate(Seq(1.03, 2.88)))     // io alone (r17 artifact)
+    assert(!Bench.exceedsGate(Seq(1.26, 1.14)))    // the clean close
+    assert(!Bench.exceedsGate(Seq(1.5, 1.5)))      // gate is exclusive
+    assert(!Bench.exceedsGate(Nil))                // subset run: no controls
+    assert(Bench.driftSettleSec > 0)
+  }
+
+  test("qms line carries the degraded stamp (r18 capture loop)") {
+    val bad = Bench.qmsLine(0.3, "sf", Seq(0.1), Seq(0),
+      drift = Seq(2.0, 1.1, 2.9, 0.9), degraded = true)
+    assert(bad.contains("\"degraded\":true"))
+    val ok = Bench.qmsLine(0.3, "sf", Seq(0.1), Seq(0), drift = Seq(1.1, 1.0))
+    assert(ok.contains("\"degraded\":false"))
   }
 
   test("control pipelines evaluate with their fixed cardinalities") {
