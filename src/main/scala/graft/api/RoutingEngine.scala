@@ -49,7 +49,15 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       * path extraction; 0 forces pointer doubling (the 100 TB evidence
       * path — `gtfs_routing_distributed` runs with 0 so the per-round
       * oracle keeps exercising it). */
-    pathDriverWalkMaxRows: Long = ShortestPaths.DriverWalkMaxChainRows) {
+    pathDriverWalkMaxRows: Long = ShortestPaths.DriverWalkMaxChainRows,
+    /** Edge budget of the clock-capped driver-CSR regime (same per-call
+      * shape as ssspLocalThreshold — r18, r17 verdict #2); 0 disables it
+      * (`gtfs_routing_zero_cycle` passes 0 together with
+      * ssspLocalThreshold = 0 to force the distributed fixpoint). */
+    cappedCsrMaxEdges: Long = graft.graph.TransitSssp.cappedCsrMaxEdges,
+    /** Node-count floor of the capped-slice machinery; engine-level specs
+      * force the capped path at fixture scale by passing 0. */
+    cappedSliceMinNodes: Long = graft.graph.TransitSssp.cappedSliceMinNodes) {
 
   private val spark: SparkSession = gtfs.stops.sparkSession
 
@@ -65,7 +73,8 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
   def projected(day: java.sql.Date, speed: Double): TimeExpandedGraph =
     synchronized {
       projections.getOrElseUpdate((day, speed),
-        TimeExpandedGraph.build(gtfs, day, speed, walkTo, ssspLocalThreshold))
+        TimeExpandedGraph.build(gtfs, day, speed, walkTo, ssspLocalThreshold,
+          cappedCsrMaxEdges, cappedSliceMinNodes))
     }
 
   /** Release every cache this engine owns (projections + WALK_TO) — the

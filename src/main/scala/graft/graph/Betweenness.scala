@@ -414,7 +414,12 @@ object Betweenness {
       localThreshold: Option[Long],
       transitAboveThreshold: Boolean,
       clockCap: Double,
-      defaultCsrBound: Long): DataFrame = {
+      defaultCsrBound: Long,
+      // the capped-budget rung's in-heap budget under the None threshold
+      // (r18: per-call with the production default — the spec's zeroed
+      // level-sync control passes 0 here instead of mutating the
+      // companion val)
+      cappedInHeapBudget: Long = TransitSssp.cappedCsrMaxEdges): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val windowed = !clockCap.isPosInfinity
@@ -464,7 +469,7 @@ object Betweenness {
     val inHeapBudget = localThreshold match {
       case Some(x) if x <= 0L => 0L
       case Some(x) => x
-      case None => math.max(defaultCsrBound, TransitSssp.cappedCsrMaxEdges)
+      case None => math.max(defaultCsrBound, cappedInHeapBudget)
     }
     // The hop-space collapse derives PRECEDES structure from CONSECUTIVE
     // rows, so a windowed transit run is exact only when the cap drops a

@@ -125,9 +125,10 @@ object TransitSssp {
     * distributed section carries both runs). The deserialization CPU on
     * the 2-3 grid scans per round is noise next to that; at 3× the levels
     * measure equivalent. SPARK_GRAFT_SSSP_SER=0 opts back into the
-    * deserialized level; a test may flip the var directly (both storage
-    * paths are spec-pinned for distance parity). */
-  @volatile private[graft] var serializedGrid: Boolean =
+    * deserialized level; specs pass the per-instance constructor param
+    * to pin both storage paths for distance parity (r18 — no mutable
+    * global). */
+  private[graft] val serializedGrid: Boolean =
     !sys.env.get("SPARK_GRAFT_SSSP_SER").contains("0")
 
   /** The sparse-tail BASE looks like the opposite storage trade from the
@@ -143,7 +144,7 @@ object TransitSssp {
     * AQE jobs per round), not decode-bound, so the default stays OFF
     * (follow the grid level); SPARK_GRAFT_SSSP_TAIL_DESER=1 re-runs the
     * A/B. */
-  @volatile private[graft] var deserializedTailBase: Boolean =
+  private[graft] val deserializedTailBase: Boolean =
     sys.env.get("SPARK_GRAFT_SSSP_TAIL_DESER").contains("1")
 
   /** Same scan-many/write-once profile for the STATIC pins (trip prefix +
@@ -153,7 +154,7 @@ object TransitSssp {
     * 30× center pair: 458 s vs the 462 s all-serialized baseline, i.e. no
     * repeatable delta (COVERAGE.md tail section); default stays
     * serialized. */
-  @volatile private[graft] var deserializedPins: Boolean =
+  private[graft] val deserializedPins: Boolean =
     sys.env.get("SPARK_GRAFT_SSSP_PIN_DESER").contains("1")
 
   /** Max ride∘change depths batched per materialized sparse-tail round
@@ -165,16 +166,17 @@ object TransitSssp {
     * count and per-round base touch are exactly what batching divides.
     * SPARK_GRAFT_SSSP_TAIL_K overrides (1 = the r11 un-batched shape,
     * kept reachable for A/B). */
-  @volatile private[graft] var tailK: Int =
+  private[graft] val tailK: Int =
     sys.env.get("SPARK_GRAFT_SSSP_TAIL_K").map(_.toInt).getOrElse(8)
 
   /** Tail batching only engages when the frozen base has at least this
     * many rows: below it a tail round is already sub-second and the
     * expansion machinery (one checkpoint job per hop) would cost more
     * than the base touches it saves — fixture-scale runs and the
-    * per-round oracle keep the exact r11 un-batched loop. Specs lower it
-    * to 0 to force the batched path onto fixture graphs. */
-  @volatile private[graft] var tailBatchMinBase: Long =
+    * per-round oracle keep the exact r11 un-batched loop. Specs force
+    * the batched path onto fixture graphs by constructing instances
+    * with 0 (r18 — per-instance param, no mutable global). */
+  private[graft] val tailBatchMinBase: Long =
     sys.env.get("SPARK_GRAFT_SSSP_TAIL_MINBASE").map(_.toLong)
       .getOrElse(1L << 20)
 
@@ -185,7 +187,7 @@ object TransitSssp {
     * the worst case where pruning skips nothing — measured at 3×, a
     * ~1600-key chunked-In cost 20–47 s/round against a scan the
     * fallback shape does in 2–4 s. */
-  @volatile private[graft] var tailPruneMaxKeys: Int =
+  private[graft] val tailPruneMaxKeys: Int =
     sys.env.get("SPARK_GRAFT_SSSP_PRUNE_MAXKEYS").map(_.toInt).getOrElse(256)
 
   /** Cached-batch row target for the tail's sorted probe caches. At the
@@ -195,13 +197,13 @@ object TransitSssp {
     * frontier skips >95 % of batches. Applied only to the two
     * tail-local caches (the conf is captured per-relation at persist
     * time and restored immediately). */
-  @volatile private[graft] var tailPruneBatchSize: Int =
+  private[graft] val tailPruneBatchSize: Int =
     sys.env.get("SPARK_GRAFT_SSSP_PRUNE_BATCH").map(_.toInt).getOrElse(1024)
 
-  /** Specs set this to exercise the pruned-probe path on fixture-scale
-    * graphs where the granularity gate (rows/trip ≥ batch/4) would
-    * otherwise disable it. */
-  @volatile private[graft] var tailPruneForce: Boolean = false
+  /** Specs construct instances with true to exercise the pruned-probe
+    * path on fixture-scale graphs where the granularity gate
+    * (rows/trip ≥ batch/4) would otherwise disable it. */
+  private[graft] val tailPruneForce: Boolean = false
 
   /** Tail rounds to run PLAIN (pipelined probes against the raw frozen
     * base, zero setup) before building the heavy amortized machinery —
@@ -216,8 +218,9 @@ object TransitSssp {
     * genuinely long dribble pays the builds (a 10× capped pair-2 A/B:
     * 80.5 s at gate 3, 63.0 at 6, vs the 52.2 s r11 control; the
     * machinery was pure overhead on every ≤14-round tail measured).
-    * Specs set 0 to force the machinery onto fixture graphs. */
-  @volatile private[graft] var tailLazyRounds: Int =
+    * Specs pass 0 per instance to force the machinery onto fixture
+    * graphs. */
+  private[graft] val tailLazyRounds: Int =
     sys.env.get("SPARK_GRAFT_SSSP_TAIL_LAZY").map(_.toInt).getOrElse(12)
 
   /** Membership predicate that SURVIVES cached-batch stat pruning.
@@ -255,7 +258,7 @@ object TransitSssp {
     * build broadcasts (two broadcasts of ~50 B/row live at once); above
     * it the run falls back to the shared uncapped pin — the status-quo
     * plan, never a wrong one. */
-  @volatile private[graft] var cappedSliceMaxRows: Long =
+  private[graft] val cappedSliceMaxRows: Long =
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_MAX").map(_.toLong)
       .getOrElse(2L * 1024L * 1024L)
 
@@ -267,7 +270,7 @@ object TransitSssp {
     * agg that counts the rows; either gate failing keeps the shared
     * uncapped pin. The 128 MB default assumes a driver with ≥ ~4 GB
     * headroom for the two simultaneous position broadcasts. */
-  @volatile private[graft] var cappedSliceMaxBytes: Long =
+  private[graft] val cappedSliceMaxBytes: Long =
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_MAXB").map(_.toLong)
       .getOrElse(128L * 1024L * 1024L)
 
@@ -288,7 +291,7 @@ object TransitSssp {
     * capped subgraph is a horizon's share of the feed, not the whole
     * projection. 0 disables the regime (specs pin the distributed capped
     * path against it). */
-  @volatile private[graft] var cappedCsrMaxEdges: Long =
+  private[graft] val cappedCsrMaxEdges: Long =
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_CSR_MAX").map(_.toLong)
       .getOrElse(6L * 1024L * 1024L)
 
@@ -304,7 +307,7 @@ object TransitSssp {
     * sources × vertices above this bound falls back to the distributed
     * staged flow — routing calls carry per-route-earliest source sets
     * (tens of rows), so the bound only trips on degenerate inputs. */
-  @volatile private[graft] var cappedCsrMaxStateCells: Long =
+  private[graft] val cappedCsrMaxStateCells: Long =
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_CSR_CELLS").map(_.toLong)
       .getOrElse(64L * 1024L * 1024L)
 
@@ -315,7 +318,7 @@ object TransitSssp {
     * r12 tailLazyRounds lesson — heavy machinery only where measurement
     * says it pays). Specs force the capped path at fixture scale by
     * zeroing this. */
-  @volatile private[graft] var cappedSliceMinNodes: Long =
+  private[graft] val cappedSliceMinNodes: Long =
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_MIN_NODES").map(_.toLong)
       .getOrElse(1L * 1000L * 1000L)
 
@@ -324,7 +327,7 @@ object TransitSssp {
     * uncapped pin, which is the ultimate superset): a multi-pair harness
     * issues calls whose cap anchors differ by minutes, and padding lets
     * them share one slice instead of rebuilding per call. */
-  @volatile private[graft] var cappedSlicePadSecs: Long =
+  private[graft] val cappedSlicePadSecs: Long =
     sys.env.get("SPARK_GRAFT_SSSP_CAPPED_SLICE_PAD").map(_.toLong)
       .getOrElse(3600L)
 
@@ -335,7 +338,7 @@ object TransitSssp {
     * which on hub topologies are the 335 s-class path the CSR regime
     * exists to kill. SPARK_GRAFT_SSSP_CAPPED_DIRTY=0 restores the decline
     * (the A/B control for measurement campaigns). */
-  @volatile private[graft] var cappedDirtyInHeap: Boolean =
+  private[graft] val cappedDirtyInHeap: Boolean =
     !sys.env.get("SPARK_GRAFT_SSSP_CAPPED_DIRTY").contains("0")
 
   /** Serializes the tail-cache build's set/persist/restore of the shared
@@ -354,9 +357,10 @@ object TransitSssp {
     pmod(xxhash64(tripCol), lit(1 << 30)).cast("int")
 
   /** Checkpoint at the PIN storage level (static frames). */
-  private[graph] def ckptPin(df: DataFrame): DataFrame =
+  private[graph] def ckptPin(df: DataFrame,
+      ser: Boolean = serializedGrid): DataFrame =
     org.apache.spark.sql.graftbridge.CheckpointBridge.flattenStats(
-      if (serializedGrid && !deserializedPins) df.localCheckpoint(true,
+      if (ser && !deserializedPins) df.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       else df.localCheckpoint(true))
 
@@ -372,9 +376,10 @@ object TransitSssp {
     * in-loop join shapes are hint- or partitioning-driven (broadcast()
     * on the sparse frontier, pinned SMJ elsewhere) and AQE re-plans from
     * actual sizes, so no plan choice regresses. */
-  private[graph] def ckpt(df: DataFrame): DataFrame =
+  private[graph] def ckpt(df: DataFrame,
+      ser: Boolean = serializedGrid): DataFrame =
     org.apache.spark.sql.graftbridge.CheckpointBridge.flattenStats(
-      if (serializedGrid) df.localCheckpoint(true,
+      if (ser) df.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       else df.localCheckpoint(true))
   private def tlog(msg: => String): Unit = if (trace) println(s"[transit-sssp] $msg")
@@ -390,8 +395,48 @@ object TransitSssp {
 
 /** See the companion's scaladoc above for the algorithm. Instances hold the
   * call-invariant state: the per-trip ride-cost prefix and the CHANGE edge
-  * slice, both checkpointed lazily on first use and shared by every run. */
-final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
+  * slice, both checkpointed lazily on first use and shared by every run.
+  *
+  * The capped-regime knobs are PER-INSTANCE constructor parameters with the
+  * companion's env-seeded production defaults (r18, r17 verdict #2 — the
+  * @volatile vars they replace were process-global mutable state: the
+  * zero-cycle catalog row's try/finally mutation window disabled the
+  * capped-CSR regime for any concurrent routing call in the JVM). Specs
+  * and the catalog row pass values here; nothing mutates after
+  * construction. */
+final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame,
+    /** Edge budget for the clock-capped driver-CSR regime; 0 disables it
+      * (companion val scaladoc for the budget arithmetic). */
+    cappedCsrMaxEdges: Long = TransitSssp.cappedCsrMaxEdges,
+    /** Node-count floor below which capped runs keep the shared uncapped
+      * pin; specs force the capped path at fixture scale by passing 0. */
+    cappedSliceMinNodes: Long = TransitSssp.cappedSliceMinNodes,
+    /** Clock-cap bucket granularity of the memoized capped slices. */
+    cappedSlicePadSecs: Long = TransitSssp.cappedSlicePadSecs,
+    /** false restores the r14 decline on negative-weight capped subgraphs
+      * (the A/B control for measurement campaigns). */
+    cappedDirtyInHeap: Boolean = TransitSssp.cappedDirtyInHeap,
+    /** Grid/round checkpoint storage level (companion val scaladoc). */
+    serializedGrid: Boolean = TransitSssp.serializedGrid,
+    /** Max ride∘change depths per batched sparse-tail round; 1 = the r11
+      * un-batched shape (A/B control). */
+    tailK: Int = TransitSssp.tailK,
+    /** Base-row floor for tail batching; specs pass 0 to force the
+      * batched path onto fixture graphs. */
+    tailBatchMinBase: Long = TransitSssp.tailBatchMinBase,
+    /** true bypasses the prune granularity gate (spec hook). */
+    tailPruneForce: Boolean = TransitSssp.tailPruneForce,
+    /** Plain tail rounds before the amortized machinery builds; specs
+      * pass 0 to force the builds onto fixture graphs. */
+    tailLazyRounds: Int = TransitSssp.tailLazyRounds) {
+
+  /** Instance-level checkpoint helpers at this instance's storage level
+    * (the companion versions keep the env-seeded default for one-shot
+    * diagnostic callers). */
+  private def ckptG(df: DataFrame): DataFrame =
+    TransitSssp.ckpt(df, serializedGrid)
+  private def ckptPinG(df: DataFrame): DataFrame =
+    TransitSssp.ckptPin(df, serializedGrid)
 
   private val spark = nodes.sparkSession
   private val bridge = org.apache.spark.sql.graftbridge.CheckpointBridge
@@ -442,7 +487,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // the resolution joins, the capped-slice acum lookups — skip a
       // full prefix-side sort per call (25M rows at the 100× point).
       .transform(bridge.pinnedCheckpoint(_, nPart, Seq("trip_id"),
-        Seq("trip_id", "stop_sequence"), TransitSssp.ckptPin))
+        Seq("trip_id", "stop_sequence"), ckptPinG))
     TransitSssp.tlog(f"trip-prefix pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     preparedForced = true
     p
@@ -517,7 +562,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // Exchange, so the pinned plan itself is unchanged)
       .observe(obs, count(lit(1)).as("rows"))
       .transform(bridge.pinnedCheckpoint(_, n, Seq("s_trip"),
-        Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
+        Seq("s_trip", "s_seq"), ckptPinG))
     changeRowCount = obs.get("rows").asInstanceOf[Long]
     TransitSssp.tlog(f"change-slice pin (enriched=$enrichedEdges%s, " +
       f"$changeRowCount%d rows) ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -534,7 +579,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   private lazy val tripAdj = {
     val t0 = System.nanoTime()
     val a = change.select(col("s_trip"), col("d_trip")).distinct()
-      .transform(TransitSssp.ckptPin)
+      .transform(ckptPinG)
     TransitSssp.tlog(f"trip-adjacency pin ${(System.nanoTime() - t0) / 1e9}%.2f s")
     tripAdjForced = true
     a
@@ -602,7 +647,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   private[graft] def cappedBucketCount: Int = cappedSlices.size()
 
   private def bucketOf(clockCap: Double): Long = {
-    val pad = math.max(1L, TransitSssp.cappedSlicePadSecs)
+    val pad = math.max(1L, cappedSlicePadSecs)
     math.ceil(clockCap / pad).toLong
   }
 
@@ -628,11 +673,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * uncapped pin is. */
   private def selectRun(clockCap: Double): RunSlices =
     if (clockCap.isPosInfinity ||
-        nodeCount < TransitSssp.cappedSliceMinNodes) RunSlices(change, None)
+        nodeCount < cappedSliceMinNodes) RunSlices(change, None)
     else bucketCell(clockCap).slices
 
   private def buildSlices(bucket: Long): RunSlices = {
-    val pad = math.max(1L, TransitSssp.cappedSlicePadSecs)
+    val pad = math.max(1L, cappedSlicePadSecs)
     val padCap = (bucket * pad).toDouble
     val t0 = System.nanoTime()
     val capped = prepared.filter(col("dep_secs") <= padCap)
@@ -653,7 +698,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // slice-sized pin instead of re-filtering the whole-day prefix
       val posPin = capped.transform(bridge.pinnedCheckpoint(_, nPart,
         Seq("trip_id"), Seq("trip_id", "stop_sequence"),
-        TransitSssp.ckptPin))
+        ckptPinG))
       val c = (if (enrichedEdges)
         // enriched edges already carry positions/w_rel — the cap
         // restriction is two broadcast SEMI-joins on bare id sets
@@ -683,7 +728,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
             col("d_acum"))
       })
         .transform(bridge.pinnedCheckpoint(_, nPart, Seq("s_trip"),
-          Seq("s_trip", "s_seq"), TransitSssp.ckptPin))
+          Seq("s_trip", "s_seq"), ckptPinG))
       TransitSssp.tlog(f"capped slice bucket=$bucket%d ($nCapped%d pos " +
         f"rows) ${(System.nanoTime() - t0) / 1e9}%.2f s")
       RunSlices(c, Some(posPin), nCapped)
@@ -722,7 +767,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // reads off the pinned slice (one cheap count): PRECEDES ≤ nPos.
     val sliceRows = slice.count()
     val est = nPos + sliceRows
-    if (est > TransitSssp.cappedCsrMaxEdges) {
+    if (est > cappedCsrMaxEdges) {
       TransitSssp.tlog(f"capped csr bucket=$bucket%d: ~$est%d edges over " +
         "budget - staying distributed")
       return None
@@ -754,7 +799,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     // 335 s-class hub fallback the r14 decline cost. The knob restores
     // the decline for A/B control runs.
     val negative = rows.exists(_._3 < 0.0)
-    if (negative && !TransitSssp.cappedDirtyInHeap) {
+    if (negative && !cappedDirtyInHeap) {
       TransitSssp.tlog(f"capped csr bucket=$bucket%d: negative-weight " +
         "edge (non-monotone feed), in-heap fallback disabled - staying " +
         "distributed")
@@ -785,13 +830,13 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     * collect) when the regime can never engage here (r14 ADVICE). The
     * node count is the memoized projection count — no extra job. */
   def cappedEligible: Boolean =
-    TransitSssp.cappedCsrMaxEdges > 0L &&
-      nodeCount >= TransitSssp.cappedSliceMinNodes
+    cappedCsrMaxEdges > 0L &&
+      nodeCount >= cappedSliceMinNodes
 
   def runForTargetsCapped(sources: Set[Long], targets: Set[Long],
       clockCap: Double): Option[ShortestPaths.TargetRun] =
-    if (clockCap.isPosInfinity || TransitSssp.cappedCsrMaxEdges <= 0L ||
-        nodeCount < TransitSssp.cappedSliceMinNodes) None
+    if (clockCap.isPosInfinity || cappedCsrMaxEdges <= 0L ||
+        nodeCount < cappedSliceMinNodes) None
     else {
       val cell = bucketCell(clockCap)
       cell.csr.filter { g =>
@@ -824,7 +869,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
   @volatile private var tripLenForced = false
   private lazy val tripLen = {
     val d = prepared.groupBy("trip_id").agg(count(lit(1)).as("len"))
-      .transform(TransitSssp.ckptPin)
+      .transform(ckptPinG)
     tripLenForced = true
     d
   }
@@ -1055,7 +1100,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           col("ndist").as("dist"),
           (col("cdist").isNotNull && (col("rdist").isNull ||
             col("cdist") < col("rdist"))).as("fresh"))
-        .transform(TransitSssp.ckpt)
+        .transform(ckptG)
       val improved = obs.get("improved").asInstanceOf[Long]
       converged = improved == 0L
       sparse = !converged && improved <= sparseThreshold &&
@@ -1144,9 +1189,9 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     *    spans all fresh trips and its forced merge clears the flags;
     *    afterwards pipelined rounds never set fresh, so the frontier is
     *    carried entirely by pending).
-    * 3. K-DEPTH BATCHING (above [[TransitSssp.tailBatchMinBase]] grid
+    * 3. K-DEPTH BATCHING (above [[tailBatchMinBase]] grid
     *    rows): a round may expand the frontier's (src, trip) set up to
-    *    [[TransitSssp.tailK]] change-hops through the pinned trip-level
+    *    [[tailK]] change-hops through the pinned trip-level
     *    adjacency, pull ONE base slice + ONE change slice covering the
     *    expansion, and iterate ride∘change entirely in-slice — depth
     *    d's candidates land within d+1 ≤ k hops, inside the slice by
@@ -1178,7 +1223,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       runChange: DataFrame): (DataFrame, Int) = {
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
     val base =
-      if (TransitSssp.deserializedTailBase && TransitSssp.serializedGrid) {
+      if (TransitSssp.deserializedTailBase && serializedGrid) {
         val t0 = System.nanoTime()
         val b = org.apache.spark.sql.graftbridge.CheckpointBridge.flattenStats(
           lastFull.localCheckpoint(true))
@@ -1190,16 +1235,16 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
     var ov = base.filter(col("fresh"))
       .select(col("src"), col("trip_id"), col("stop_sequence"),
         col("dist"), col("fresh"))
-      .transform(TransitSssp.ckpt)
+      .transform(ckptG)
     val baseCount = base.count()
-    val batchEnabled = baseCount >= TransitSssp.tailBatchMinBase
+    val batchEnabled = baseCount >= tailBatchMinBase
     // ROW-based expansion budget (trip lengths vary 2..500+ across
     // feeds): a batched slice stays ≤ ~1/6 of base, so k inner rounds
     // over it cost about one full-base round while replacing k base
     // touches. The pair cap bounds the broadcast the slice pull ships.
     val rowBudget = math.max(65536L, baseCount / 6L)
     val pairMax = 512L * 1024L
-    val kMax = math.max(1, TransitSssp.tailK)
+    val kMax = math.max(1, tailK)
     var it = itStart
     var converged = false
     // entry overlay rows carry the full loop's fresh flags; the first
@@ -1233,7 +1278,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       else {
         val t0 = System.nanoTime()
         runAdjBuilt = runChange.select(col("s_trip"), col("d_trip"))
-          .distinct().transform(TransitSssp.ckptPin)
+          .distinct().transform(ckptPinG)
         TransitSssp.tlog(f"run trip-adjacency pin " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s")
         runAdjBuilt
@@ -1273,7 +1318,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       // most batches match any frontier and the predicate is pure
       // row-level overhead (measured 20–47 s/round at 3×). Specs
       // force-enable to pin the pruned path's parity at fixture scale.
-      pruneEnabled = TransitSssp.tailPruneForce ||
+      pruneEnabled = tailPruneForce ||
         baseCount / nTrips >= TransitSssp.tailPruneBatchSize / 4
       probeBase = bc; probeChange = cc; cachesReady = true
       TransitSssp.tlog(f"tail sorted cache copies ($baseCount%d base rows, " +
@@ -1347,7 +1392,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       val ride = cur.withColumn("rdist", rideCol)
         .observe(chObs, coalesce(sum(changedPred.cast("long")), lit(0L))
           .as("nch"))
-        .transform(TransitSssp.ckpt)
+        .transform(ckptG)
       val tRide = lap(itT0)
       if (chObs.get("nch").asInstanceOf[Long] == 0L) {
         rel(ride)
@@ -1408,7 +1453,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       val out = tagged
         .observe(obs, count(when(!col("pend"), lit(1))).as("nimp"),
           count(when(col("pend"), lit(1))).as("npend"))
-        .transform(TransitSssp.ckpt)
+        .transform(ckptG)
       rel(ride)
       val nImp = obs.get("nimp").asInstanceOf[Long]
       val nPend = obs.get("npend").asInstanceOf[Long]
@@ -1423,7 +1468,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           .unionByName(out.filter(!col("pend")).drop("pend"))
           .withColumn("rn", row_number().over(wPick))
           .filter(col("rn") === 1).drop("rn")
-          .transform(TransitSssp.ckpt)
+          .transform(ckptG)
         rel(ov)
         ov = mergedOv
       }
@@ -1465,7 +1510,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
 
     var tailRounds = 0
     while (it < maxIterations && !converged
-        && tailRounds < TransitSssp.tailLazyRounds) {
+        && tailRounds < tailLazyRounds) {
       // plain early rounds: pipelined probes on the raw frozen base —
       // zero setup, one base touch per round (short capped tails end
       // here without ever paying the cache/adjacency builds)
@@ -1491,7 +1536,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         val d = df
           .observe(obs, count(lit(1)).as("cnt"),
             coalesce(sum(col("len")), lit(0L)).as("rows"))
-          .transform(TransitSssp.ckpt)
+          .transform(ckptG)
         (d, obs.get("cnt").asInstanceOf[Long], obs.get("rows").asInstanceOf[Long])
       }
       val (frontTrips, fCnt, fRows) =
@@ -1540,12 +1585,12 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
         val sliceBase = prunedScan(probeBase, expTrips)
           .join(broadcast(pairs), Seq("src", "trip_id"))
           .drop("t_b")
-          .transform(TransitSssp.ckpt)
+          .transform(ckptG)
         val candEdges = prunedScan(probeChange, expTrips)
           .join(broadcast(expanded.select(col("trip_id").as("s_trip"))
             .distinct()), Seq("s_trip"))
           .drop("t_b")
-          .transform(TransitSssp.ckpt)
+          .transform(ckptG)
         val tPull = f"${(System.nanoTime() - mT0) / 1e9}%.2f"
         var depth = 0
         while (depth < kEff && !converged && it < maxIterations) {
@@ -1600,7 +1645,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .select(col("src"), col("trip_id"), col("stop_sequence"),
         coalesce(col("o_dist"), col("dist")).as("dist"),
         lit(false).as("fresh"))
-      .transform(TransitSssp.ckpt)
+      .transform(ckptG)
     rel(base); rel(ov)
     TransitSssp.tlog(f"sparse merge ${(System.nanoTime() - mT0) / 1e9}%.2f s")
     (full, it)
@@ -1764,7 +1809,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
       .join(broadcast(seed), Seq("trip_id", "stop_sequence"), "left")
       .select(col("trip_id"), col("stop_sequence"), col("dist"),
         when(col("dist") === col("srel"), lit(0L)).as("lev"))
-      .transform(TransitSssp.ckpt)
+      .transform(ckptG)
     // ride closure of levels: running min over the row's equal-rel run
     // (contiguous by the non-increasing converged rel; integer-valued
     // doubles, so the (trip_id, dist) partition key is exact)
@@ -1795,7 +1840,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame) {
           lit(0L)).as("improved"))
         .select(col("trip_id"), col("stop_sequence"), col("dist"),
           col("nlev").as("lev"))
-        .transform(TransitSssp.ckpt)
+        .transform(ckptG)
       converged = obs.get("improved").asInstanceOf[Long] == 0L
       rel(lev)
       lev = next

@@ -84,10 +84,11 @@ object Bpe {
   /** Hybrid-round cadence for re-measuring the symbol table against
     * [[InHeapStateMaxBytes]]: the footprint agg costs about one
     * full-table round, so checking every 256 rounds keeps the amortized
-    * overhead under half a percent. Var only as a spec hook (the
-    * mid-training handoff needs a per-round check on a 10-word fixture);
-    * production callers never touch it. */
-  @volatile private[graft] var InHeapHandoffCheckRounds: Int = 256
+    * overhead under half a percent. Production DEFAULT of train's
+    * per-call parameter (r18 — the @volatile spec hook it replaces was
+    * process-global mutable state; the mid-training handoff spec passes
+    * 1 per call on its 10-word fixture instead). */
+  private[graft] val InHeapHandoffCheckRounds: Int = 256
 
   /** "word" → " w  o  r  d " (double-space separators, single-space ends;
     * a trailing extra space is harmless to matching and trimmed before
@@ -122,7 +123,14 @@ object Bpe {
       overlayMaxAffected: Int = SymsOverlayMaxAffected,
       overlayMaxWords: Int = SymsOverlayMaxWords,
       baseTopRows: Int = BaseTopRows,
-      occIndexAfterSparseRounds: Int = OccIndexAfterSparseRounds)
+      occIndexAfterSparseRounds: Int = OccIndexAfterSparseRounds,
+      // r18 — the last three @volatile spec/measurement hooks, threaded
+      // the same way: per-call with production defaults, parity-pinned
+      // to identical merges (they shift wall time / storage level, never
+      // answers)
+      inHeapHandoffCheckRounds: Int = InHeapHandoffCheckRounds,
+      argmaxHeapMinSlack: Long = ArgmaxHeapMinSlack,
+      serializedCkpt: Boolean = serCkpt)
       : Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
@@ -147,7 +155,8 @@ object Bpe {
       trainLocal(w.as[(String, Long)].collect(), numMerges)
     else trainDistributed(w, numMerges, hybridMaxPairs, inHeapMaxBytes,
       overlayMaxAffected, overlayMaxWords, baseTopRows,
-      occIndexAfterSparseRounds)
+      occIndexAfterSparseRounds, inHeapHandoffCheckRounds,
+      argmaxHeapMinSlack, serializedCkpt)
   }
 
   /** Adjacent-pair weighted counts of a symbol table. */
@@ -281,7 +290,9 @@ object Bpe {
   private def trainDistributed(words: DataFrame, numMerges: Int,
       hybridMaxPairs: Long, inHeapMaxBytes: Long, overlayMaxAffected: Int,
       overlayMaxWords: Int, baseTopRows: Int,
-      occIndexAfterSparse: Int): Seq[(String, String)] = {
+      occIndexAfterSparse: Int, inHeapHandoffCheckRounds: Int,
+      argmaxHeapMinSlack: Long, ser: Boolean): Seq[(String, String)] = {
+    def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     // Eager localCheckpoint, not cache: each round's counts plan references
     // the previous round's syms plan TWICE (before/after aggregation), so
     // chained caches grow the logical plan quadratically — a 100-round run
@@ -316,7 +327,7 @@ object Bpe {
         lastRegimes.clear()
         lastRegimes.add("inheap")
         val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-        val idx = new PairMapIndex
+        val idx = new PairMapIndex(argmaxHeapMinSlack)
         counts.as[(String, String, Long)].collect()
           .foreach { case (a, b, n) => idx.seed(a, b, n) }
         rel(counts)
@@ -327,9 +338,11 @@ object Bpe {
         trainInHeap(state, idx, merges, numMerges)
       } else trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs,
         inHeapMaxBytes, overlayMaxAffected, overlayMaxWords, baseTopRows,
-        occIndexAfterSparse)
+        occIndexAfterSparse, inHeapHandoffCheckRounds, argmaxHeapMinSlack,
+        ser)
     } else trainTableLoop(syms, counts, merges, numMerges,
-      overlayMaxAffected, overlayMaxWords, baseTopRows, occIndexAfterSparse)
+      overlayMaxAffected, overlayMaxWords, baseTopRows, occIndexAfterSparse,
+      ser)
     merges.toSeq
   }
 
@@ -602,19 +615,22 @@ object Bpe {
       // required, not defaulted: a 0 default here silently disabled the
       // in-heap regime for any future internal caller (r14 ADVICE)
       inHeapMaxBytes: Long, overlayMaxAffected: Int, overlayMaxWords: Int,
-      baseTopRows: Int, occIndexAfterSparse: Int): Unit = {
+      baseTopRows: Int, occIndexAfterSparse: Int,
+      inHeapHandoffCheckRounds: Int, argmaxHeapMinSlack: Long,
+      ser: Boolean): Unit = {
     val spark = symsInit.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
+    def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     lastRegimes.add("hybrid")
     val rel = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
-    val map = new PairMapIndex
+    val map = new PairMapIndex(argmaxHeapMinSlack)
     countsInit.as[(String, String, Long)].collect()
       .foreach { case (a, b, n) => map.seed(a, b, n) }
     rel(countsInit)
-    val words = new WordOverlay(symsInit, overlayMaxWords)
+    val words = new WordOverlay(symsInit, overlayMaxWords, ser)
     // r17: the hybrid's deep-round floor was the same per-round affected
     // contains-scan the table loop had (counts live in the driver map
     // here, so the scan was the round's ONLY distributed job) — the
@@ -692,7 +708,7 @@ object Bpe {
         val handoff = words.handoff()
         trainTableLoop(handoff, pairCounts(handoff).transform(ckpt),
           merges, numMerges, overlayMaxAffected, overlayMaxWords, baseTopRows,
-          occIndexAfterSparse)
+          occIndexAfterSparse, ser)
         return
       }
       // Deep-merge hand-off (r14): merging SHRINKS the symbol strings, so
@@ -702,7 +718,7 @@ object Bpe {
       // costs about one round; on fit, collect and finish in-heap
       // (same map, same batch selection — merges stay bit-identical).
       if (inHeapMaxBytes > 0L && merges.size < numMerges && map.nonEmpty &&
-          round % InHeapHandoffCheckRounds == 0) {
+          round % inHeapHandoffCheckRounds == 0) {
         val footprint = inHeapFootprint(words.patched)
         if (footprint <= inHeapMaxBytes) {
           if (trace) println(s"[bpe] encoded state fits the in-heap bound " +
@@ -723,10 +739,11 @@ object Bpe {
   }
 
   /** Slack term of the per-round churn threshold that decides SCAN vs
-    * HEAP argmax mode (see [[PairMapIndex.roundStart]]). Var only as a
-    * spec hook: fixtures are too small to cross the default, so parity
-    * specs force scan mode by setting it negative. */
-  @volatile private[graft] var ArgmaxHeapMinSlack: Long = 1024L
+    * HEAP argmax mode (see [[PairMapIndex.roundStart]]). Production
+    * DEFAULT of train's per-call parameter (r18): fixtures are too small
+    * to cross it, so the heap≡scan parity spec forces scan mode by
+    * passing a negative value per call. */
+  private[graft] val ArgmaxHeapMinSlack: Long = 1024L
 
   /** Exact argmax index over the driver-resident pair-count map — the
     * shared selection state of the hybrid and in-heap regimes (r15). The
@@ -749,7 +766,7 @@ object Bpe {
     * [[ArgmaxHeapMinSlack]]. Both modes produce the identical
     * (n desc, a asc, b asc) UTF-8 rank order — merges are bit-identical
     * (BpeBatchSpec pins heap ≡ scan ≡ sequential). */
-  private final class PairMapIndex {
+  private final class PairMapIndex(argmaxHeapMinSlack: Long = ArgmaxHeapMinSlack) {
     private val map =
       scala.collection.mutable.HashMap.empty[(String, String), Long]
     private var heap: java.util.PriorityQueue[(String, String, Long)] = null
@@ -783,7 +800,7 @@ object Bpe {
       * argmax from last round's churn. */
     def roundStart(): Unit = {
       val highChurn =
-        updatesSinceRound > map.size / 8 + ArgmaxHeapMinSlack
+        updatesSinceRound > map.size / 8 + argmaxHeapMinSlack
       updatesSinceRound = 0L
       if (highChurn) heap = null
       else if (heap == null || heap.size > 4L * map.size + 1024L) rebuild()
@@ -929,6 +946,19 @@ object Bpe {
     * the index exists for, run batches of 1-4. */
   private[graft] val OccProbeMaxBatch: Int = 8
 
+  /** Hard TOTAL budget (entries, summed across a probe's tasks) for the
+    * occurrence-index probe's buffered (wid, symbols, count) rows — the
+    * driver-exposure bound (r17 ADVICE: the proof-sized cap alone reached
+    * ~4.6M entries/task at the 512k overlay bound). At ~100-200 B/entry
+    * this is ≤ ~200 MB worst-case transient, and the worst case needs a
+    * dense round to land exactly while the index is live. Above the
+    * budget's per-partition share, truncation stops PROVING density and
+    * the probe returns inconclusive instead — the bound+1-limited scan
+    * fallback decides, so answers never change. With the default
+    * overlayMaxAffected (64k) the dense-proof fast path stays available
+    * for probe overlays up to ~65k words. */
+  private[graft] val OccProbeMaxTotalRows: Int = 1 << 20
+
   /** Bound on the occurrence index's OWN driver overlay — every word
     * rewritten since the index build (decoupled from WordOverlay's
     * checkpoint cycle, whose refreezes would otherwise force a corpus-
@@ -963,7 +993,9 @@ object Bpe {
     * checkpoint on its own bound; dense rounds replace the base outright
     * (folding the overlay in). Owns the base checkpoint — callers exit
     * through [[handoff]] or [[release]]. */
-  private final class WordOverlay(symsInit: DataFrame, maxWords: Int) {
+  private final class WordOverlay(symsInit: DataFrame, maxWords: Int,
+      ser: Boolean = Bpe.serCkpt) {
+    private def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     private val spark = symsInit.sparkSession
     def session: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
@@ -996,8 +1028,14 @@ object Bpe {
     def set(wid: Long, s: String, count: Long): Unit = {
       ovW.update(wid, s); ovC.update(wid, count)
     }
-    /** Returns true when the bound tripped and the overlay refroze — the
-      * occurrence index (built against the OLD freeze) must rebuild. */
+    /** Refreezes when the overlay crosses its bound. An overlay refreeze
+      * does NOT invalidate a live occurrence index: the index masks
+      * rewritten words through its own ovI overlay (every set() lands
+      * there via the caller), so entries keyed to the old freeze are
+      * never served stale — both call sites rely on this invariant and
+      * deliberately take no action on the return (r17 ADVICE: the
+      * previous doc said the index "must rebuild", inviting an
+      * unnecessary rebuild). Boolean kept for spec observability only. */
     def maybeRefreeze(): Boolean =
       if (ovW.size > maxWords) { refreeze(); true } else false
     def refreeze(): Unit = if (ovW.nonEmpty) {
@@ -1118,23 +1156,41 @@ object Bpe {
           streak >= trigger.toLong * backoff && avgAff <= OccIndexMaxMeanAff)
         build()
     /** Some((rows, certainDense)): the exact affected set, or a proof the
-      * round is dense; None: no index / batch too wide → take the scan. */
+      * round is dense; None: no index / batch too wide / truncation past
+      * the memory budget (inconclusive — the scan fallback decides). */
     def probe(batch: Seq[(String, String)], needleStrs: Seq[String],
         bound: Int): Option[(IndexedSeq[(Long, String, Long)], Boolean)] =
       idx match {
         case Some(i) if batch.size <= OccProbeMaxBatch =>
           val pairSet = batch.toSet
-          // Per-task truncation bound, chosen so truncation PROVES
-          // density: a truncated task saw ≥ batch×(bound+1+overlaySize)
-          // raw entries, and raw entries over-count distinct affected
-          // words by at most ×batch (duplicates) plus overlaySize
-          // (masked stale rows) — so even after driver dedup+masking,
-          // distinct affected > bound.
-          val cap = math.min(Int.MaxValue.toLong,
-            batch.size.toLong * (bound.toLong + 1L + ovI.size)).toInt
-          val pids = batch.map(partitioner.getPartition(_)).distinct.toArray
+          // Truncation bounds (r17 ADVICE — the old batch-wide per-task
+          // cap reached ~4.6M buffered entries per task with the overlay
+          // near its 512k bound). Two changes, both memory-bounding:
+          //  - the proof bound is PARTITION-LOCAL: a word contributes at
+          //    most nPairs_p entries to partition p (one per contained
+          //    batch pair hashed there, pairs array_distinct at build),
+          //    so rawEntries_p > nPairs_p×(bound+1+ovI.size) already
+          //    proves distinct live affected words > bound — the ×batch
+          //    factor only ever applied across partitions.
+          //  - a hard TOTAL budget [[OccProbeMaxTotalRows]] caps driver
+          //    exposure: when the proof bound exceeds the budget's
+          //    per-partition share (large overlay), tasks truncate at the
+          //    share and truncation is INCONCLUSIVE → None, and the scan
+          //    fallback (itself bound+1-limited) decides sparse/dense.
+          val perPair = bound.toLong + 1L + ovI.size
+          val canProve = batch.size.toLong * perPair <= OccProbeMaxTotalRows
+          val pidPairs = batch.groupBy(partitioner.getPartition(_))
+            .map { case (p, xs) => (p, xs.size) }
+          val pids = pidPairs.keys.toArray
+          val caps = pidPairs.map { case (p, n) =>
+            (p, math.min(n.toLong * perPair,
+              math.max(1L, OccProbeMaxTotalRows.toLong * n / batch.size))
+              .toInt)
+          }
           val parts = spark.sparkContext.runJob(i,
-            (it: Iterator[((String, String), (Long, String, Long))]) => {
+            (ctx: org.apache.spark.TaskContext,
+             it: Iterator[((String, String), (Long, String, Long))]) => {
+              val cap = caps(ctx.partitionId())
               val buf =
                 new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
               var truncated = false
@@ -1147,8 +1203,10 @@ object Bpe {
               }
               (buf, truncated)
             }, scala.collection.immutable.ArraySeq.unsafeWrapArray(pids))
-          if (parts.exists(_._2)) Some((IndexedSeq.empty, true)) // dense, proven
-          else {
+          if (parts.exists(_._2)) {
+            if (canProve) Some((IndexedSeq.empty, true)) // dense, proven
+            else None // budget-truncated: inconclusive, scan decides
+          } else {
             val seen = new java.util.HashSet[java.lang.Long]
             val out =
               new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
@@ -1267,7 +1325,8 @@ object Bpe {
   private def trainTableLoop(symsInit: DataFrame, countsInit: DataFrame,
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
       numMerges: Int, overlayMaxAffected: Int, overlayMaxWords: Int,
-      baseTopRows: Int, occIndexAfterSparse: Int): Unit = {
+      baseTopRows: Int, occIndexAfterSparse: Int, ser: Boolean): Unit = {
+    def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     lastRegimes.add("tableloop")
     val spark = symsInit.sparkSession
     import spark.implicits._
@@ -1278,7 +1337,7 @@ object Bpe {
     // syms: frozen base + bounded driver overlay (see [[WordOverlay]]) —
     // deep rounds touch a handful of words, so materializing a
     // table-sized checkpoint per round is pure write amplification
-    val words = new WordOverlay(symsInit, overlayMaxWords)
+    val words = new WordOverlay(symsInit, overlayMaxWords, ser)
     var base = countsInit
     // overlay: CURRENT count of every pair touched since the freeze
     // (≤ 0 entries retained — they mask a consumed base row); `cand`
@@ -1543,13 +1602,15 @@ object Bpe {
     * SERIALIZED — measurement knob mirroring TransitSssp's grid storage
     * decision; off by default pending a measured win (BPE's tables are
     * ~100 MB of short strings, an order below the grid sizes where heap
-    * churn was the proven pathology). */
-  @volatile private[graft] var serCkpt: Boolean =
+    * churn was the proven pathology). Env-seeded DEFAULT of train's
+    * per-call parameter (r18): the both-levels parity spec passes each
+    * value per call instead of mutating a global. */
+  private[graft] val serCkpt: Boolean =
     sys.env.get("SPARK_GRAFT_BPE_SER").contains("1")
 
-  /** Eager local checkpoint at the configured storage level. */
-  private def ckpt(df: DataFrame): DataFrame =
-    if (serCkpt) df.localCheckpoint(true,
+  /** Eager local checkpoint at the given storage level. */
+  private def ckpt(df: DataFrame, ser: Boolean): DataFrame =
+    if (ser) df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else df.localCheckpoint(true)
 

@@ -33,7 +33,12 @@ final class TimeExpandedGraph(val nodes: DataFrame,
       * pay the whole CHANGE pipeline for a stop scan. First
       * `edges`/`schedCache` access evaluates the thunk once. */
     buildEdges: () => (DataFrame, Seq[DataFrame]),
-    val ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges) {
+    val ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges,
+    // capped-regime knobs of the projection's TransitSssp runner, threaded
+    // per-instance (r18, r17 verdict #2) — engine-level callers pass them
+    // the same way they pass ssspLocalThreshold
+    val cappedCsrMaxEdges: Long = graft.graph.TransitSssp.cappedCsrMaxEdges,
+    val cappedSliceMinNodes: Long = graft.graph.TransitSssp.cappedSliceMinNodes) {
 
   // Forced-flags are written inside lazy-val initializers and read from
   // other threads (journey() warms the index concurrently with near-stop
@@ -118,7 +123,9 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     // one transit runner per projection: its trip-prefix and CHANGE frames
     // are call-invariant and pinned on first use, shared across calls —
     // the distributed twin of the local regime's held CSR
-    lazy val transit = new graft.graph.TransitSssp(nodes, changeEnriched)
+    lazy val transit = new graft.graph.TransitSssp(nodes, changeEnriched,
+      cappedCsrMaxEdges = cappedCsrMaxEdges,
+      cappedSliceMinNodes = cappedSliceMinNodes)
     new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold,
       distributedRunner = Some(srcs => transit.run(srcs)),
       distributedStaged = Some { (srcs, costCap, clockCap) =>
@@ -203,9 +210,10 @@ object TimeExpandedGraph {
     * enrich for free regardless; an under-estimated big feed merely keeps
     * the legacy join-built pin — the r13 shape, correct and spec-pinned,
     * never a wrong plan. Same stats-not-jobs posture as the WALK_TO
-    * broadcast gate above. Var: specs zero it to force enrichment onto
-    * fixture-scale feeds. */
-  @volatile private[graft] var EnrichMinStatBytes: Long = 64L << 20
+    * broadcast gate above. Production DEFAULT of build's per-call
+    * parameter (r18): specs force enrichment onto fixture-scale feeds by
+    * passing 0 per call, not by mutating a global. */
+  private[graft] val EnrichMinStatBytes: Long = 64L << 20
 
   /** Stable node id for a stoptime. */
   def nodeId(tripId: org.apache.spark.sql.Column, seq: org.apache.spark.sql.Column) =
@@ -237,7 +245,10 @@ object TimeExpandedGraph {
     * GraphBuilder.walkTo — day-independent). */
   def build(g: GtfsTables, day: java.sql.Date, speed: Double,
       walkToEdges: DataFrame,
-      ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges)
+      ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges,
+      cappedCsrMaxEdges: Long = graft.graph.TransitSssp.cappedCsrMaxEdges,
+      cappedSliceMinNodes: Long = graft.graph.TransitSssp.cappedSliceMinNodes,
+      enrichMinStatBytes: Long = EnrichMinStatBytes)
       : TimeExpandedGraph = {
 
     // J1 calendar chain: Day ← Service ← Trip ← Stoptime → Stop (+ Route).
@@ -256,7 +267,7 @@ object TimeExpandedGraph {
     val hasStoredAcum = g.stopTimes.columns.contains("ride_acum")
     val enrich = hasStoredAcum ||
       g.stopTimes.queryExecution.optimizedPlan.stats.sizeInBytes >=
-        BigInt(EnrichMinStatBytes)
+        BigInt(enrichMinStatBytes)
     val nodes = g.stopTimes
       .join(broadcast(dayTrips), Seq("trip_id"))
       .join(broadcast(g.stops), Seq("stop_id"))
@@ -459,6 +470,7 @@ object TimeExpandedGraph {
       Seq(schedAtCached))
     }
 
-    new TimeExpandedGraph(nodes, () => edgesAndSched(), ssspLocalThreshold)
+    new TimeExpandedGraph(nodes, () => edgesAndSched(), ssspLocalThreshold,
+      cappedCsrMaxEdges, cappedSliceMinNodes)
   }
 }

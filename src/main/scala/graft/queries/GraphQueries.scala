@@ -158,19 +158,21 @@ object GraphQueries {
       (s, _) => {
         import graft.graph.TransitSssp
         val tables = graft.etl.SyntheticGtfs.zeroCycleFeed(s)
-        val (maxE, srv0) =
-          (TransitSssp.cappedCsrMaxEdges, TransitSssp.acyclicResolveServed.get())
-        val (schema, rows) = try {
-          TransitSssp.cappedCsrMaxEdges = 0L // over-budget: distributed only
-          // default path extraction (driver walk at this cardinality):
-          // the row exists to prove the DISTRIBUTED fixpoint's acyclic
-          // repair serves the route — pointer doubling is already under
-          // the oracle via gtfs_routing_distributed, and forcing it here
-          // only adds fixture-scale scheduling rounds to every bench
-          val d = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L)
-            .routing("2024-01-18", 1.0, "13:50:00", "Start", "End")
-          (d.schema, d.collect())
-        } finally TransitSssp.cappedCsrMaxEdges = maxE
+        val srv0 = TransitSssp.acyclicResolveServed.get()
+        // per-call regime forcing (r18, r17 verdict #2 — no global
+        // mutation window: a concurrent routing call keeps its own
+        // capped-CSR budget): ssspLocalThreshold = 0 kills the in-heap
+        // regimes, cappedCsrMaxEdges = 0 kills the capped CSR — only the
+        // distributed fixpoint's acyclic repair can serve.
+        // Default path extraction (driver walk at this cardinality):
+        // the row exists to prove the DISTRIBUTED fixpoint's acyclic
+        // repair serves the route — pointer doubling is already under
+        // the oracle via gtfs_routing_distributed, and forcing it here
+        // only adds fixture-scale scheduling rounds to every bench
+        val d = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L,
+          cappedCsrMaxEdges = 0L)
+          .routing("2024-01-18", 1.0, "13:50:00", "Start", "End")
+        val (schema, rows) = (d.schema, d.collect())
         require(TransitSssp.acyclicResolveServed.get() > srv0,
           "zero-cycle row did not take the acyclic re-resolution path")
         s.createDataFrame(s.sparkContext.parallelize(

@@ -29,10 +29,12 @@ object Pipeline {
   /** Corpus Catalyst-stat floor above which the EXACT contamination row
     * takes the Bloom-prefiltered plan and caches the benchmark grams
     * (see [[contaminationPlan]]) — the same stats-not-jobs posture as
-    * TimeExpandedGraph.EnrichMinStatBytes. Var: the 100×-corpus probe
-    * (tools.TimeContamination) raises it to force the semi-join control
-    * at scale; production never touches it. */
-  @volatile private[graft] var ContaminationBloomMinStatBytes: Long = 64L << 20
+    * TimeExpandedGraph.EnrichMinStatBytes. Production DEFAULT of the
+    * per-call parameter: the 100×-corpus probe (tools.TimeContamination)
+    * and the lifecycle spec pass their own values per call instead of
+    * mutating a global (r17 verdict #5 — the same de-globalization the
+    * Bpe overlay hooks got in r17). */
+  private[graft] val ContaminationBloomMinStatBytes: Long = 64L << 20
 
   /** Corpus-stat ceiling for BROADCASTING the benchmark grams into the
     * exact-verify join (r17, measured at the 6M-doc / 9.9M-gram point
@@ -45,10 +47,10 @@ object Pipeline {
     * hint drops and AQE picks the join from runtime sizes. The corpus
     * stat is the right proxy HERE because this builder derives the
     * benchmark from the corpus (doc_id % 20); 4 GiB ≈ a ~12 GB relation,
-    * past the practical broadcast cliff. Var as a measurement hook
-    * (TimeContamination forces the shuffled shape); production default
-    * never moves. */
-  @volatile private[graft] var ContaminationBroadcastVerifyMaxStatBytes: Long =
+    * past the practical broadcast cliff. Production DEFAULT of the
+    * per-call parameter (TimeContamination forces the shuffled shape by
+    * passing 0 per call — no global mutation). */
+  private[graft] val ContaminationBroadcastVerifyMaxStatBytes: Long =
     4L << 30
 
   /** Caches a query builder RETAINED because its returned plan still reads
@@ -94,8 +96,14 @@ object Pipeline {
     * semi-join at fixture scale (no sketch job), bloom prefilter + exact
     * verify at deployment scale, where the semi-join's full-stream hash
     * probe disappears from the plan. */
-  private def contaminationPlan(s: org.apache.spark.sql.SparkSession,
-      dir: String, forceBloom: Boolean): org.apache.spark.sql.DataFrame = {
+  private[graft] def contaminationPlan(s: org.apache.spark.sql.SparkSession,
+      dir: String, forceBloom: Boolean,
+      // per-call measurement hooks with production defaults (knob
+      // scaladocs above); TimeContamination and RuntimeSpec pass values
+      // here instead of mutating process-global state
+      bloomMinStatBytes: Long = ContaminationBloomMinStatBytes,
+      broadcastVerifyMaxStatBytes: Long = ContaminationBroadcastVerifyMaxStatBytes)
+      : org.apache.spark.sql.DataFrame = {
     val docs = t(s, dir, "documents")
     // tokenize in a separate projection: referencing tokens(text) inside
     // the tokenGrams lambda would re-tokenize once PER GRAM
@@ -107,7 +115,7 @@ object Pipeline {
     // read the benchmark grams — uncached, that tokenize/explode/distinct
     // pipeline re-scans the corpus twice)
     val statBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val big = statBytes >= BigInt(ContaminationBloomMinStatBytes)
+    val big = statBytes >= BigInt(bloomMinStatBytes)
     val useBloom = forceBloom || big
     val bench0 = g.filter(col("doc_id") % 20 === 0).select("gram").distinct()
     val bench =
@@ -141,7 +149,7 @@ object Pipeline {
     // the pinned catalog plan shapes keep their oracle-checked form.
     val verifySide =
       if (useBloom && big &&
-          statBytes >= BigInt(ContaminationBroadcastVerifyMaxStatBytes)) bench
+          statBytes >= BigInt(broadcastVerifyMaxStatBytes)) bench
       else broadcast(bench)
     pre.join(verifySide, Seq("gram"))
       .groupBy("doc_id").agg(countDistinct("gram").as("n_shared_8grams"))

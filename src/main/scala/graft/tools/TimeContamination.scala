@@ -77,8 +77,16 @@ object TimeContamination {
       walk(p)
       peak
     }
-    def run(): (Long, Long, Double, Boolean, Long) = {
-      val df = graft.SparkEntry.queries("pipeline_contamination")(spark, dir)
+    // per-call knob overrides (r18: the global @volatile hooks became
+    // contaminationPlan parameters — each leg passes its own values)
+    def run(bloomMinStatBytes: Long =
+              graft.queries.Pipeline.ContaminationBloomMinStatBytes,
+            broadcastVerifyMaxStatBytes: Long =
+              graft.queries.Pipeline.ContaminationBroadcastVerifyMaxStatBytes)
+        : (Long, Long, Double, Boolean, Long) = {
+      val df = graft.queries.Pipeline.contaminationPlan(spark, dir,
+        forceBloom = false, bloomMinStatBytes = bloomMinStatBytes,
+        broadcastVerifyMaxStatBytes = broadcastVerifyMaxStatBytes)
       val plan = df.queryExecution.executedPlan.toString
       val bloomInPlan = plan.contains("GraftBloomMightContain") ||
         plan.toLowerCase.contains("might_contain")
@@ -111,22 +119,14 @@ object TimeContamination {
     val (rB, dB, sB, pB, bB) = run() // default gate → bloom plan at this scale
     println(f"bloom-gated:   rows=$rB%d digest=$dB%d wall=$sB%.1f s " +
       f"bloomInPlan=$pB%s peakBroadcast=${bB / (1 << 20)}%d MB")
-    val prev = graft.queries.Pipeline.ContaminationBloomMinStatBytes
-    val (rE, dE, sE, pE, bE) = try {
-      graft.queries.Pipeline.ContaminationBloomMinStatBytes = Long.MaxValue
-      run() // forced semi-join control
-    } finally graft.queries.Pipeline.ContaminationBloomMinStatBytes = prev
+    // forced semi-join control: gate raised per-call to MaxValue
+    val (rE, dE, sE, pE, bE) = run(bloomMinStatBytes = Long.MaxValue)
     println(f"semi-join ctl: rows=$rE%d digest=$dE%d wall=$sE%.1f s " +
       f"bloomInPlan=$pE%s peakBroadcast=${bE / (1 << 20)}%d MB")
     // third leg: bloom + SHUFFLED verify join — the past-the-broadcast-
     // cliff plan (ContaminationBroadcastVerifyMaxStatBytes scaladoc),
-    // forced by zeroing the ceiling
-    val prevV = graft.queries.Pipeline.ContaminationBroadcastVerifyMaxStatBytes
-    val (rS, dS, sS, pS, bS) = try {
-      graft.queries.Pipeline.ContaminationBroadcastVerifyMaxStatBytes = 0L
-      run()
-    } finally
-      graft.queries.Pipeline.ContaminationBroadcastVerifyMaxStatBytes = prevV
+    // forced by zeroing the ceiling per-call
+    val (rS, dS, sS, pS, bS) = run(broadcastVerifyMaxStatBytes = 0L)
     println(f"bloom+shuffle: rows=$rS%d digest=$dS%d wall=$sS%.1f s " +
       f"bloomInPlan=$pS%s peakBroadcast=${bS / (1 << 20)}%d MB")
     require(rB == rE && dB == dE, "bloom plan diverged from the semi-join")

@@ -195,21 +195,20 @@ class BetweennessSpec extends SparkSpec {
       .map(r => (r.getAs[String]("stop_name"),
         r.getAs[Number]("dep_secs").longValue(), r.getAs[Double]("score")))
       .sortBy(t => (t._1, t._2, t._3)).toSeq
-    def viaBound(bound: Long) = rows(Betweenness.ofProjectionImpl(g,
-      sources = None, seed = 42L, localThreshold = None,
-      transitAboveThreshold = false, clockCap = Double.PositiveInfinity,
-      defaultCsrBound = bound))
+    def viaBound(bound: Long,
+        budget: Long = TransitSssp.cappedCsrMaxEdges) =
+      rows(Betweenness.ofProjectionImpl(g,
+        sources = None, seed = 42L, localThreshold = None,
+        transitAboveThreshold = false, clockCap = Double.PositiveInfinity,
+        defaultCsrBound = bound, cappedInHeapBudget = budget))
     val viaDefault = rows(Betweenness.ofProjection(g))
     val viaRung = viaBound(1L)
     assert(viaRung == viaDefault,
       "capped-budget in-heap betweenness diverged from the CSR regime")
-    val maxE = TransitSssp.cappedCsrMaxEdges
-    try {
-      TransitSssp.cappedCsrMaxEdges = 0L
-      val viaControl = viaBound(1L)
-      assert(viaControl == viaDefault,
-        "budget-zeroed control (level-sync) diverged")
-    } finally TransitSssp.cappedCsrMaxEdges = maxE
+    // zeroed-budget control per call (r18 — no companion mutation)
+    val viaControl = viaBound(1L, budget = 0L)
+    assert(viaControl == viaDefault,
+      "budget-zeroed control (level-sync) diverged")
     // an explicit bound equal to the production default must ALSO bind
     // exactly (r16 — the r15 value-equality sentinel could not tell them
     // apart); on this tiny fixture both run the CSR branch, same rows

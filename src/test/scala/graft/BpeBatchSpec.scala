@@ -226,11 +226,8 @@ class BpeBatchSpec extends SparkSpec {
     val local = Bpe.train(df, 10)
     // round-0 footprint: 32 occurrences × 12 + 4 words × 48 = 576
     val budget = 570L
-    val cadence = Bpe.InHeapHandoffCheckRounds
-    val handed = try {
-      Bpe.InHeapHandoffCheckRounds = 1
-      Bpe.train(df, 10, localMaxWords = 0L, inHeapMaxBytes = budget)
-    } finally Bpe.InHeapHandoffCheckRounds = cadence
+    val handed = Bpe.train(df, 10, localMaxWords = 0L,
+      inHeapMaxBytes = budget, inHeapHandoffCheckRounds = 1)
     assert(handed == local,
       s"mid-training in-heap hand-off merges diverge:\n" +
         s"  local:  $local\n  handed: $handed")
@@ -253,11 +250,8 @@ class BpeBatchSpec extends SparkSpec {
     }.distinct
     val df = words.toDF("word", "count")
     val viaHeap = Bpe.train(df, 40, localMaxWords = 0L)
-    val slack = Bpe.ArgmaxHeapMinSlack
-    val viaScan = try {
-      Bpe.ArgmaxHeapMinSlack = Long.MinValue / 2
-      Bpe.train(df, 40, localMaxWords = 0L)
-    } finally Bpe.ArgmaxHeapMinSlack = slack
+    val viaScan = Bpe.train(df, 40, localMaxWords = 0L,
+      argmaxHeapMinSlack = Long.MinValue / 2)
     assert(viaHeap == viaScan,
       s"argmax modes diverge:\n  heap: $viaHeap\n  scan: $viaScan")
     assert(viaHeap == Bpe.train(df, 40), "distributed diverged from local")
@@ -269,15 +263,10 @@ class BpeBatchSpec extends SparkSpec {
     val words = Seq(("abcabc", 50L), ("abd", 40L), ("xbc", 35L), ("abc", 30L))
     val df = words.toDF("word", "count")
     val local = Bpe.train(df, 6)
-    val before = Bpe.serCkpt
-    val ser = try {
-      Bpe.serCkpt = true
-      Bpe.train(df, 6, localMaxWords = 0L, inHeapMaxBytes = 0L)
-    } finally Bpe.serCkpt = before
-    val deser = try {
-      Bpe.serCkpt = false
-      Bpe.train(df, 6, localMaxWords = 0L, inHeapMaxBytes = 0L)
-    } finally Bpe.serCkpt = before
+    val ser = Bpe.train(df, 6, localMaxWords = 0L, inHeapMaxBytes = 0L,
+      serializedCkpt = true)
+    val deser = Bpe.train(df, 6, localMaxWords = 0L, inHeapMaxBytes = 0L,
+      serializedCkpt = false)
     assert(ser == local && deser == local)
   }
 

@@ -129,20 +129,14 @@ class GtfsEngineSpec extends SparkSpec {
     import graft.graph.TransitSssp
     val tables = graft.api.DemoGtfs.tables(spark)
     def viaForced(csrBudget: Long): (Seq[String], Long) = {
-      val (minN, maxE) =
-        (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedCsrMaxEdges)
-      try {
-        TransitSssp.cappedSliceMinNodes = 0L
-        TransitSssp.cappedCsrMaxEdges = csrBudget
-        val before = TransitSssp.cappedCsrServed.get()
-        val eng = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L)
-        val seg = eng.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon")
-          .collect().map(_.toString).toSeq
-        (seg, TransitSssp.cappedCsrServed.get() - before)
-      } finally {
-        TransitSssp.cappedSliceMinNodes = minN
-        TransitSssp.cappedCsrMaxEdges = maxE
-      }
+      // r18: gates forced per-engine (constructor params), no global
+      // mutation window
+      val before = TransitSssp.cappedCsrServed.get()
+      val eng = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L,
+        cappedCsrMaxEdges = csrBudget, cappedSliceMinNodes = 0L)
+      val seg = eng.routing(Day, 1.0, "14:00:00", "Alpha", "Epsilon")
+        .collect().map(_.toString).toSeq
+      (seg, TransitSssp.cappedCsrServed.get() - before)
     }
     val (segCsr, served) = viaForced(1L << 40)
     assert(served >= 1L, "capped-CSR regime did not engage under forced gates")
@@ -264,15 +258,12 @@ class GtfsEngineSpec extends SparkSpec {
       eng.routing(Day, 1.0, "13:50:00", "Start", "End").collect().toSeq
     val segL = seg(new graft.api.RoutingEngine(tables)) // uncapped CSR
     val segD = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
-    val segC = { // forced capped-CSR regime on the same feed
+    val segC = { // forced capped-CSR regime on the same feed (per-engine)
       import graft.graph.TransitSssp
-      val (minN, srv0) =
-        (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedCsrServed.get())
-      try {
-        TransitSssp.cappedSliceMinNodes = 0L
-        val r = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
-        assert(TransitSssp.cappedCsrServed.get() > srv0); r
-      } finally TransitSssp.cappedSliceMinNodes = minN
+      val srv0 = TransitSssp.cappedCsrServed.get()
+      val r = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L,
+        cappedSliceMinNodes = 0L))
+      assert(TransitSssp.cappedCsrServed.get() > srv0); r
     }
     assert(segD == segC, "the two capped regimes must agree exactly")
     // uncapped keeps the dropped intermediate: one extra ride segment
@@ -329,18 +320,15 @@ class GtfsEngineSpec extends SparkSpec {
     val segL = seg(new graft.api.RoutingEngine(tables)) // uncapped local CSR
     val segD = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
     val segC = { // forced capped-CSR regime — must take the SPFA path
-      val (minN, srv0, neg0) = (TransitSssp.cappedSliceMinNodes,
-        TransitSssp.cappedCsrServed.get(),
+      val (srv0, neg0) = (TransitSssp.cappedCsrServed.get(),
         TransitSssp.cappedCsrNegativeServed.get())
-      try {
-        TransitSssp.cappedSliceMinNodes = 0L
-        val r = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
-        assert(TransitSssp.cappedCsrServed.get() > srv0,
-          "capped-CSR regime did not engage on the dirty feed")
-        assert(TransitSssp.cappedCsrNegativeServed.get() > neg0,
-          "dirty feed did not take the negative-weight in-heap path")
-        r
-      } finally TransitSssp.cappedSliceMinNodes = minN
+      val r = seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L,
+        cappedSliceMinNodes = 0L))
+      assert(TransitSssp.cappedCsrServed.get() > srv0,
+        "capped-CSR regime did not engage on the dirty feed")
+      assert(TransitSssp.cappedCsrNegativeServed.get() > neg0,
+        "dirty feed did not take the negative-weight in-heap path")
+      r
     }
     assert(segC == segD, "dirty-feed capped CSR diverged from distributed")
     assert(segC == segL, "dirty-feed capped CSR diverged from the local CSR")
@@ -401,12 +389,10 @@ class GtfsEngineSpec extends SparkSpec {
       eng.routing(Day, 1.0, "13:50:00", "Start", "End").collect().toSeq
     val segL = seg(new graft.api.RoutingEngine(tables)) // in-heap strict repair
     assert(segL.nonEmpty, "fixture must route in-heap")
-    val (maxE, srv0) =
-      (TransitSssp.cappedCsrMaxEdges, TransitSssp.acyclicResolveServed.get())
-    val segD = try {
-      TransitSssp.cappedCsrMaxEdges = 0L // over-budget: distributed only
-      seg(new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L))
-    } finally TransitSssp.cappedCsrMaxEdges = maxE
+    val srv0 = TransitSssp.acyclicResolveServed.get()
+    // over-budget: distributed only (per-engine zeroed CSR budget)
+    val segD = seg(new graft.api.RoutingEngine(tables,
+      ssspLocalThreshold = 0L, cappedCsrMaxEdges = 0L))
     assert(TransitSssp.acyclicResolveServed.get() > srv0,
       "the canonical walk did not cycle - the repair path never ran " +
         "(fixture id-order regressed?)")

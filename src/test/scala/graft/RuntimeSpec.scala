@@ -11,17 +11,15 @@ class RuntimeSpec extends SparkSpec {
   test("releaseAll drains the builder-retained caches after a catalog row") {
     Runtime.releaseAll() // isolate from any earlier suite's leftovers
     assert(Runtime.retainedCount == 0)
-    val q = queries.Catalog.all.find(_.name == "pipeline_contamination")
-      .getOrElse(fail("catalog row pipeline_contamination missing"))
+    assert(queries.Catalog.all.exists(_.name == "pipeline_contamination"),
+      "catalog row pipeline_contamination missing")
     // retention only fires at the deployment-scale stats gate (the
-    // fixture corpus is far under 64 MB) — lower the gate so the spec
-    // exercises the exact production path that retains
-    val gate = queries.Pipeline.ContaminationBloomMinStatBytes
-    try {
-      queries.Pipeline.ContaminationBloomMinStatBytes = 0L
-      val n = q.run(spark, "/root/testdata/sf0.001").count()
-      assert(n > 0, "contamination row must produce rows at sf0.001")
-    } finally queries.Pipeline.ContaminationBloomMinStatBytes = gate
+    // fixture corpus is far under 64 MB) — pass the gate per call so the
+    // spec exercises the exact production path that retains (r18: the
+    // gate is a contaminationPlan parameter, not a global)
+    val n = queries.Pipeline.contaminationPlan(spark, "/root/testdata/sf0.001",
+      forceBloom = false, bloomMinStatBytes = 0L).count()
+    assert(n > 0, "contamination row must produce rows at sf0.001")
     assert(Runtime.retainedCount > 0,
       "the contamination builder should have retained its gram cache — " +
         "if it legitimately stopped retaining, repoint this spec at the " +

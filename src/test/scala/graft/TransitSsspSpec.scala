@@ -45,15 +45,11 @@ class TransitSsspSpec extends SparkSpec {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select("vertex_id", "source_id", "dist")
         .as[(Long, Long, Double)].collect().toSet
-    val before = TransitSssp.serializedGrid
-    val ser = try {
-      TransitSssp.serializedGrid = true
-      key(TransitSssp.run(g.nodes, changeEdges, sources))
-    } finally TransitSssp.serializedGrid = before
-    val deser = try {
-      TransitSssp.serializedGrid = false
-      key(TransitSssp.run(g.nodes, changeEdges, sources))
-    } finally TransitSssp.serializedGrid = before
+    // r18: both storage levels forced per-instance, no global mutation
+    val ser = key(new TransitSssp(g.nodes, changeEdges,
+      serializedGrid = true).run(sources))
+    val deser = key(new TransitSssp(g.nodes, changeEdges,
+      serializedGrid = false).run(sources))
     assert(ser == deser && ser.nonEmpty)
   }
 
@@ -69,22 +65,11 @@ class TransitSsspSpec extends SparkSpec {
       df.select("vertex_id", "source_id", "dist", "pred")
         .as[(Long, Long, Double, Long)].collect().toSet
     val unbatched = key(TransitSssp.run(g.nodes, changeEdges, sources))
-    val (minB, k, lz) = (TransitSssp.tailBatchMinBase, TransitSssp.tailK,
-      TransitSssp.tailLazyRounds)
-    val batched = try {
-      TransitSssp.tailBatchMinBase = 0L; TransitSssp.tailLazyRounds = 0
-      key(TransitSssp.run(g.nodes, changeEdges, sources))
-    } finally {
-      TransitSssp.tailBatchMinBase = minB; TransitSssp.tailLazyRounds = lz
-    }
-    val batchedK1 = try {
-      TransitSssp.tailBatchMinBase = 0L; TransitSssp.tailK = 1
-      TransitSssp.tailLazyRounds = 0
-      key(TransitSssp.run(g.nodes, changeEdges, sources))
-    } finally {
-      TransitSssp.tailBatchMinBase = minB; TransitSssp.tailK = k
-      TransitSssp.tailLazyRounds = lz
-    }
+    // r18: knobs forced per-instance, no global mutation
+    val batched = key(new TransitSssp(g.nodes, changeEdges,
+      tailBatchMinBase = 0L, tailLazyRounds = 0).run(sources))
+    val batchedK1 = key(new TransitSssp(g.nodes, changeEdges,
+      tailBatchMinBase = 0L, tailK = 1, tailLazyRounds = 0).run(sources))
     assert(batched == unbatched && batched.nonEmpty)
     assert(batchedK1 == unbatched)
     val pregel = ShortestPaths.fromDF(g.weightedEdges, sources, localThreshold = 0)
@@ -105,21 +90,12 @@ class TransitSsspSpec extends SparkSpec {
       df.select("vertex_id", "source_id", "dist", "pred")
         .as[(Long, Long, Double, Long)].collect().toSet
     val plain = key(TransitSssp.run(g.nodes, changeEdges, sources))
-    val (minB, lz) = (TransitSssp.tailBatchMinBase, TransitSssp.tailLazyRounds)
-    val pruned = try {
-      TransitSssp.tailPruneForce = true; TransitSssp.tailLazyRounds = 0
-      key(TransitSssp.run(g.nodes, changeEdges, sources))
-    } finally {
-      TransitSssp.tailPruneForce = false; TransitSssp.tailLazyRounds = lz
-    }
-    val prunedBatched = try {
-      TransitSssp.tailPruneForce = true; TransitSssp.tailBatchMinBase = 0L
-      TransitSssp.tailLazyRounds = 0
-      key(TransitSssp.run(g.nodes, changeEdges, sources))
-    } finally {
-      TransitSssp.tailPruneForce = false; TransitSssp.tailBatchMinBase = minB
-      TransitSssp.tailLazyRounds = lz
-    }
+    // r18: knobs forced per-instance, no global mutation
+    val pruned = key(new TransitSssp(g.nodes, changeEdges,
+      tailPruneForce = true, tailLazyRounds = 0).run(sources))
+    val prunedBatched = key(new TransitSssp(g.nodes, changeEdges,
+      tailPruneForce = true, tailBatchMinBase = 0L, tailLazyRounds = 0)
+      .run(sources))
     assert(pruned == plain && pruned.nonEmpty)
     assert(prunedBatched == plain)
   }
@@ -196,14 +172,13 @@ class TransitSsspSpec extends SparkSpec {
     }
     // cap × batched-tail interaction: the cost-cap filter runs inside the
     // batched inner rounds too — force the batch path and re-check
-    val (minB, lz) = (TransitSssp.tailBatchMinBase, TransitSssp.tailLazyRounds)
-    val cappedBatched = try {
-      TransitSssp.tailBatchMinBase = 0L; TransitSssp.tailLazyRounds = 0
-      val st = ts.staged(sources, costCap = cap)
+    val cappedBatched = {
+      // r18: batch path forced per-instance, no global mutation
+      val tsB = new TransitSssp(g.nodes, changeEdges,
+        tailBatchMinBase = 0L, tailLazyRounds = 0)
+      val st = tsB.staged(sources, costCap = cap)
       val rows = st.distances.as[(Long, Long, Double)].collect().toSet
       st.release(); rows
-    } finally {
-      TransitSssp.tailBatchMinBase = minB; TransitSssp.tailLazyRounds = lz
     }
     assert(cappedBatched == cappedRows,
       "batched capped run diverged from the un-batched capped run")
@@ -227,21 +202,15 @@ class TransitSsspSpec extends SparkSpec {
       st.release(); (d, p)
     }
     val viaShared = rows(ts.staged(sources, clockCap = clk))
-    val (minN, pad) =
-      (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedSlicePadSecs)
-    val viaSlice = try {
-      TransitSssp.cappedSliceMinNodes = 0L
-      // pad 1 s: the sliced run's padded grid then equals the shared-pin
-      // run's exact-capped grid, so the comparison below can stay strict
-      // (r14 — capped runs iterate over the bucket's position pin; the
-      // production pad's superset semantics are pinned by the capped-CSR
-      // parity test and GtfsEngineSpec's dirty-feed divergence test)
-      TransitSssp.cappedSlicePadSecs = 1L
-      rows(ts.staged(sources, clockCap = clk))
-    } finally {
-      TransitSssp.cappedSliceMinNodes = minN
-      TransitSssp.cappedSlicePadSecs = pad
-    }
+    // pad 1 s: the sliced run's padded grid then equals the shared-pin
+    // run's exact-capped grid, so the comparison below can stay strict
+    // (r14 — capped runs iterate over the bucket's position pin; the
+    // production pad's superset semantics are pinned by the capped-CSR
+    // parity test and GtfsEngineSpec's dirty-feed divergence test).
+    // r18: forced per-instance, no global mutation.
+    val tsSlice = new TransitSssp(g.nodes, changeEdges,
+      cappedSliceMinNodes = 0L, cappedSlicePadSecs = 1L)
+    val viaSlice = rows(tsSlice.staged(sources, clockCap = clk))
     assert(viaSlice._1 == viaShared._1,
       "capped-slice distances diverged from the shared-pin path")
     assert(viaSlice._2 == viaShared._2,
@@ -255,16 +224,14 @@ class TransitSsspSpec extends SparkSpec {
     // so the early-termination path runs to full settlement.
     val sources = g.nodes.orderBy("id").limit(2).select("id")
       .as[Long].collect().toSet
-    val ts = new TransitSssp(g.nodes, changeEdges)
+    // forced gates per-instance (r18): huge CSR budget + zeroed node floor
+    val ts = new TransitSssp(g.nodes, changeEdges,
+      cappedCsrMaxEdges = 1L << 40, cappedSliceMinNodes = 0L)
     val clk = g.nodes.select(col("dep_secs").cast("double"))
       .as[Double].collect().sorted.apply(g.nodes.count().toInt / 2)
     val targets = g.nodes.filter(col("dep_secs") <= clk).select("id")
       .as[Long].collect().toSet
-    val (minN, maxE) =
-      (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedCsrMaxEdges)
-    val (csrRows, csrPath, pathKey) = try {
-      TransitSssp.cappedSliceMinNodes = 0L
-      TransitSssp.cappedCsrMaxEdges = 1L << 40
+    val (csrRows, csrPath, pathKey) = {
       val run = ts.runForTargetsCapped(sources, targets, clk)
         .getOrElse(fail("forced capped-CSR run did not engage"))
       val rows = run.distances.select("vertex_id", "source_id", "dist")
@@ -275,14 +242,8 @@ class TransitSsspSpec extends SparkSpec {
         case _ => fail("capped-CSR run reached no targets")
       }
       (rows, run.path(src, far), (src, far))
-    } finally {
-      TransitSssp.cappedSliceMinNodes = minN
-      TransitSssp.cappedCsrMaxEdges = maxE
     }
-    val st = try {
-      TransitSssp.cappedSliceMinNodes = 0L
-      ts.staged(sources, clockCap = clk)
-    } finally TransitSssp.cappedSliceMinNodes = minN
+    val st = ts.staged(sources, clockCap = clk)
     val distRows = st.distances.select("vertex_id", "source_id", "dist")
       .as[(Long, Long, Double)].collect().toSet
     val distPath = ShortestPaths.pathDistributed(
@@ -303,14 +264,12 @@ class TransitSsspSpec extends SparkSpec {
     // through the capped-slice machinery (whose enriched branch restricts
     // by id semi-joins instead of position joins).
     val gE = {
-      val floor = graft.projection.TimeExpandedGraph.EnrichMinStatBytes
-      try {
-        graft.projection.TimeExpandedGraph.EnrichMinStatBytes = 0L
-        val gtfs = graft.api.DemoGtfs.tables(spark)
-        val walk = graft.etl.GraphBuilder.walkTo(gtfs.stops, 300.0)
-        graft.projection.TimeExpandedGraph.build(
-          gtfs, java.sql.Date.valueOf("2024-01-18"), 1.0, walk)
-      } finally graft.projection.TimeExpandedGraph.EnrichMinStatBytes = floor
+      val gtfs = graft.api.DemoGtfs.tables(spark)
+      val walk = graft.etl.GraphBuilder.walkTo(gtfs.stops, 300.0)
+      // forced-enrichment floor per call (r18 — no global mutation)
+      graft.projection.TimeExpandedGraph.build(
+        gtfs, java.sql.Date.valueOf("2024-01-18"), 1.0, walk,
+        enrichMinStatBytes = 0L)
     }
     assert(gE.changeEnriched.columns.contains("w_rel"),
       "forced floor did not produce enriched edges")
@@ -327,18 +286,16 @@ class TransitSsspSpec extends SparkSpec {
     // capped: enriched slice build (forced) vs the legacy instance's
     val clk = g.nodes.select(col("dep_secs").cast("double"))
       .as[Double].collect().sorted.apply(g.nodes.count().toInt / 2)
-    val minN = TransitSssp.cappedSliceMinNodes
-    val (cE, cL) = try {
-      TransitSssp.cappedSliceMinNodes = 0L
-      def capped(n: org.apache.spark.sql.DataFrame,
-          c: org.apache.spark.sql.DataFrame) = {
-        val st = new TransitSssp(n, c).staged(sources, clockCap = clk)
-        val r = st.distances.select("vertex_id", "source_id", "dist")
-          .as[(Long, Long, Double)].collect().toSet
-        st.release(); r
-      }
+    def capped(n: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) = {
+      val st = new TransitSssp(n, c, cappedSliceMinNodes = 0L)
+        .staged(sources, clockCap = clk)
+      val r = st.distances.select("vertex_id", "source_id", "dist")
+        .as[(Long, Long, Double)].collect().toSet
+      st.release(); r
+    }
+    val (cE, cL) =
       (capped(gE.nodes, gE.changeEnriched), capped(g.nodes, changeEdges))
-    } finally TransitSssp.cappedSliceMinNodes = minN
     assert(cE == cL && cE.nonEmpty,
       "enriched capped-slice distances diverged from the legacy build")
     gE.unpersist()
@@ -358,14 +315,11 @@ class TransitSsspSpec extends SparkSpec {
     // materialize ONE bucket (slice + CSR shared), a third in the next
     // window a second — so a service's residency is bounded by the
     // service-day span over the pad, never by call count.
-    val ts = new TransitSssp(g.nodes, changeEdges)
+    val ts = new TransitSssp(g.nodes, changeEdges,
+      cappedSliceMinNodes = 0L, cappedSlicePadSecs = 3600L)
     val sources = g.nodes.orderBy("id").limit(1).select("id")
       .as[Long].collect().toSet
-    val (minN, pad) =
-      (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedSlicePadSecs)
     try {
-      TransitSssp.cappedSliceMinNodes = 0L
-      TransitSssp.cappedSlicePadSecs = 3600L
       def run(cap: Double): Unit = {
         val st = ts.staged(sources, clockCap = cap); st.distances.count()
         st.release()
@@ -375,11 +329,7 @@ class TransitSsspSpec extends SparkSpec {
         s"same-pad caps must share one bucket, got ${ts.cappedBucketCount}")
       run(17 * 3600.0 + 100) // next window
       assert(ts.cappedBucketCount == 2)
-    } finally {
-      TransitSssp.cappedSliceMinNodes = minN
-      TransitSssp.cappedSlicePadSecs = pad
-      ts.releasePins()
-    }
+    } finally ts.releasePins()
   }
 
   test("negative-weight edge list: in-heap fixpoint equals Pregel (r15 SPFA)") {
@@ -608,7 +558,8 @@ class TransitSsspSpec extends SparkSpec {
     val gD = graft.projection.TimeExpandedGraph.build(
       gtfs, java.sql.Date.valueOf("2024-01-18"), 1.0, walk)
     val ts = new TransitSssp(gD.nodes,
-      gD.edges.filter(col("type") === "CHANGE"))
+      gD.edges.filter(col("type") === "CHANGE"),
+      cappedCsrMaxEdges = 1L << 40, cappedSliceMinNodes = 0L)
     // seed at TA's head so the negative intra-trip hop is ON the reached
     // chain (an id-ordered pick can land on a terminal row)
     val sources = gD.nodes
@@ -617,11 +568,7 @@ class TransitSsspSpec extends SparkSpec {
     val clk = 15.0 * 3600 // every row is within cap — the Δacum too
     val targets = gD.nodes.filter(col("dep_secs") <= clk).select("id")
       .as[Long].collect().toSet
-    val (minN, maxE) =
-      (TransitSssp.cappedSliceMinNodes, TransitSssp.cappedCsrMaxEdges)
-    val (csrRows, csrPath, pathKey) = try {
-      TransitSssp.cappedSliceMinNodes = 0L
-      TransitSssp.cappedCsrMaxEdges = 1L << 40
+    val (csrRows, csrPath, pathKey) = {
       val negBefore = TransitSssp.cappedCsrNegativeServed.get()
       val run = ts.runForTargetsCapped(sources, targets, clk)
         .getOrElse(fail("dirty-feed capped run did not engage the CSR"))
@@ -633,23 +580,16 @@ class TransitSsspSpec extends SparkSpec {
         case s if s.nonEmpty => val m = s.maxBy(r => (r._3, r._1)); (m._1, m._2)
         case _ => fail("dirty-feed capped run reached no targets")
       }
-      // control: the knob restores the r14 decline
-      val dirty = TransitSssp.cappedDirtyInHeap
-      val declined = try {
-        TransitSssp.cappedDirtyInHeap = false
-        new TransitSssp(gD.nodes, gD.edges.filter(col("type") === "CHANGE"))
-          .runForTargetsCapped(sources, targets, clk)
-      } finally TransitSssp.cappedDirtyInHeap = dirty
+      // control: the per-instance knob restores the r14 decline
+      val declined = new TransitSssp(gD.nodes,
+        gD.edges.filter(col("type") === "CHANGE"),
+        cappedCsrMaxEdges = 1L << 40, cappedSliceMinNodes = 0L,
+        cappedDirtyInHeap = false)
+        .runForTargetsCapped(sources, targets, clk)
       assert(declined.isEmpty, "disabled fallback must decline the CSR")
       (rows, run.path(src, far), (src, far))
-    } finally {
-      TransitSssp.cappedSliceMinNodes = minN
-      TransitSssp.cappedCsrMaxEdges = maxE
     }
-    val st = try {
-      TransitSssp.cappedSliceMinNodes = 0L
-      ts.staged(sources, clockCap = clk)
-    } finally TransitSssp.cappedSliceMinNodes = minN
+    val st = ts.staged(sources, clockCap = clk)
     val distRows = st.distances.select("vertex_id", "source_id", "dist")
       .as[(Long, Long, Double)].collect().toSet
     val distPath = ShortestPaths.pathDistributed(
