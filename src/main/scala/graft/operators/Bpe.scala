@@ -1204,8 +1204,10 @@ object Bpe {
               (buf, truncated)
             }, scala.collection.immutable.ArraySeq.unsafeWrapArray(pids))
           if (parts.exists(_._2)) {
-            if (canProve) Some((IndexedSeq.empty, true)) // dense, proven
-            else None // budget-truncated: inconclusive, scan decides
+            if (canProve) {
+              occProbeServed.incrementAndGet()
+              Some((IndexedSeq.empty, true)) // dense, proven
+            } else None // budget-truncated: inconclusive, scan decides
           } else {
             val seen = new java.util.HashSet[java.lang.Long]
             val out =
@@ -1216,6 +1218,7 @@ object Bpe {
             ovI.foreach { case (wid, (s, c)) =>
               if (needleStrs.exists(s.contains)) out += ((wid, s, c))
             }
+            occProbeServed.incrementAndGet()
             Some((out.toIndexedSeq, false))
           }
         case _ => None
@@ -1621,6 +1624,16 @@ object Bpe {
     * under concurrent train() calls. */
   private[graft] val lastRegimes =
     new java.util.concurrent.CopyOnWriteArrayList[String]()
+
+  /** Monotonic count of occurrence-index probes that SERVED a round (a
+    * probe returning a usable result — exact affected set or a proven
+    * density verdict). Telemetry, same pattern as
+    * TransitSssp.acyclicResolveServed: the `text_bpe_merges_indexed`
+    * catalog row requires it to advance, so a silent admission regression
+    * (index never builds / probe never serves) fails Verify loudly
+    * instead of quietly riding the scan path. */
+  private[graft] val occProbeServed =
+    new java.util.concurrent.atomic.AtomicLong()
 
   /** Spark orders strings by UTF-8 bytes = code-point order — the local
     * tie-break must match the distributed sort exactly (shared helper). */

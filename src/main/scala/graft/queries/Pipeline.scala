@@ -1261,6 +1261,44 @@ object Pipeline {
              | AS t(rank, "left", "right")
              |ORDER BY rank""".stripMargin)),
 
+    // The OCCURRENCE-INDEX-SERVED table loop under the hash gate (r18,
+    // r17 verdict #8): text_bpe_merges rides the instant local regime, so
+    // r17's biggest lever — the bucketed occurrence index — had no oracled
+    // row. This row forces the distributed TABLE LOOP (localMaxWords = 0,
+    // hybridMaxPairs = 0) with per-call occIndexAfterSparseRounds = 0 so
+    // the index builds immediately and serves every sparse round; the
+    // closure REQUIRES the served counter to have advanced (a silent
+    // admission regression fails Verify loudly — the zero-cycle row's
+    // counter pattern) and pins the merges against the same run with the
+    // index DISABLED (-1, the forced-scan control) before oracling them
+    // against the hand-verified Sennrich golden (same VALUES as
+    // text_bpe_merges — regime parity is the invariant under test).
+    Q("text_bpe_merges_indexed", "text,bpe",
+      (s, _) => {
+        import s.implicits._
+        val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+          .toDF("word", "count")
+        val srv0 = graft.operators.Bpe.occProbeServed.get()
+        val indexed = graft.operators.Bpe.train(words, 6,
+          localMaxWords = 0L, hybridMaxPairs = 0L,
+          occIndexAfterSparseRounds = 0)
+        require(graft.operators.Bpe.occProbeServed.get() > srv0,
+          "indexed BPE row did not serve a round from the occurrence index")
+        val scanned = graft.operators.Bpe.train(words, 6,
+          localMaxWords = 0L, hybridMaxPairs = 0L,
+          occIndexAfterSparseRounds = -1)
+        require(indexed == scanned,
+          s"occurrence-index merges diverged from the forced-scan control:" +
+            s"\n  indexed: $indexed\n  scanned: $scanned")
+        indexed.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+          .toDF("rank", "left", "right").orderBy("rank")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (1, 'e', 's'), (2, 'es', 't'), (3, 'l', 'o'),
+             | (4, 'lo', 'w'), (5, 'e', 'w'), (6, 'ew', 'est'))
+             | AS t(rank, "left", "right")
+             |ORDER BY rank""".stripMargin)),
+
     // BPE ENCODING at corpus scale with the merges text_bpe_merges just
     // pinned: per-document sub-word count after the 6-merge replace chain.
     // The double-space symbol representation makes each merge a plain

@@ -77,13 +77,36 @@ object TimeContamination {
       walk(p)
       peak
     }
+    // Join operators actually EXECUTED (r18, r17 verdict #3: the gate's
+    // above-cliff side was arithmetic — pin what AQE really picks once
+    // the broadcast hint is dropped): walk the final adaptive tree and
+    // collect the physical join node names with their build/buffer side
+    // row-count metric where one exists.
+    def joinKinds(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(x: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        x match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: QueryStageExec => walk(s.plan)
+          case r: ReusedExchangeExec => walk(r.child)
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+            out += j.getClass.getSimpleName
+          case _ =>
+        }
+        x.children.foreach(walk)
+      }
+      walk(p)
+      out.toSeq
+    }
     // per-call knob overrides (r18: the global @volatile hooks became
     // contaminationPlan parameters — each leg passes its own values)
     def run(bloomMinStatBytes: Long =
               graft.queries.Pipeline.ContaminationBloomMinStatBytes,
             broadcastVerifyMaxStatBytes: Long =
               graft.queries.Pipeline.ContaminationBroadcastVerifyMaxStatBytes)
-        : (Long, Long, Double, Boolean, Long) = {
+        : (Long, Long, Double, Boolean, Long, Seq[String]) = {
       val df = graft.queries.Pipeline.contaminationPlan(spark, dir,
         forceBloom = false, bloomMinStatBytes = bloomMinStatBytes,
         broadcastVerifyMaxStatBytes = broadcastVerifyMaxStatBytes)
@@ -97,8 +120,9 @@ object TimeContamination {
       // broadcast metrics live) never run
       val (agg, sec) = timed(adf.collect()(0))
       val bcast = peakBroadcastBytes(adf.queryExecution.executedPlan)
+      val joins = joinKinds(adf.queryExecution.executedPlan)
       graft.queries.Pipeline.releaseRetainedCaches()
-      (agg.getLong(0), agg.getLong(1), sec, bloomInPlan, bcast)
+      (agg.getLong(0), agg.getLong(1), sec, bloomInPlan, bcast, joins)
     }
 
     val stat = graft.queries.Catalog.t(spark, dir, "documents")
@@ -116,23 +140,31 @@ object TimeContamination {
     }
     println(s"docs=$n corpusStat=${stat / (1 << 20)}MB benchGrams=$benchGrams " +
       s"gate=${graft.queries.Pipeline.ContaminationBloomMinStatBytes / (1 << 20)}MB")
-    val (rB, dB, sB, pB, bB) = run() // default gate → bloom plan at this scale
+    val (rB, dB, sB, pB, bB, jB) = run() // default gate → bloom plan at this scale
     println(f"bloom-gated:   rows=$rB%d digest=$dB%d wall=$sB%.1f s " +
-      f"bloomInPlan=$pB%s peakBroadcast=${bB / (1 << 20)}%d MB")
+      f"bloomInPlan=$pB%s peakBroadcast=${bB / (1 << 20)}%d MB joins=${jB.mkString("+")}%s")
     // forced semi-join control: gate raised per-call to MaxValue
-    val (rE, dE, sE, pE, bE) = run(bloomMinStatBytes = Long.MaxValue)
+    val (rE, dE, sE, pE, bE, jE) = run(bloomMinStatBytes = Long.MaxValue)
     println(f"semi-join ctl: rows=$rE%d digest=$dE%d wall=$sE%.1f s " +
-      f"bloomInPlan=$pE%s peakBroadcast=${bE / (1 << 20)}%d MB")
-    // third leg: bloom + SHUFFLED verify join — the past-the-broadcast-
-    // cliff plan (ContaminationBroadcastVerifyMaxStatBytes scaladoc),
-    // forced by zeroing the ceiling per-call
-    val (rS, dS, sS, pS, bS) = run(broadcastVerifyMaxStatBytes = 0L)
-    println(f"bloom+shuffle: rows=$rS%d digest=$dS%d wall=$sS%.1f s " +
-      f"bloomInPlan=$pS%s peakBroadcast=${bS / (1 << 20)}%d MB")
+      f"bloomInPlan=$pE%s peakBroadcast=${bE / (1 << 20)}%d MB joins=${jE.mkString("+")}%s")
+    // third leg: the ABOVE-CLIFF plan — bloom prefilter with the broadcast
+    // hint DROPPED (ContaminationBroadcastVerifyMaxStatBytes scaladoc),
+    // forced by zeroing the ceiling per-call; AQE picks the verify join
+    // from runtime sizes, and the executed join kind is printed + pinned
+    val (rS, dS, sS, pS, bS, jS) = run(broadcastVerifyMaxStatBytes = 0L)
+    println(f"above-cliff:   rows=$rS%d digest=$dS%d wall=$sS%.1f s " +
+      f"bloomInPlan=$pS%s peakBroadcast=${bS / (1 << 20)}%d MB joins=${jS.mkString("+")}%s")
     require(rB == rE && dB == dE, "bloom plan diverged from the semi-join")
-    require(rS == rE && dS == dE, "shuffled verify diverged from the semi-join")
+    require(rS == rE && dS == dE, "above-cliff verify diverged from the semi-join")
     require(pB && !pE, "plan-shape check failed: the gate did not switch plans")
-    require(bS < bB, "shuffled verify should not build the broadcast relation")
+    require(bS < bB, "above-cliff verify should not build the broadcast relation")
+    // the hint really dropped: the below-cliff leg's verify join is a
+    // BroadcastHashJoin; above the cliff it must not be (AQE chose a
+    // shuffle join for the GB-scale relation)
+    require(jB.exists(_.startsWith("BroadcastHashJoin")),
+      s"below-cliff leg lost its broadcast verify join: $jB")
+    require(jS.nonEmpty && !jS.exists(_.startsWith("BroadcastHashJoin")),
+      s"above-cliff leg still broadcasts: $jS")
     spark.stop()
   }
 }
