@@ -94,6 +94,16 @@ object TransitSssp {
   private[graft] val cappedCsrServed =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Cumulative nanos spent building capped-bucket state (CHANGE slice +
+    * position pin + driver CSR) — the ONE-TIME component of a routing
+    * call's wall, memoized per bucket and re-paid only on cold page
+    * cache. Telemetry (r18, r17 verdict #7): TimeScale reads per-pair
+    * deltas so the campaign's spread gate can score the pure ROUTING
+    * component instead of whatever disk state the previous tool run
+    * left behind. */
+  private[graft] val cappedBuildNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Of the served capped-CSR runs, those whose subgraph carried a
     * negative PRECEDES Δacum (non-monotone feed) and therefore ran the
     * label-correcting SPFA fixpoint instead of settle-once Dijkstra
@@ -731,6 +741,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame,
           Seq("s_trip", "s_seq"), ckptPinG))
       TransitSssp.tlog(f"capped slice bucket=$bucket%d ($nCapped%d pos " +
         f"rows) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      TransitSssp.cappedBuildNanos.addAndGet(System.nanoTime() - t0)
       RunSlices(c, Some(posPin), nCapped)
     }
   }
@@ -810,6 +821,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame,
       f"${rows.length}%d edges${if (negative) ", negative weights -> " +
         "label-correcting runs" else ""}) " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    TransitSssp.cappedBuildNanos.addAndGet(System.nanoTime() - t0)
     Some(csr)
   }
 

@@ -126,13 +126,26 @@ object TimeScale {
         case None => allPairs
       }
       val csrServed0 = graft.graph.TransitSssp.cappedCsrServed.get()
-      val routeSecs = pairs.map { case (a, b) =>
+      // per-pair split (r18, r17 verdict #7): the one-time capped-bucket
+      // build (slice pin + CSR collect, memoized — re-paid only on cold
+      // page cache) vs the pure routing component. The campaign's spread
+      // gate reads the ROUTING component, so a cold-box first pair no
+      // longer fails a gate about routing variance.
+      val routeSplits = pairs.map { case (a, b) =>
+        val build0 = graft.graph.TransitSssp.cappedBuildNanos.get()
         val (rows, s) = timed {
           eng.routing("2024-01-18", 1.0, "08:00:00", a, b).collect()
         }
         if (rows.isEmpty) println(s"WARN: no itinerary $a -> $b at scale $sc")
-        s
+        val buildSec =
+          (graft.graph.TransitSssp.cappedBuildNanos.get() - build0) / 1e9
+        (s, buildSec)
       }
+      val routeSecs = routeSplits.map(_._1)
+      if (routeSplits.nonEmpty && !isLocal)
+        println("  scale " + sc + " route split (total = bucketBuild + " +
+          "routing): " + routeSplits.map { case (t, b) =>
+            f"$t%.2f = $b%.2f + ${t - b}%.2f" }.mkString(" | "))
       // r15 campaign guard: good numbers must not hide a silently
       // regressed capped-CSR gate — the counter says which regime served.
       // SPARK_GRAFT_SCALE_REQUIRE_CSR=1 (the 10×-campaign recipe) asserts
