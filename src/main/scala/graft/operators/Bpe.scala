@@ -130,7 +130,8 @@ object Bpe {
       // answers)
       inHeapHandoffCheckRounds: Int = InHeapHandoffCheckRounds,
       argmaxHeapMinSlack: Long = ArgmaxHeapMinSlack,
-      serializedCkpt: Boolean = serCkpt)
+      serializedCkpt: Boolean = serCkpt,
+      occProbeMaxTotalRows: Int = OccProbeMaxTotalRows)
       : Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
@@ -156,7 +157,7 @@ object Bpe {
     else trainDistributed(w, numMerges, hybridMaxPairs, inHeapMaxBytes,
       overlayMaxAffected, overlayMaxWords, baseTopRows,
       occIndexAfterSparseRounds, inHeapHandoffCheckRounds,
-      argmaxHeapMinSlack, serializedCkpt)
+      argmaxHeapMinSlack, serializedCkpt, occProbeMaxTotalRows)
   }
 
   /** Adjacent-pair weighted counts of a symbol table. */
@@ -291,7 +292,8 @@ object Bpe {
       hybridMaxPairs: Long, inHeapMaxBytes: Long, overlayMaxAffected: Int,
       overlayMaxWords: Int, baseTopRows: Int,
       occIndexAfterSparse: Int, inHeapHandoffCheckRounds: Int,
-      argmaxHeapMinSlack: Long, ser: Boolean): Seq[(String, String)] = {
+      argmaxHeapMinSlack: Long, ser: Boolean,
+      occProbeBudget: Int): Seq[(String, String)] = {
     def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     // Eager localCheckpoint, not cache: each round's counts plan references
     // the previous round's syms plan TWICE (before/after aggregation), so
@@ -339,10 +341,10 @@ object Bpe {
       } else trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs,
         inHeapMaxBytes, overlayMaxAffected, overlayMaxWords, baseTopRows,
         occIndexAfterSparse, inHeapHandoffCheckRounds, argmaxHeapMinSlack,
-        ser)
+        ser, occProbeBudget)
     } else trainTableLoop(syms, counts, merges, numMerges,
       overlayMaxAffected, overlayMaxWords, baseTopRows, occIndexAfterSparse,
-      ser)
+      ser, occProbeBudget)
     merges.toSeq
   }
 
@@ -617,7 +619,7 @@ object Bpe {
       inHeapMaxBytes: Long, overlayMaxAffected: Int, overlayMaxWords: Int,
       baseTopRows: Int, occIndexAfterSparse: Int,
       inHeapHandoffCheckRounds: Int, argmaxHeapMinSlack: Long,
-      ser: Boolean): Unit = {
+      ser: Boolean, occProbeBudget: Int): Unit = {
     val spark = symsInit.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -635,7 +637,7 @@ object Bpe {
     // contains-scan the table loop had (counts live in the driver map
     // here, so the scan was the round's ONLY distributed job) — the
     // shared occurrence index replaces it with one pruned task
-    val occ = new OccurrenceIndex(words, occIndexAfterSparse)
+    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget)
     var round = 0
     while (merges.size < numMerges && map.nonEmpty) {
       val roundT0 = System.nanoTime()
@@ -708,7 +710,7 @@ object Bpe {
         val handoff = words.handoff()
         trainTableLoop(handoff, pairCounts(handoff).transform(ckpt),
           merges, numMerges, overlayMaxAffected, overlayMaxWords, baseTopRows,
-          occIndexAfterSparse, ser)
+          occIndexAfterSparse, ser, occProbeBudget)
         return
       }
       // Deep-merge hand-off (r14): merging SHRINKS the symbol strings, so
@@ -1102,7 +1104,8 @@ object Bpe {
     * entries duplicate each word ~|distinct pairs| times — the classic
     * occurrence-index space/time trade, the in-heap design re-expressed
     * distributed. */
-  private final class OccurrenceIndex(words: WordOverlay, trigger: Int) {
+  private final class OccurrenceIndex(words: WordOverlay, trigger: Int,
+      probeBudget: Int = OccProbeMaxTotalRows) {
     private val spark = words.session
     import spark.implicits._
     val partitioner = new org.apache.spark.HashPartitioner(OccIndexBuckets)
@@ -1178,13 +1181,13 @@ object Bpe {
           //    share and truncation is INCONCLUSIVE → None, and the scan
           //    fallback (itself bound+1-limited) decides sparse/dense.
           val perPair = bound.toLong + 1L + ovI.size
-          val canProve = batch.size.toLong * perPair <= OccProbeMaxTotalRows
+          val canProve = batch.size.toLong * perPair <= probeBudget
           val pidPairs = batch.groupBy(partitioner.getPartition(_))
             .map { case (p, xs) => (p, xs.size) }
           val pids = pidPairs.keys.toArray
           val caps = pidPairs.map { case (p, n) =>
             (p, math.min(n.toLong * perPair,
-              math.max(1L, OccProbeMaxTotalRows.toLong * n / batch.size))
+              math.max(1L, probeBudget.toLong * n / batch.size))
               .toInt)
           }
           val parts = spark.sparkContext.runJob(i,
@@ -1207,7 +1210,11 @@ object Bpe {
             if (canProve) {
               occProbeServed.incrementAndGet()
               Some((IndexedSeq.empty, true)) // dense, proven
-            } else None // budget-truncated: inconclusive, scan decides
+            } else {
+              // budget-truncated: inconclusive, the scan fallback decides
+              occProbeInconclusive.incrementAndGet()
+              None
+            }
           } else {
             val seen = new java.util.HashSet[java.lang.Long]
             val out =
@@ -1328,7 +1335,8 @@ object Bpe {
   private def trainTableLoop(symsInit: DataFrame, countsInit: DataFrame,
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
       numMerges: Int, overlayMaxAffected: Int, overlayMaxWords: Int,
-      baseTopRows: Int, occIndexAfterSparse: Int, ser: Boolean): Unit = {
+      baseTopRows: Int, occIndexAfterSparse: Int, ser: Boolean,
+      occProbeBudget: Int): Unit = {
     def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     lastRegimes.add("tableloop")
     val spark = symsInit.sparkSession
@@ -1349,7 +1357,7 @@ object Bpe {
     val cand = scala.collection.mutable.HashMap.empty[(String, String), Long]
     var floor = 0L
     var baseComplete = false
-    val occ = new OccurrenceIndex(words, occIndexAfterSparse)
+    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget)
     // Partitioned twin of the PAIR base for the applyDeltas count probe
     // (r17, second half of the same lever): with the word scan replaced
     // by the occurrence index, the remaining deep-round job was the
@@ -1633,6 +1641,12 @@ object Bpe {
     * (index never builds / probe never serves) fails Verify loudly
     * instead of quietly riding the scan path. */
   private[graft] val occProbeServed =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Monotonic count of probes that hit the [[OccProbeMaxTotalRows]]
+    * budget before proving density — the r18 inconclusive path, where
+    * the scan fallback decides. Spec-observed telemetry. */
+  private[graft] val occProbeInconclusive =
     new java.util.concurrent.atomic.AtomicLong()
 
   /** Spark orders strings by UTF-8 bytes = code-point order — the local

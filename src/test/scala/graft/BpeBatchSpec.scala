@@ -118,6 +118,21 @@ class BpeBatchSpec extends SparkSpec {
       "per-round refreeze+rebuild diverged")
     assert(tbl(trigger = 0, affMax = 0) == local,
       "forced-dense (index invalidated every round) diverged")
+    // r18: the probe BUDGET path — a 1-entry budget makes every non-
+    // trivial probe truncate past the provable bound, so probes return
+    // INCONCLUSIVE (None) and the bound+1-limited scan decides each
+    // round; merges must be unchanged and the inconclusive counter must
+    // actually advance (proof the None path ran rather than the fixture
+    // quietly fitting inside the budget)
+    locally {
+      val inc0 = Bpe.occProbeInconclusive.get()
+      assert(Bpe.train(df, 30, localMaxWords = 0L, hybridMaxPairs = 0L,
+        inHeapMaxBytes = 0L, occIndexAfterSparseRounds = 0,
+        occProbeMaxTotalRows = 1) == local,
+        "budget-truncated (inconclusive) probe path diverged")
+      assert(Bpe.occProbeInconclusive.get() > inc0,
+        "1-entry probe budget never produced an inconclusive probe")
+    }
     // the HYBRID loop shares the index (its deep floor was the same scan)
     def hyb(trigger: Int, ovMax: Int = Bpe.SymsOverlayMaxWords) =
       Bpe.train(df, 30, localMaxWords = 0L, inHeapMaxBytes = 0L,
