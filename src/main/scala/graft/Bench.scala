@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
   * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},
   *  "runs":{name:[sec,...]},"starts":{name:[epochSec,...]},
   *  "controls":{name:{"pin":s,"pre":s,"post":s},...},
-  *  "drift":[cpuPre,cpuPost,ioPre,ioPost],"sf":dir}
+  *  "drift":[cpuPre,cpuPost,ioPre,ioPost],
+  *  "degraded":bool,"retried":bool,"sf":dir}
   * followed by a compact FINAL line sized for a consumer that keeps only the
   * last 2000 chars of stdout (see `qmsLine`).
   *
