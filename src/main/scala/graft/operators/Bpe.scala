@@ -131,7 +131,8 @@ object Bpe {
       inHeapHandoffCheckRounds: Int = InHeapHandoffCheckRounds,
       argmaxHeapMinSlack: Long = ArgmaxHeapMinSlack,
       serializedCkpt: Boolean = serCkpt,
-      occProbeMaxTotalRows: Int = OccProbeMaxTotalRows)
+      occProbeMaxTotalRows: Int = OccProbeMaxTotalRows,
+      occIndexRebuildOvWords: Int = OccIndexRebuildOvWords)
       : Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
@@ -157,7 +158,8 @@ object Bpe {
     else trainDistributed(w, numMerges, hybridMaxPairs, inHeapMaxBytes,
       overlayMaxAffected, overlayMaxWords, baseTopRows,
       occIndexAfterSparseRounds, inHeapHandoffCheckRounds,
-      argmaxHeapMinSlack, serializedCkpt, occProbeMaxTotalRows)
+      argmaxHeapMinSlack, serializedCkpt, occProbeMaxTotalRows,
+      occIndexRebuildOvWords)
   }
 
   /** Adjacent-pair weighted counts of a symbol table. */
@@ -293,7 +295,7 @@ object Bpe {
       overlayMaxWords: Int, baseTopRows: Int,
       occIndexAfterSparse: Int, inHeapHandoffCheckRounds: Int,
       argmaxHeapMinSlack: Long, ser: Boolean,
-      occProbeBudget: Int): Seq[(String, String)] = {
+      occProbeBudget: Int, occRebuildOvWords: Int): Seq[(String, String)] = {
     def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     // Eager localCheckpoint, not cache: each round's counts plan references
     // the previous round's syms plan TWICE (before/after aggregation), so
@@ -341,10 +343,10 @@ object Bpe {
       } else trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs,
         inHeapMaxBytes, overlayMaxAffected, overlayMaxWords, baseTopRows,
         occIndexAfterSparse, inHeapHandoffCheckRounds, argmaxHeapMinSlack,
-        ser, occProbeBudget)
+        ser, occProbeBudget, occRebuildOvWords)
     } else trainTableLoop(syms, counts, merges, numMerges,
       overlayMaxAffected, overlayMaxWords, baseTopRows, occIndexAfterSparse,
-      ser, occProbeBudget)
+      ser, occProbeBudget, occRebuildOvWords)
     merges.toSeq
   }
 
@@ -619,7 +621,7 @@ object Bpe {
       inHeapMaxBytes: Long, overlayMaxAffected: Int, overlayMaxWords: Int,
       baseTopRows: Int, occIndexAfterSparse: Int,
       inHeapHandoffCheckRounds: Int, argmaxHeapMinSlack: Long,
-      ser: Boolean, occProbeBudget: Int): Unit = {
+      ser: Boolean, occProbeBudget: Int, occRebuildOvWords: Int): Unit = {
     val spark = symsInit.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -637,7 +639,7 @@ object Bpe {
     // contains-scan the table loop had (counts live in the driver map
     // here, so the scan was the round's ONLY distributed job) — the
     // shared occurrence index replaces it with one pruned task
-    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget)
+    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget, occRebuildOvWords)
     var round = 0
     while (merges.size < numMerges && map.nonEmpty) {
       val roundT0 = System.nanoTime()
@@ -710,7 +712,7 @@ object Bpe {
         val handoff = words.handoff()
         trainTableLoop(handoff, pairCounts(handoff).transform(ckpt),
           merges, numMerges, overlayMaxAffected, overlayMaxWords, baseTopRows,
-          occIndexAfterSparse, ser, occProbeBudget)
+          occIndexAfterSparse, ser, occProbeBudget, occRebuildOvWords)
         return
       }
       // Deep-merge hand-off (r14): merging SHRINKS the symbol strings, so
@@ -1105,7 +1107,8 @@ object Bpe {
     * occurrence-index space/time trade, the in-heap design re-expressed
     * distributed. */
   private final class OccurrenceIndex(words: WordOverlay, trigger: Int,
-      probeBudget: Int = OccProbeMaxTotalRows) {
+      probeBudget: Int = OccProbeMaxTotalRows,
+      rebuildOvWords: Int = OccIndexRebuildOvWords) {
     private val spark = words.session
     import spark.implicits._
     val partitioner = new org.apache.spark.HashPartitioner(OccIndexBuckets)
@@ -1158,6 +1161,19 @@ object Bpe {
       if (idx.isEmpty && trigger >= 0 &&
           streak >= trigger.toLong * backoff && avgAff <= OccIndexMaxMeanAff)
         build()
+      // proactive ovI-bound rebuild (r18): every probe reconciles against
+      // the whole rewritten-since-build overlay, so a long-lived index
+      // accumulates a per-round driver loop that measured ~1.5 µs/word on
+      // the wide corpus (the 16k run's 0.10 s/merge plateau). Past the
+      // bound, one build (~9 s corpus-scale, amortized over the deep
+      // regime's thousands of remaining rounds) re-zeroes it. Same build
+      // path as admission, so overlay-refreeze correctness is already
+      // matrix-pinned; runs at round start BEFORE the round derives its
+      // word-table view.
+      else if (idx.nonEmpty && rebuildOvWords > 0 && ovI.size > rebuildOvWords) {
+        occIndexRebuilds.incrementAndGet()
+        build()
+      }
     /** Some((rows, certainDense)): the exact affected set, or a proof the
       * round is dense; None: no index / batch too wide / truncation past
       * the memory budget (inconclusive — the scan fallback decides). */
@@ -1336,7 +1352,7 @@ object Bpe {
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
       numMerges: Int, overlayMaxAffected: Int, overlayMaxWords: Int,
       baseTopRows: Int, occIndexAfterSparse: Int, ser: Boolean,
-      occProbeBudget: Int): Unit = {
+      occProbeBudget: Int, occRebuildOvWords: Int): Unit = {
     def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     lastRegimes.add("tableloop")
     val spark = symsInit.sparkSession
@@ -1357,7 +1373,7 @@ object Bpe {
     val cand = scala.collection.mutable.HashMap.empty[(String, String), Long]
     var floor = 0L
     var baseComplete = false
-    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget)
+    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget, occRebuildOvWords)
     // Partitioned twin of the PAIR base for the applyDeltas count probe
     // (r17, second half of the same lever): with the word scan replaced
     // by the occurrence index, the remaining deep-round job was the
@@ -1647,6 +1663,24 @@ object Bpe {
     * budget before proving density — the r18 inconclusive path, where
     * the scan fallback decides. Spec-observed telemetry. */
   private[graft] val occProbeInconclusive =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** ovI size past which a LIVE occurrence index proactively REBUILDS at
+    * round start instead of carrying the overlay further (r18 — the 16k
+    * deep-tail diagnosis): every probe reconciles against all
+    * words-rewritten-since-build with a per-needle contains, measured at
+    * ~1.5 µs/word/round on the wide corpus — at the 37-59k overlay the
+    * loop dominated the 0.03 s probe floor (0.10 s/merge plateau). A
+    * corpus-scale rebuild costs ~9 s and re-zeroes the loop, amortizing
+    * in ~100-200 deep merges; at this bound the loop tax is ~35 ms/round
+    * and climbing when the rebuild fires. Fixture overlays never get
+    * near it, so catalog rows keep single-build behavior. Default of
+    * train's per-call parameter (measured A/B below pins the win). */
+  private[graft] val OccIndexRebuildOvWords: Int = 24 * 1024
+
+  /** Monotonic count of proactive ovI-bound index rebuilds (r18) —
+    * spec-observed telemetry, same pattern as [[occProbeServed]]. */
+  private[graft] val occIndexRebuilds =
     new java.util.concurrent.atomic.AtomicLong()
 
   /** Spark orders strings by UTF-8 bytes = code-point order — the local

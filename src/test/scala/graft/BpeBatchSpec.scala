@@ -118,6 +118,19 @@ class BpeBatchSpec extends SparkSpec {
       "per-round refreeze+rebuild diverged")
     assert(tbl(trigger = 0, affMax = 0) == local,
       "forced-dense (index invalidated every round) diverged")
+    // r18: the proactive ovI-bound REBUILD path — bound 1 forces a full
+    // index rebuild at nearly every round start (any rewritten word
+    // trips it); merges must be unchanged and the rebuild counter must
+    // advance (proof the path ran)
+    locally {
+      val rb0 = Bpe.occIndexRebuilds.get()
+      assert(Bpe.train(df, 30, localMaxWords = 0L, hybridMaxPairs = 0L,
+        inHeapMaxBytes = 0L, occIndexAfterSparseRounds = 0,
+        occIndexRebuildOvWords = 1) == local,
+        "ovI-bound rebuild path diverged")
+      assert(Bpe.occIndexRebuilds.get() > rb0,
+        "1-word rebuild bound never triggered a proactive rebuild")
+    }
     // r18: the probe BUDGET path — a 1-entry budget makes every non-
     // trivial probe truncate past the provable bound, so probes return
     // INCONCLUSIVE (None) and the bound+1-limited scan decides each
