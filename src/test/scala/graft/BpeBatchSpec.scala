@@ -153,6 +153,10 @@ class BpeBatchSpec extends SparkSpec {
     assert(hyb(trigger = 0) == local, "hybrid index-from-round-0 diverged")
     assert(hyb(trigger = 0, ovMax = 0) == local,
       "hybrid per-round refreeze+rebuild diverged")
+    // r18: the proactive ovI-bound rebuild fires in the HYBRID loop too
+    assert(Bpe.train(df, 30, localMaxWords = 0L, inHeapMaxBytes = 0L,
+      occIndexAfterSparseRounds = 0, occIndexRebuildOvWords = 1) == local,
+      "hybrid ovI-bound rebuild path diverged")
   }
 
   test("table loop survives a max-count tie plateau wider than the visible top (r17)") {
