@@ -117,6 +117,29 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** FORCED-REGIME FIXTURE ROWS (r19, r18 verdict #3): catalog rows whose
+    * cost is scheduling rounds on a ~6-stoptime fixture BY DESIGN (they
+    * keep the distributed fixpoint / acyclic repair under the oracle;
+    * the 10× campaign measures the same regimes at scale). They are
+    * scheduling-floor-bound — repeats return the same number ±noise — so
+    * the bench runs them ONCE (min-of-N adds nothing but ~12 s of wall
+    * per extra repeat) and reports their subtotal separately
+    * (`fixtureSec`) so a reader can split scheduling floors from data
+    * work in the headline. */
+  private[graft] val FixtureRows: Set[String] =
+    Set("gtfs_routing_distributed", "gtfs_routing_zero_cycle")
+
+  /** Drift-normalized total (r19, r18 verdict stretch #8): the reading a
+    * consumer previously derived by hand — `total / max(1, median(drift))`.
+    * Degradation only ever INFLATES rows (a busy box never makes queries
+    * faster), so indices below 1 (box faster than the pinned band —
+    * ordinary idle variance) never scale the total up: the clean-close
+    * identity `adj == total` holds on a clean box. With no controls run
+    * (subset runs) the total passes through unchanged. */
+  private[graft] def driftAdjusted(totalSec: Double, drift: Seq[Double]): Double =
+    if (drift.isEmpty) totalSec
+    else totalSec / math.max(1.0, median(drift))
+
   /** JSON string-literal escaping for interpolated values (sfDir is a
     * filesystem path — a backslash or quote in it must not break the line). */
   private[graft] def jsonStr(s: String): String =
@@ -149,13 +172,18 @@ object Bench {
       drift: Seq[Double] = Nil,
       // true = pre-drift exceeded [[DriftRetryGate]] even after the one
       // settle-and-retry — the row minima are upper bounds, not steady-state
-      degraded: Boolean = false): String = {
+      degraded: Boolean = false,
+      // forced-fixture subtotal (r19 — [[FixtureRows]] scaladoc); the
+      // data-work headline is value − fx
+      fixtureSec: Double = 0.0): String = {
     val ms = minsSecNameSorted.map(s => math.round(s * 1000)).mkString("[", ",", "]")
     val spr = spreadPctNameSorted.map(p => math.min(999, math.max(0, p)))
       .mkString("[", ",", "]")
     val tot = math.round(totalSec * 1000) / 1000.0
+    val adj = math.round(driftAdjusted(totalSec, drift) * 1000) / 1000.0
+    val fx = math.round(fixtureSec * 1000) / 1000.0
     val dr = drift.map(d => math.round(d * 100) / 100.0).mkString("[", ",", "]")
-    s"""{"metric":"qms","value":$tot,"unit":"sec","sf":${jsonStr(sfDir)},"n":${minsSecNameSorted.size},"degraded":$degraded,"drift":$dr,"spr":$spr,"v":$ms}"""
+    s"""{"metric":"qms","value":$tot,"adj":$adj,"fx":$fx,"unit":"sec","sf":${jsonStr(sfDir)},"n":${minsSecNameSorted.size},"degraded":$degraded,"drift":$dr,"spr":$spr,"v":$ms}"""
   }
   def main(args: Array[String]): Unit = {
     // Timing runs skip the perf-harness's cross-regime verification twin:
@@ -190,10 +218,21 @@ object Bench {
     // ...and the parquet WRITE path (committer + codec init): the io
     // control is the first writer otherwise and its cold first run reads
     // ~1.6× pin on an idle box — a spurious drift-gate retry per JVM.
+    // per-run temp dir (r18 ADVICE: the old fixed /tmp path collided
+    // across concurrent bench JVMs and was never cleaned up)
     try {
-      spark.range(10000).write.mode("overwrite")
-        .parquet("/tmp/graft_bench_warmup.parquet")
-      spark.read.parquet("/tmp/graft_bench_warmup.parquet").count()
+      val warmDir = java.nio.file.Files
+        .createTempDirectory("graft_bench_warmup").toFile
+      try {
+        val p = new java.io.File(warmDir, "w.parquet").getAbsolutePath
+        spark.range(10000).write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).count()
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(warmDir)
+      }
     } catch { case _: Throwable => () }
     // Optional subset run for iterating on one query's timing:
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 (driver runs always leave this unset).
@@ -265,7 +304,12 @@ object Bench {
         graft.Runtime.releaseAll()
         (start, dt)
       }
-      val base = (1 to repeats).map(_ => runOnce())
+      // Forced-fixture rows run ONCE (r19 — FixtureRows scaladoc): their
+      // wall is a scheduling-round floor, so repeats reproduce the same
+      // number and min-of-3 only added ~24 s of fixture scheduling per
+      // bench. Everything else keeps min-of-(repeats+1).
+      val reps = if (FixtureRows(name)) 1 else repeats
+      val base = (1 to reps).map(_ => runOnce())
       // Every query gets a third run (r8: sub-2 s only). min-of-2 is one
       // co-tenant CPU spike away from a 2-4× phantom regression, and r8's
       // SUSTAINED contention defeated even min-of-3 on the slow queries —
@@ -274,7 +318,7 @@ object Bench {
       // cross-round comparison: run counts changed r7→r8→r9 (2 → 3-for-fast
       // → 3-for-all); minima bias slightly down as repeats rise, so the
       // "runs" object carries the actual per-query run count.
-      val timings = base :+ runOnce()
+      val timings = if (FixtureRows(name)) base else base :+ runOnce()
       (name, timings.map(_._2), timings.map(_._1))
     }
     val ctlPost = runControls()
@@ -305,7 +349,10 @@ object Bench {
       ioPre.getOrElse(-1.0)},"post":${ioPost.getOrElse(-1.0)}}"""))
     val driftJson = drift.map(d => math.round(d * 100) / 100.0)
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"controls":$ctlJson,"drift":$driftJson,"degraded":$degraded,"retried":$retried,"sf":${jsonStr(sfDir)}}""")
+    val fixtureSec = results.collect {
+      case (n, runs, _) if FixtureRows(n) => runs.min }.sum
+    val totalAdj = math.round(driftAdjusted(total, drift) * 1000) / 1000.0
+    println(s"""{"metric":"total","value":$total,"totalAdj":$totalAdj,"fixtureSec":$fixtureSec,"unit":"sec","queries":$qs,"runs":$runsJson,"starts":$startsJson,"controls":$ctlJson,"drift":$driftJson,"degraded":$degraded,"retried":$retried,"sf":${jsonStr(sfDir)}}""")
     // The driver keeps only the TAIL of stdout: the full line above is 4k+
     // chars and gets cut mid-line ("parsed": null in r3-r5). Final line =
     // the compact name-free summary, guaranteed (BenchReportSpec) to fit a
@@ -315,7 +362,7 @@ object Bench {
       results.map { case (_, runs, _) =>
         val mn = runs.min
         if (mn <= 0.0) 0 else math.round((runs.max - mn) / mn * 100).toInt
-      }, drift, degraded))
+      }, drift, degraded, fixtureSec))
     spark.stop()
   }
 }

@@ -61,6 +61,14 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
 
   private val spark: SparkSession = gtfs.stops.sparkSession
 
+  /** SESSION-LOCAL regime evidence (r19, r18 verdict #2): counters only
+    * THIS engine's routing calls advance — its projections' TransitSssp
+    * runners bump it alongside the process-global telemetry. Regime-proof
+    * `require`s (the zero-cycle catalog row, forced-regime specs) read
+    * this instead of diffing global AtomicLongs a concurrent session
+    * could advance. */
+  val evidence = new graft.graph.TransitSssp.RegimeEvidence
+
   /** WALK_TO is day-independent — build once, reuse across projections. */
   lazy val walkTo: DataFrame = GraphBuilder.walkTo(gtfs.stops, walkRadiusMeters).cache()
 
@@ -74,7 +82,8 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     synchronized {
       projections.getOrElseUpdate((day, speed),
         TimeExpandedGraph.build(gtfs, day, speed, walkTo, ssspLocalThreshold,
-          cappedCsrMaxEdges, cappedSliceMinNodes))
+          cappedCsrMaxEdges, cappedSliceMinNodes,
+          regimeEvidence = evidence))
     }
 
   /** Release every cache this engine owns (projections + WALK_TO) — the

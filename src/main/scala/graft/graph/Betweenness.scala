@@ -416,10 +416,13 @@ object Betweenness {
       clockCap: Double,
       defaultCsrBound: Long,
       // the capped-budget rung's in-heap budget under the None threshold
-      // (r18: per-call with the production default — the spec's zeroed
-      // level-sync control passes 0 here instead of mutating the
-      // companion val)
-      cappedInHeapBudget: Long = TransitSssp.cappedCsrMaxEdges): DataFrame = {
+      // (r18: per-call — the spec's zeroed level-sync control passes
+      // Some(0) here instead of mutating the companion val). None (the
+      // default) resolves to the PROJECTION's per-instance budget
+      // (r18 ADVICE: defaulting to the companion val meant an engine
+      // built with cappedCsrMaxEdges = 0 still got the driver-collect
+      // rung here while routing had it disabled).
+      cappedInHeapBudget: Option[Long] = None): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val windowed = !clockCap.isPosInfinity
@@ -469,7 +472,9 @@ object Betweenness {
     val inHeapBudget = localThreshold match {
       case Some(x) if x <= 0L => 0L
       case Some(x) => x
-      case None => math.max(defaultCsrBound, cappedInHeapBudget)
+      case None =>
+        math.max(defaultCsrBound,
+          cappedInHeapBudget.getOrElse(g.cappedCsrMaxEdges))
     }
     // The hop-space collapse derives PRECEDES structure from CONSECUTIVE
     // rows, so a windowed transit run is exact only when the cap drops a

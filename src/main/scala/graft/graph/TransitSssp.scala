@@ -89,6 +89,21 @@ object TransitSssp {
   /** Session-unique run counter for observation names (see run()). */
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** PER-INSTANCE regime evidence (r19, r18 verdict #2): every regime
+    * counter below is process-global telemetry, which regime-proof
+    * `require`s (the zero-cycle catalog row) used to diff — a concurrent
+    * session's advance could false-pass them. Each TransitSssp instance
+    * now ALSO bumps the evidence object it was constructed with, so a
+    * caller that owns the engine/projection can require on counters only
+    * its own calls can advance. The globals stay (tools/campaigns read
+    * whole-JVM totals); values mirror the companion counters' scaladoc. */
+  final class RegimeEvidence {
+    val cappedCsrServed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cappedCsrNegativeServed =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+    val acyclicResolveServed = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
   /** Counts capped-CSR runs actually SERVED (every gate passed) — specs
     * assert the forced regime engaged instead of silently falling back. */
   private[graft] val cappedCsrServed =
@@ -438,7 +453,12 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame,
     tailPruneForce: Boolean = TransitSssp.tailPruneForce,
     /** Plain tail rounds before the amortized machinery builds; specs
       * pass 0 to force the builds onto fixture graphs. */
-    tailLazyRounds: Int = TransitSssp.tailLazyRounds) {
+    tailLazyRounds: Int = TransitSssp.tailLazyRounds,
+    /** Session-local regime evidence this instance bumps alongside the
+      * companion's global telemetry counters (r19 — companion class
+      * scaladoc). Callers that need to REQUIRE a regime engaged pass and
+      * read their own instance; the default keeps an unshared one. */
+    val evidence: TransitSssp.RegimeEvidence = new TransitSssp.RegimeEvidence) {
 
   /** Instance-level checkpoint helpers at this instance's storage level
     * (the companion versions keep the env-seeded default for one-shot
@@ -860,7 +880,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame,
         try {
           val run = ShortestPaths.runTargetsOnCsr(spark, g, sources, targets)
           TransitSssp.cappedCsrServed.incrementAndGet()
-          if (g.hasNegative) TransitSssp.cappedCsrNegativeServed.incrementAndGet()
+          evidence.cappedCsrServed.incrementAndGet()
+          if (g.hasNegative) {
+            TransitSssp.cappedCsrNegativeServed.incrementAndGet()
+            evidence.cappedCsrNegativeServed.incrementAndGet()
+          }
           Some(run)
         } catch {
           // a reachable negative-total cycle has no fixpoint (corrupt
@@ -941,6 +965,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame,
     def resolveAcyclic(source: Long): DataFrame = {
       require(sources.contains(source), s"$source is not a seed of this run")
       TransitSssp.acyclicResolveServed.incrementAndGet()
+      evidence.acyclicResolveServed.incrementAndGet()
       resolveStateAcyclic(state.filter(col("src") === source), source,
         selectRun(clockCap).slice, d => { retained.add(d); () })
     }

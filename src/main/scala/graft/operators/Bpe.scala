@@ -132,7 +132,11 @@ object Bpe {
       argmaxHeapMinSlack: Long = ArgmaxHeapMinSlack,
       serializedCkpt: Boolean = serCkpt,
       occProbeMaxTotalRows: Int = OccProbeMaxTotalRows,
-      occIndexRebuildOvWords: Int = OccIndexRebuildOvWords)
+      occIndexRebuildOvWords: Int = OccIndexRebuildOvWords,
+      // session-local regime evidence (r19 — [[TrainTelemetry]] scaladoc):
+      // pass your own instance to require on counters only THIS call
+      // advances; the default keeps an unshared one
+      telemetry: TrainTelemetry = new TrainTelemetry)
       : Seq[(String, String)] = {
     val spark = words.sparkSession
     import spark.implicits._
@@ -159,7 +163,7 @@ object Bpe {
       overlayMaxAffected, overlayMaxWords, baseTopRows,
       occIndexAfterSparseRounds, inHeapHandoffCheckRounds,
       argmaxHeapMinSlack, serializedCkpt, occProbeMaxTotalRows,
-      occIndexRebuildOvWords)
+      occIndexRebuildOvWords, telemetry)
   }
 
   /** Adjacent-pair weighted counts of a symbol table. */
@@ -295,7 +299,8 @@ object Bpe {
       overlayMaxWords: Int, baseTopRows: Int,
       occIndexAfterSparse: Int, inHeapHandoffCheckRounds: Int,
       argmaxHeapMinSlack: Long, ser: Boolean,
-      occProbeBudget: Int, occRebuildOvWords: Int): Seq[(String, String)] = {
+      occProbeBudget: Int, occRebuildOvWords: Int,
+      telemetry: TrainTelemetry): Seq[(String, String)] = {
     def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     // Eager localCheckpoint, not cache: each round's counts plan references
     // the previous round's syms plan TWICE (before/after aggregation), so
@@ -343,10 +348,10 @@ object Bpe {
       } else trainHybrid(syms, counts, merges, numMerges, hybridMaxPairs,
         inHeapMaxBytes, overlayMaxAffected, overlayMaxWords, baseTopRows,
         occIndexAfterSparse, inHeapHandoffCheckRounds, argmaxHeapMinSlack,
-        ser, occProbeBudget, occRebuildOvWords)
+        ser, occProbeBudget, occRebuildOvWords, telemetry)
     } else trainTableLoop(syms, counts, merges, numMerges,
       overlayMaxAffected, overlayMaxWords, baseTopRows, occIndexAfterSparse,
-      ser, occProbeBudget, occRebuildOvWords)
+      ser, occProbeBudget, occRebuildOvWords, telemetry)
     merges.toSeq
   }
 
@@ -621,7 +626,8 @@ object Bpe {
       inHeapMaxBytes: Long, overlayMaxAffected: Int, overlayMaxWords: Int,
       baseTopRows: Int, occIndexAfterSparse: Int,
       inHeapHandoffCheckRounds: Int, argmaxHeapMinSlack: Long,
-      ser: Boolean, occProbeBudget: Int, occRebuildOvWords: Int): Unit = {
+      ser: Boolean, occProbeBudget: Int, occRebuildOvWords: Int,
+      telemetry: TrainTelemetry): Unit = {
     val spark = symsInit.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -639,7 +645,8 @@ object Bpe {
     // contains-scan the table loop had (counts live in the driver map
     // here, so the scan was the round's ONLY distributed job) — the
     // shared occurrence index replaces it with one pruned task
-    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget, occRebuildOvWords)
+    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget,
+      occRebuildOvWords, telemetry)
     var round = 0
     while (merges.size < numMerges && map.nonEmpty) {
       val roundT0 = System.nanoTime()
@@ -712,7 +719,8 @@ object Bpe {
         val handoff = words.handoff()
         trainTableLoop(handoff, pairCounts(handoff).transform(ckpt),
           merges, numMerges, overlayMaxAffected, overlayMaxWords, baseTopRows,
-          occIndexAfterSparse, ser, occProbeBudget, occRebuildOvWords)
+          occIndexAfterSparse, ser, occProbeBudget, occRebuildOvWords,
+          telemetry)
         return
       }
       // Deep-merge hand-off (r14): merging SHRINKS the symbol strings, so
@@ -1108,7 +1116,8 @@ object Bpe {
     * distributed. */
   private final class OccurrenceIndex(words: WordOverlay, trigger: Int,
       probeBudget: Int = OccProbeMaxTotalRows,
-      rebuildOvWords: Int = OccIndexRebuildOvWords) {
+      rebuildOvWords: Int = OccIndexRebuildOvWords,
+      telemetry: TrainTelemetry = new TrainTelemetry) {
     private val spark = words.session
     import spark.implicits._
     val partitioner = new org.apache.spark.HashPartitioner(OccIndexBuckets)
@@ -1172,6 +1181,7 @@ object Bpe {
       // word-table view.
       else if (idx.nonEmpty && rebuildOvWords > 0 && ovI.size > rebuildOvWords) {
         occIndexRebuilds.incrementAndGet()
+        telemetry.occIndexRebuilds.incrementAndGet()
         build()
       }
     /** Some((rows, certainDense)): the exact affected set, or a proof the
@@ -1225,6 +1235,7 @@ object Bpe {
           if (parts.exists(_._2)) {
             if (canProve) {
               occProbeServed.incrementAndGet()
+              telemetry.occProbeServed.incrementAndGet()
               Some((IndexedSeq.empty, true)) // dense, proven
             } else {
               // budget-truncated: inconclusive, the scan fallback decides
@@ -1242,6 +1253,7 @@ object Bpe {
               if (needleStrs.exists(s.contains)) out += ((wid, s, c))
             }
             occProbeServed.incrementAndGet()
+            telemetry.occProbeServed.incrementAndGet()
             Some((out.toIndexedSeq, false))
           }
         case _ => None
@@ -1352,7 +1364,8 @@ object Bpe {
       merges: scala.collection.mutable.ArrayBuffer[(String, String)],
       numMerges: Int, overlayMaxAffected: Int, overlayMaxWords: Int,
       baseTopRows: Int, occIndexAfterSparse: Int, ser: Boolean,
-      occProbeBudget: Int, occRebuildOvWords: Int): Unit = {
+      occProbeBudget: Int, occRebuildOvWords: Int,
+      telemetry: TrainTelemetry): Unit = {
     def ckpt(df: DataFrame): DataFrame = Bpe.ckpt(df, ser)
     lastRegimes.add("tableloop")
     val spark = symsInit.sparkSession
@@ -1373,7 +1386,8 @@ object Bpe {
     val cand = scala.collection.mutable.HashMap.empty[(String, String), Long]
     var floor = 0L
     var baseComplete = false
-    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget, occRebuildOvWords)
+    val occ = new OccurrenceIndex(words, occIndexAfterSparse, occProbeBudget,
+      occRebuildOvWords, telemetry)
     // Partitioned twin of the PAIR base for the applyDeltas count probe
     // (r17, second half of the same lever): with the word scan replaced
     // by the occurrence index, the remaining deep-round job was the
@@ -1682,6 +1696,17 @@ object Bpe {
     * spec-observed telemetry, same pattern as [[occProbeServed]]. */
   private[graft] val occIndexRebuilds =
     new java.util.concurrent.atomic.AtomicLong()
+
+  /** PER-CALL training telemetry (r19, r18 verdict #2 — the
+    * TransitSssp.RegimeEvidence pattern): the companion counters above
+    * are process-global, so a regime-proof `require` that diffs them can
+    * be false-passed by a concurrent train() in the same JVM. Callers
+    * that need to REQUIRE a path engaged pass their own instance to
+    * [[train]]; the occurrence index bumps it alongside the globals. */
+  final class TrainTelemetry {
+    val occProbeServed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val occIndexRebuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
 
   /** Spark orders strings by UTF-8 bytes = code-point order — the local
     * tie-break must match the distributed sort exactly (shared helper). */

@@ -38,7 +38,13 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     // per-instance (r18, r17 verdict #2) — engine-level callers pass them
     // the same way they pass ssspLocalThreshold
     val cappedCsrMaxEdges: Long = graft.graph.TransitSssp.cappedCsrMaxEdges,
-    val cappedSliceMinNodes: Long = graft.graph.TransitSssp.cappedSliceMinNodes) {
+    val cappedSliceMinNodes: Long = graft.graph.TransitSssp.cappedSliceMinNodes,
+    /** Session-local regime evidence the projection's TransitSssp runner
+      * bumps (r19 — TransitSssp.RegimeEvidence scaladoc); the owning
+      * engine passes its own so callers can require regimes engaged
+      * without reading process-global counters. */
+    val regimeEvidence: graft.graph.TransitSssp.RegimeEvidence =
+      new graft.graph.TransitSssp.RegimeEvidence) {
 
   // Forced-flags are written inside lazy-val initializers and read from
   // other threads (journey() warms the index concurrently with near-stop
@@ -125,7 +131,8 @@ final class TimeExpandedGraph(val nodes: DataFrame,
     // the distributed twin of the local regime's held CSR
     lazy val transit = new graft.graph.TransitSssp(nodes, changeEnriched,
       cappedCsrMaxEdges = cappedCsrMaxEdges,
-      cappedSliceMinNodes = cappedSliceMinNodes)
+      cappedSliceMinNodes = cappedSliceMinNodes,
+      evidence = regimeEvidence)
     new graft.graph.ShortestPaths.Sssp(weightedEdges, ssspLocalThreshold,
       distributedRunner = Some(srcs => transit.run(srcs)),
       distributedStaged = Some { (srcs, costCap, clockCap) =>
@@ -248,7 +255,9 @@ object TimeExpandedGraph {
       ssspLocalThreshold: Long = graft.graph.ShortestPaths.LocalDijkstraMaxEdges,
       cappedCsrMaxEdges: Long = graft.graph.TransitSssp.cappedCsrMaxEdges,
       cappedSliceMinNodes: Long = graft.graph.TransitSssp.cappedSliceMinNodes,
-      enrichMinStatBytes: Long = EnrichMinStatBytes)
+      enrichMinStatBytes: Long = EnrichMinStatBytes,
+      regimeEvidence: graft.graph.TransitSssp.RegimeEvidence =
+        new graft.graph.TransitSssp.RegimeEvidence)
       : TimeExpandedGraph = {
 
     // J1 calendar chain: Day ← Service ← Trip ← Stoptime → Stop (+ Route).
@@ -471,6 +480,6 @@ object TimeExpandedGraph {
     }
 
     new TimeExpandedGraph(nodes, () => edgesAndSched(), ssspLocalThreshold,
-      cappedCsrMaxEdges, cappedSliceMinNodes)
+      cappedCsrMaxEdges, cappedSliceMinNodes, regimeEvidence)
   }
 }

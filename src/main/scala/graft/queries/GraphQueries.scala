@@ -156,9 +156,7 @@ object GraphQueries {
     // as literal VALUES (in-heap parity spec-pinned in GtfsEngineSpec).
     Q("gtfs_routing_zero_cycle", "G2,G6,J8",
       (s, _) => {
-        import graft.graph.TransitSssp
         val tables = graft.etl.SyntheticGtfs.zeroCycleFeed(s)
-        val srv0 = TransitSssp.acyclicResolveServed.get()
         // per-call regime forcing (r18, r17 verdict #2 — no global
         // mutation window: a concurrent routing call keeps its own
         // capped-CSR budget): ssspLocalThreshold = 0 kills the in-heap
@@ -169,11 +167,15 @@ object GraphQueries {
         // repair serves the route — pointer doubling is already under
         // the oracle via gtfs_routing_distributed, and forcing it here
         // only adds fixture-scale scheduling rounds to every bench
-        val d = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L,
+        val eng = new graft.api.RoutingEngine(tables, ssspLocalThreshold = 0L,
           cappedCsrMaxEdges = 0L)
-          .routing("2024-01-18", 1.0, "13:50:00", "Start", "End")
+        val d = eng.routing("2024-01-18", 1.0, "13:50:00", "Start", "End")
         val (schema, rows) = (d.schema, d.collect())
-        require(TransitSssp.acyclicResolveServed.get() > srv0,
+        // SESSION-LOCAL evidence (r19, r18 verdict #2): only this
+        // engine's calls advance its evidence counters, so a concurrent
+        // routing in the same JVM cannot false-pass the regime proof the
+        // way a global-counter diff could.
+        require(eng.evidence.acyclicResolveServed.get() > 0L,
           "zero-cycle row did not take the acyclic re-resolution path")
         s.createDataFrame(s.sparkContext.parallelize(
           rows.toIndexedSeq, 1), schema).orderBy("hop")

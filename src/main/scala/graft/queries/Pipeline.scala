@@ -1278,11 +1278,14 @@ object Pipeline {
         import s.implicits._
         val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
           .toDF("word", "count")
-        val srv0 = graft.operators.Bpe.occProbeServed.get()
+        // session-local evidence (r19, r18 verdict #2): only THIS call
+        // advances the telemetry it passes, so a concurrent train() in
+        // the JVM cannot false-pass the regime proof
+        val tel = new graft.operators.Bpe.TrainTelemetry
         val indexed = graft.operators.Bpe.train(words, 6,
           localMaxWords = 0L, hybridMaxPairs = 0L,
-          occIndexAfterSparseRounds = 0)
-        require(graft.operators.Bpe.occProbeServed.get() > srv0,
+          occIndexAfterSparseRounds = 0, telemetry = tel)
+        require(tel.occProbeServed.get() > 0L,
           "indexed BPE row did not serve a round from the occurrence index")
         val scanned = graft.operators.Bpe.train(words, 6,
           localMaxWords = 0L, hybridMaxPairs = 0L,
@@ -1291,6 +1294,45 @@ object Pipeline {
           s"occurrence-index merges diverged from the forced-scan control:" +
             s"\n  indexed: $indexed\n  scanned: $scanned")
         indexed.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+          .toDF("rank", "left", "right").orderBy("rank")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (1, 'e', 's'), (2, 'es', 't'), (3, 'l', 'o'),
+             | (4, 'lo', 'w'), (5, 'e', 'w'), (6, 'ew', 'est'))
+             | AS t(rank, "left", "right")
+             |ORDER BY rank""".stripMargin)),
+
+    // The PROACTIVE ovI-BOUND INDEX REBUILD under the hash gate (r19,
+    // r18 verdict #1): the 1.51× deep-tail lever (Bpe.scala maybeBuild —
+    // a live index rebuilds at round start once its rewritten-since-build
+    // overlay outgrows occIndexRebuildOvWords) had a forced-rebuild spec
+    // case but no oracled catalog row. Same table-loop forcing as
+    // text_bpe_merges_indexed, with per-call occIndexRebuildOvWords = 1
+    // so the overlay (2+ rewritten words per merge round on this fixture)
+    // trips a rebuild nearly every round; the closure REQUIRES the
+    // rebuild counter advanced on ITS OWN telemetry AND pins the merges
+    // against the rebuild-disabled control (occIndexRebuildOvWords = 0)
+    // before oracling them against the hand-verified Sennrich golden —
+    // rebuild-path parity is the invariant under test.
+    Q("text_bpe_merges_rebuild", "text,bpe",
+      (s, _) => {
+        import s.implicits._
+        val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+          .toDF("word", "count")
+        val tel = new graft.operators.Bpe.TrainTelemetry
+        val rebuilt = graft.operators.Bpe.train(words, 6,
+          localMaxWords = 0L, hybridMaxPairs = 0L,
+          occIndexAfterSparseRounds = 0, occIndexRebuildOvWords = 1,
+          telemetry = tel)
+        require(tel.occIndexRebuilds.get() > 0L,
+          "rebuild BPE row did not take the proactive ovI-bound rebuild path")
+        val control = graft.operators.Bpe.train(words, 6,
+          localMaxWords = 0L, hybridMaxPairs = 0L,
+          occIndexAfterSparseRounds = 0, occIndexRebuildOvWords = 0)
+        require(rebuilt == control,
+          s"rebuild-path merges diverged from the single-build control:" +
+            s"\n  rebuilt: $rebuilt\n  control: $control")
+        rebuilt.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
           .toDF("rank", "left", "right").orderBy("rank")
       },
       Some("""SELECT * FROM (VALUES

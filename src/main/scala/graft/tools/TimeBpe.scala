@@ -96,14 +96,23 @@ object TimeBpe {
     // measured control)
     val occIdx = sys.env.get("SPARK_GRAFT_BPE_OCCIDX").map(_.toInt)
       .getOrElse(graft.operators.Bpe.OccIndexAfterSparseRounds)
+    // r19 sensitivity knob (r18 verdict #4): proactive ovI-bound rebuild
+    // threshold in overlay words (production default when unset; 0 = the
+    // rebuild disabled — the r18 pre-fix control)
+    val rebuildOv = sys.env.get("SPARK_GRAFT_BPE_REBUILD_OV").map(_.toInt)
+      .getOrElse(graft.operators.Bpe.OccIndexRebuildOvWords)
+    val tel = new graft.operators.Bpe.TrainTelemetry
     val t0 = System.nanoTime()
     val merges = graft.operators.Bpe.train(words, nMerges, localMaxWords = 0L,
       hybridMaxPairs = maxPairs, inHeapMaxBytes = maxInHeap,
-      occIndexAfterSparseRounds = occIdx)
+      occIndexAfterSparseRounds = occIdx, occIndexRebuildOvWords = rebuildOv,
+      telemetry = tel)
     val total = (System.nanoTime() - t0) / 1e9
     println(f"$nMerges merges (forced distributed, regime=$regime): " +
       f"$total%.1f s total, " +
       f"${total / math.max(1, merges.size)}%.3f s/merge, learned ${merges.size}")
+    println(s"rebuildOv=$rebuildOv occProbeServed=${tel.occProbeServed.get()} " +
+      s"occIndexRebuilds=${tel.occIndexRebuilds.get()}")
     // cross-regime parity digest (MurmurHash3 — deterministic across JVMs):
     // two regimes on the same corpus must print the same line
     println(s"mergesDigest=${scala.util.hashing.MurmurHash3.seqHash(merges)}")

@@ -157,14 +157,33 @@ object TimeContamination {
     require(rB == rE && dB == dE, "bloom plan diverged from the semi-join")
     require(rS == rE && dS == dE, "above-cliff verify diverged from the semi-join")
     require(pB && !pE, "plan-shape check failed: the gate did not switch plans")
-    require(bS < bB, "above-cliff verify should not build the broadcast relation")
     // the hint really dropped: the below-cliff leg's verify join is a
     // BroadcastHashJoin; above the cliff it must not be (AQE chose a
     // shuffle join for the GB-scale relation)
     require(jB.exists(_.startsWith("BroadcastHashJoin")),
       s"below-cliff leg lost its broadcast verify join: $jB")
-    require(jS.nonEmpty && !jS.exists(_.startsWith("BroadcastHashJoin")),
-      s"above-cliff leg still broadcasts: $jS")
+    // With the hint dropped, AQE still broadcasts any relation under
+    // autoBroadcastJoinThreshold from runtime sizes — the no-broadcast
+    // assertion is only meaningful when the verify relation (measured on
+    // the hinted leg) actually exceeds that threshold (r18 ADVICE: the
+    // unconditional require falsely failed on sub-cliff corpora).
+    val aqeBcastBytes = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
+        case s if s.toLowerCase.endsWith("mb") => s.dropRight(2).toLong << 20
+        case s if s.toLowerCase.endsWith("kb") => s.dropRight(2).toLong << 10
+        case s if s.toLowerCase.endsWith("b") => s.dropRight(1).toLong
+        case s => s.toLong
+      }
+    if (bB > aqeBcastBytes) {
+      require(bS < bB,
+        "above-cliff verify should not build the broadcast relation")
+      require(jS.nonEmpty && !jS.exists(_.startsWith("BroadcastHashJoin")),
+        s"above-cliff leg still broadcasts: $jS")
+    } else
+      println(s"above-cliff join-shape check SKIPPED: hinted relation " +
+        s"(${bB / (1 << 20)} MB) under AQE's broadcast threshold " +
+        s"(${aqeBcastBytes / (1 << 20)} MB) - corpus below cliff scale; " +
+        "digest parity still enforced")
     spark.stop()
   }
 }

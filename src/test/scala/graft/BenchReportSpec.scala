@@ -20,10 +20,11 @@ class BenchReportSpec extends SparkSpec {
 
   test("qms line fits the 2000-char tail window with headroom") {
     val line = Bench.qmsLine(slow.sum, "/root/testdata/sf0.1", slow, spreads,
-      drift = Seq(9.99, 9.99))
-    // 1280 ≈ worst case at 97 queries incl. the r18 degraded stamp; leaves
-    // ~700 chars of the 2000-char window for the cut-off detail-line tail
-    assert(line.length < 1280,
+      drift = Seq(9.99, 9.99), fixtureSec = 99999.999)
+    // 1350 ≈ worst case at 99 queries incl. the r18 degraded stamp and the
+    // r19 adj/fx fields; leaves ~650 chars of the 2000-char window for the
+    // cut-off detail-line tail
+    assert(line.length < 1350,
       s"qms line is ${line.length} chars for ${names.size} queries — " +
         "must stay well under the consumer's 2000-char tail window")
   }
@@ -86,6 +87,29 @@ class BenchReportSpec extends SparkSpec {
     assert(!Bench.exceedsGate(Seq(1.5, 1.5)))      // gate is exclusive
     assert(!Bench.exceedsGate(Nil))                // subset run: no controls
     assert(Bench.driftSettleSec > 0)
+  }
+
+  test("qms line carries the drift-normalized total and fixture split (r19)") {
+    // adj = value / max(1, median(drift)): inflation-only normalization —
+    // a clean or fast box passes the total through unchanged; a drifted
+    // capture publishes the hand-derived reading in-band.
+    assert(Bench.driftAdjusted(80.0, Seq(2.0, 1.0, 2.0, 3.0)) == 40.0)
+    // the r18 clean capture's indices: median 0.94 < 1 → identity
+    assert(Bench.driftAdjusted(73.0, Seq(1.05, 0.86, 1.02, 0.73)) == 73.0)
+    // a genuinely inflated capture normalizes by the median
+    assert(math.abs(Bench.driftAdjusted(84.0, Seq(1.2, 1.1, 1.4, 1.0)) -
+      84.0 / 1.15) < 1e-9)
+    assert(Bench.driftAdjusted(73.0, Seq(0.9, 0.8)) == 73.0) // fast box: identity
+    assert(Bench.driftAdjusted(73.0, Nil) == 73.0)           // subset run
+    val line = Bench.qmsLine(10.0, "sf", Seq(4.0, 6.0), Seq(0, 0),
+      drift = Seq(2.0, 2.0), fixtureSec = 6.0)
+    assert(line.contains("\"adj\":5.0"))
+    assert(line.contains("\"fx\":6.0"))
+    // the forced-fixture rows are pinned by name: a rename must come back
+    // here (and to the COVERAGE headline-split note), not silently rejoin
+    // the min-of-3 pool
+    assert(Bench.FixtureRows ==
+      Set("gtfs_routing_distributed", "gtfs_routing_zero_cycle"))
   }
 
   test("qms line carries the degraded stamp (r18 capture loop)") {

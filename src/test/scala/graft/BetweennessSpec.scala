@@ -200,7 +200,7 @@ class BetweennessSpec extends SparkSpec {
       rows(Betweenness.ofProjectionImpl(g,
         sources = None, seed = 42L, localThreshold = None,
         transitAboveThreshold = false, clockCap = Double.PositiveInfinity,
-        defaultCsrBound = bound, cappedInHeapBudget = budget))
+        defaultCsrBound = bound, cappedInHeapBudget = Some(budget)))
     val viaDefault = rows(Betweenness.ofProjection(g))
     val viaRung = viaBound(1L)
     assert(viaRung == viaDefault,
@@ -218,6 +218,20 @@ class BetweennessSpec extends SparkSpec {
     val viaExplicit = rows(Betweenness.ofProjection(g, localThreshold = Some(1L)))
     assert(viaExplicit == viaDefault,
       "explicit-threshold level-sync diverged")
+    // r19 (r18 ADVICE): the rung's DEFAULT budget comes from the
+    // PROJECTION, so an engine built with cappedCsrMaxEdges = 0 (driver
+    // CSR disabled) disables the betweenness driver-collect rung too —
+    // under a tiny defaultCsrBound the None budget resolves to 0 and the
+    // call runs level-sync, same scores.
+    val gNoCsr = new graft.api.RoutingEngine(
+      graft.api.DemoGtfs.tables(spark), cappedCsrMaxEdges = 0L)
+      .projected(java.sql.Date.valueOf("2024-01-18"), 1.0)
+    val viaProjectionDefault = rows(Betweenness.ofProjectionImpl(gNoCsr,
+      sources = None, seed = 42L, localThreshold = None,
+      transitAboveThreshold = false, clockCap = Double.PositiveInfinity,
+      defaultCsrBound = 1L))
+    assert(viaProjectionDefault == viaDefault,
+      "projection-default (disabled) budget diverged from level-sync")
   }
 
   test("windowed transit on a dep-dirty feed keeps the exact edge-list branch (r15 review)") {

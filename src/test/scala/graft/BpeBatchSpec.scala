@@ -123,13 +123,23 @@ class BpeBatchSpec extends SparkSpec {
     // trips it); merges must be unchanged and the rebuild counter must
     // advance (proof the path ran)
     locally {
-      val rb0 = Bpe.occIndexRebuilds.get()
+      // r19: per-call telemetry (Bpe.TrainTelemetry) — the evidence is
+      // SESSION-LOCAL: the run's own instance advances, a bystander
+      // instance stays untouched (the global-counter diff this replaces
+      // could be advanced by any concurrent train in the JVM)
+      val tel = new Bpe.TrainTelemetry
+      val bystander = new Bpe.TrainTelemetry
       assert(Bpe.train(df, 30, localMaxWords = 0L, hybridMaxPairs = 0L,
         inHeapMaxBytes = 0L, occIndexAfterSparseRounds = 0,
-        occIndexRebuildOvWords = 1) == local,
+        occIndexRebuildOvWords = 1, telemetry = tel) == local,
         "ovI-bound rebuild path diverged")
-      assert(Bpe.occIndexRebuilds.get() > rb0,
+      assert(tel.occIndexRebuilds.get() > 0L,
         "1-word rebuild bound never triggered a proactive rebuild")
+      assert(tel.occProbeServed.get() > 0L,
+        "rebuild run never served a probe")
+      assert(bystander.occIndexRebuilds.get() == 0L &&
+        bystander.occProbeServed.get() == 0L,
+        "telemetry leaked across instances")
     }
     // r18: the probe BUDGET path — a 1-entry budget makes every non-
     // trivial probe truncate past the provable bound, so probes return

@@ -27,5 +27,13 @@ class RuntimeSpec extends SparkSpec {
     Runtime.releaseAll()
     assert(Runtime.retainedCount == 0,
       "releaseAll left retained cache entries behind")
+    // r19 (r18 ADVICE): also run the CATALOG ROW itself once (default
+    // gate — the builder path production benches execute), so the row's
+    // own wiring stays covered here, not just the direct low-gate call.
+    val row = queries.Catalog.all.find(_.name == "pipeline_contamination").get
+    assert(row.run(spark, "/root/testdata/sf0.001").count() > 0,
+      "pipeline_contamination catalog row produced no rows at sf0.001")
+    Runtime.releaseAll()
+    assert(Runtime.retainedCount == 0)
   }
 }
