@@ -156,10 +156,22 @@ object TimeContamination {
       f"bloomInPlan=$pS%s peakBroadcast=${bS / (1 << 20)}%d MB joins=${jS.mkString("+")}%s")
     require(rB == rE && dB == dE, "bloom plan diverged from the semi-join")
     require(rS == rE && dS == dE, "above-cliff verify diverged from the semi-join")
-    require(pB && !pE, "plan-shape check failed: the gate did not switch plans")
+    // The default-gate leg only builds the bloom when the corpus stat
+    // exceeds the gate — below it the leg IS the semi-join plan and the
+    // plan-switch assertion is vacuous (r19: same sub-cliff genre as the
+    // r18 ADVICE broadcast finding — a 100k-doc run falsely failed here).
+    if (stat >= graft.queries.Pipeline.ContaminationBloomMinStatBytes)
+      require(pB && !pE, "plan-shape check failed: the gate did not switch plans")
+    else
+      println(s"bloom plan-switch check SKIPPED: corpusStat " +
+        s"(${stat / (1 << 20)} MB) under the bloom gate - digest parity " +
+        "still enforced")
+    require(!pE, "semi-join control unexpectedly built a bloom")
     // the hint really dropped: the below-cliff leg's verify join is a
     // BroadcastHashJoin; above the cliff it must not be (AQE chose a
-    // shuffle join for the GB-scale relation)
+    // shuffle join for the GB-scale relation). Assumes corpusStat under
+    // the verify ceiling (the tool's documented protocol range) — leg 1
+    // drops its own hint past that.
     require(jB.exists(_.startsWith("BroadcastHashJoin")),
       s"below-cliff leg lost its broadcast verify join: $jB")
     // With the hint dropped, AQE still broadcasts any relation under
@@ -167,23 +179,40 @@ object TimeContamination {
     // assertion is only meaningful when the verify relation (measured on
     // the hinted leg) actually exceeds that threshold (r18 ADVICE: the
     // unconditional require falsely failed on sub-cliff corpora).
-    val aqeBcastBytes = spark.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
-        case s if s.toLowerCase.endsWith("mb") => s.dropRight(2).toLong << 20
-        case s if s.toLowerCase.endsWith("kb") => s.dropRight(2).toLong << 10
-        case s if s.toLowerCase.endsWith("b") => s.dropRight(1).toLong
-        case s => s.toLong
+    val aqeBcastBytes = {
+      val s = spark.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .trim.toLowerCase
+      val (digits, suffix) = s.span(c => c.isDigit || c == '-')
+      val shift = suffix match {
+        case "" | "b" => 0
+        case "k" | "kb" => 10
+        case "m" | "mb" => 20
+        case "g" | "gb" => 30
+        case other => sys.error(s"unhandled byte suffix: $other")
       }
-    if (bB > aqeBcastBytes) {
+      digits.toLong << shift
+    }
+    // UNITS (r19, found by the sub-cliff live run): the hinted leg's
+    // peakBroadcast is BroadcastExchange's dataSize metric — UNCOMPRESSED
+    // in-memory bytes — while AQE's runtime demotion-to-broadcast decides
+    // on the build stage's COMPRESSED shuffle bytes. A 39 MB dataSize
+    // relation can compress under a 10 MB threshold and AQE will
+    // legitimately re-broadcast the un-hinted join. Only assert the
+    // no-broadcast shape when the hinted relation exceeds the threshold
+    // by an order of magnitude (no shuffle codec gets 8× on this data;
+    // the production 6M-doc protocol sits at 180×). A negative threshold
+    // disables broadcasts outright, so the assertion always applies.
+    if (aqeBcastBytes < 0L || bB > 8L * aqeBcastBytes) {
       require(bS < bB,
         "above-cliff verify should not build the broadcast relation")
       require(jS.nonEmpty && !jS.exists(_.startsWith("BroadcastHashJoin")),
         s"above-cliff leg still broadcasts: $jS")
     } else
       println(s"above-cliff join-shape check SKIPPED: hinted relation " +
-        s"(${bB / (1 << 20)} MB) under AQE's broadcast threshold " +
-        s"(${aqeBcastBytes / (1 << 20)} MB) - corpus below cliff scale; " +
-        "digest parity still enforced")
+        s"(${bB / (1 << 20)} MB uncompressed) within compression reach of " +
+        s"AQE's broadcast threshold (${aqeBcastBytes / (1 << 20)} MB) - " +
+        "corpus below cliff scale; digest parity still enforced")
     spark.stop()
   }
 }
