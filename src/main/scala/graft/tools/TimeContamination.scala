@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_CONTAM_DOCS overrides the corpus size (default 500000
   * ≈ 100× sf0.1's documents table). */
 object TimeContamination {
+
+  /** Spark byte-string config value → bytes (spec-pinned, r19): bare
+    * numbers are bytes, the k/kb/m/mb/g/gb suffix family matches what
+    * `spark.conf.get` hands back for size configs, case-insensitive,
+    * and a negative value (broadcast disabled) passes through. Anything
+    * else errors loudly — a diagnostic must not silently misread the
+    * threshold it gates on. */
+  private[graft] def parseByteString(raw: String): Long = {
+    val s = raw.trim.toLowerCase
+    val (digits, suffix) = s.span(c => c.isDigit || c == '-')
+    val shift = suffix match {
+      case "" | "b" => 0
+      case "k" | "kb" => 10
+      case "m" | "mb" => 20
+      case "g" | "gb" => 30
+      case other => sys.error(s"unhandled byte suffix: $other")
+    }
+    digits.toLong << shift
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -179,20 +199,8 @@ object TimeContamination {
     // assertion is only meaningful when the verify relation (measured on
     // the hinted leg) actually exceeds that threshold (r18 ADVICE: the
     // unconditional require falsely failed on sub-cliff corpora).
-    val aqeBcastBytes = {
-      val s = spark.conf
-        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        .trim.toLowerCase
-      val (digits, suffix) = s.span(c => c.isDigit || c == '-')
-      val shift = suffix match {
-        case "" | "b" => 0
-        case "k" | "kb" => 10
-        case "m" | "mb" => 20
-        case "g" | "gb" => 30
-        case other => sys.error(s"unhandled byte suffix: $other")
-      }
-      digits.toLong << shift
-    }
+    val aqeBcastBytes = parseByteString(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
     // UNITS (r19, found by the sub-cliff live run): the hinted leg's
     // peakBroadcast is BroadcastExchange's dataSize metric — UNCOMPRESSED
     // in-memory bytes — while AQE's runtime demotion-to-broadcast decides

@@ -36,4 +36,19 @@ class RuntimeSpec extends SparkSpec {
     Runtime.releaseAll()
     assert(Runtime.retainedCount == 0)
   }
+
+  test("contamination tool's byte-string parse matches Spark's size-config forms (r19)") {
+    import tools.TimeContamination.parseByteString
+    // the forms spark.conf.get actually returns for size configs
+    assert(parseByteString("10485760") == 10485760L)        // bare = bytes
+    assert(parseByteString("10m") == 10L << 20)
+    assert(parseByteString("10MB") == 10L << 20)            // case-insensitive
+    assert(parseByteString(" 64k ") == 64L << 10)           // trimmed
+    assert(parseByteString("2g") == 2L << 30)
+    assert(parseByteString("512b") == 512L)
+    assert(parseByteString("-1") == -1L)                    // broadcast disabled
+    // unknown suffixes must error loudly, never silently misread
+    intercept[RuntimeException](parseByteString("1t"))
+    intercept[RuntimeException](parseByteString("10 mb"))
+  }
 }
