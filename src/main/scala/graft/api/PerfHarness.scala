@@ -60,7 +60,17 @@ object PerfHarness {
     // speed) projection, the resolved SSSP handle, and the near-stop
     // dimension. Without this the first pair's columns absorb the one-time
     // build and overstate per-call latency. Timed separately as buildSec.
+    val sc = engine.gtfs.stops.sparkSession.sparkContext
     val tb = System.nanoTime()
+    sc.setJobDescription("perf-harness: projection build + SSSP resolve")
+    // Materialize WALK_TO before the edge build reads its stats (r20,
+    // guide §3.1): the broadcast gate in TimeExpandedGraph.build reads
+    // Catalyst stats — exact for a MATERIALIZED cache, inflated for the
+    // unmaterialized plan — so forcing the (dimension-sized) cache here
+    // turns the schedule-dimension walk join from a two-Exchange
+    // sort-merge into a broadcast join at Modena cardinality. Same move
+    // journey() already makes; one tiny job, stats-not-guesses.
+    engine.walkTo.count()
     val g = engine.projected(java.sql.Date.valueOf(date), speed)
     g.sssp.isLocal
     g.localIndex match {
@@ -68,7 +78,8 @@ object PerfHarness {
       case None => g.stopDim.count()
     }
     val buildSec = (System.nanoTime() - tb) / 1e9
-    pairs.map { p =>
+    try pairs.map { p =>
+      sc.setJobDescription(s"perf-harness: pair ${p.name}")
       val t0 = System.nanoTime()
       val startNames = engine.findNearStops(date, p.startLat, p.startLon, radius, speed)
         .collect().map(_.getString(0)).toSeq
@@ -102,7 +113,7 @@ object PerfHarness {
         p.endLat, p.endLon) / 1000.0
       Measurement(p.name, km, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
         rows.length.toLong, buildSec, dg, twinOk)
-    }
+    } finally sc.setJobDescription(null)
   }
 
   def toDF(spark: SparkSession, ms: Seq[Measurement]): DataFrame = {

@@ -412,6 +412,8 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       }
     }
 
+    val sc = spark.sparkContext
+    sc.setJobDescription("route: sssp converge")
     val staged = g.sssp.runStaged(srcIds, costCap, capAnchor.toDouble)
     val dist = staged.distances.cache()
     var predOne: DataFrame = null
@@ -420,6 +422,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
     // run's converged grid — at 10× Modena that is ~600 MB of checkpoint
     // blocks per round that would otherwise wait for the ContextCleaner.
     try {
+      sc.setJobDescription("route: pair ranking")
       val pairs = dist
         .join(targets, col("vertex_id") === col("t_id"))
         .join(broadcast(srcRows.withColumnRenamed("s_id", "source_id")), Seq("source_id"))
@@ -430,6 +433,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       val row = pairs.orderBy(PairOrder.columns: _*).limit(1).collect().headOption
         .getOrElse(return Nil)
       val (bestSrc, bestTgt) = (row.getAs[Long]("s_id"), row.getAs[Long]("t_id"))
+      sc.setJobDescription("route: pred resolve + path")
       predOne = staged.resolve(bestSrc).cache()
       val path =
         try ShortestPaths.pathDistributed(predOne, bestSrc, bestTgt,
@@ -443,6 +447,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
           // repair). Runners without a structural repair keep the pointed
           // error.
           case e: ShortestPaths.PredCycleException =>
+            sc.setJobDescription("route: acyclic re-resolve + path")
             staged.resolveAcyclic(bestSrc) match {
               case Some(repaired) =>
                 predOne.unpersist()
@@ -456,6 +461,7 @@ class RoutingEngine(val gtfs: GtfsTables, walkRadiusMeters: Double = 300.0,
       if (path.size < 2) return Nil
       segments(g, path)
     } finally {
+      sc.setJobDescription(null)
       if (predOne != null) predOne.unpersist()
       dist.unpersist()
       staged.release()

@@ -36,6 +36,16 @@ object GtfsWarehouse {
   def write(g: GtfsTables, dir: String): Unit = {
     dayExpandedStopTimes(g).write.mode("overwrite")
       .partitionBy("day").parquet(s"$dir/day_stoptimes")
+    writeDims(g, dir)
+  }
+
+  /** Dimensions only (stops, routes, trips, calendar, agency) — for a
+    * warehouse whose fact side is written bucketed via
+    * [[writeBucketedByStop]]: writing the PLAIN day table too would
+    * compute and persist the day expansion twice for one read path (r20 —
+    * `gtfs_routing_bucketed` paid both writes and read only the bucketed
+    * one; at 100 TB the duplicate expansion is the dominant write). */
+  def writeDims(g: GtfsTables, dir: String): Unit = {
     g.agency.write.mode("overwrite").parquet(s"$dir/agency")
     g.stops.write.mode("overwrite").parquet(s"$dir/stops")
     g.routes.write.mode("overwrite").parquet(s"$dir/routes")

@@ -59,10 +59,13 @@ object Betweenness {
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().cache()
-    if (e.count() <= localThreshold) {
-      // The count proved every edge fits; the collect reads the cache the
-      // count populated (same bounded-collect discipline as ShortestPaths).
-      val collected = e.as[(Long, Long)].collect()
+    // ONE bounded limit-collect decides the regime AND delivers the edges
+    // (r20, guide §1: the previous count()-then-collect() ran two full
+    // passes — the limit is threshold+1, so an over-threshold graph ships
+    // at most one row past the budget before falling to level-sync).
+    val bound = math.min(localThreshold + 1L, Int.MaxValue.toLong).toInt
+    val collected = e.limit(bound).as[(Long, Long)].collect()
+    if (collected.length <= localThreshold) {
       e.unpersist()
       return runCsr(spark, collected, sources.distinct)
     }
@@ -431,10 +434,16 @@ object Betweenness {
     val (srcs, scale) = sources match {
       case Some(s) => (s, 1.0)
       case None =>
-        val nVerts = if (windowed) scopeNodes.count() else g.nodeCount
-        if (nVerts <= ExactSourcesMaxVertices)
-          (scopeNodes.select("id").as[Long].collect().toSeq, 1.0)
+        // ONE bounded limit-collect decides exact-vs-sampled AND delivers
+        // the exact pivot set (r20 — the previous count()-then-collect()
+        // paid two jobs over the node set in the exact case; the limit is
+        // bound+1, so an over-bound graph ships one row past the budget,
+        // then pays the count it always needed for the sample scale).
+        val probe = scopeNodes.select("id")
+          .limit(ExactSourcesMaxVertices.toInt + 1).as[Long].collect()
+        if (probe.length <= ExactSourcesMaxVertices) (probe.toSeq, 1.0)
         else {
+          val nVerts = if (windowed) scopeNodes.count() else g.nodeCount
           val sample = scopeNodes.select(col("id"))
             .orderBy(xxhash64(col("id"), lit(seed)))
             .limit(DefaultSampleSources).as[Long].collect().toSeq
@@ -499,7 +508,10 @@ object Betweenness {
             .isEmpty)
       }).booleanValue
     val scores =
-      if (g.edgeCount > effThreshold && transitAboveThreshold &&
+      // transitAboveThreshold first (r20): the edge count is a Spark job
+      // over the full projected edge set, and the default path
+      // (transitAboveThreshold = false) never needs it — && short-circuits.
+      if (transitAboveThreshold && g.edgeCount > effThreshold &&
           !(windowed && windowedDepHole)) {
         // changeEnriched is interchangeable with the 5-column view here:
         // TransitBetweenness re-keys to HOP space (its own positions,

@@ -30,7 +30,13 @@ object Components {
     // expensive) upstream pipeline — an LSH verify join in the dedup
     // callers — runs twice
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
-    if (e.count() <= localThreshold) {
+    // ONE bounded limit-collect decides the regime AND delivers the edges
+    // (r20, guide §1: count()-then-collect() was two passes; the limit is
+    // threshold+1 so an over-threshold graph ships at most one extra row
+    // before falling to Pregel, which re-reads the cache)
+    val bound = math.min(localThreshold + 1L, Int.MaxValue.toLong).toInt
+    val pairs = e.limit(bound).as[(Long, Long)].collect()
+    if (pairs.length <= localThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(v: Long): Long = {
         var r = v
@@ -39,7 +45,6 @@ object Components {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val pairs = e.as[(Long, Long)].collect()
       e.unpersist()
       pairs.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a)

@@ -3,7 +3,7 @@ package graft.graph
 import org.apache.spark.graphx._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
 
 /** Weighted shortest paths on GraphX Pregel.
   *
@@ -131,6 +131,12 @@ object ShortestPaths {
     * pointer-doubling branch, whose driver traffic is the final path only. */
   val DriverWalkMaxChainRows: Long = 8000000L
 
+  /** Uniquifier for the path-extraction Observation names — the listener
+    * matches metrics by name across every query execution in the session,
+    * so concurrent path extractions must not share one (same contract as
+    * TransitSssp.runSeq). */
+  private val pathSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Distributed path reconstruction — the 100 TB regime, where collecting
     * even one source's reachable set may flood the driver. Two branches,
     * gated on the MEASURED chain size (the count reads the chain's own
@@ -153,14 +159,32 @@ object ShortestPaths {
       driverWalkMaxRows: Long = DriverWalkMaxChainRows): List[Long] = {
     val spark = dist.sparkSession
     import spark.implicits._
+    // Chain size AND target reachability ride the chain checkpoint's own
+    // materialization job via observe() (r20 — previously a separate
+    // reachability filter job over `dist` plus a count() over the
+    // checkpoint: three jobs where one suffices). Reached ⇔ a dist row
+    // exists; the chain drops only pred = −1 rows, and the single-source
+    // resolve emits pred = −1 exactly for the seed — so target reached ⇔
+    // target == source (seed row always present: resolveState's phantom
+    // contract) ∨ target ∈ chain.v.
+    val obs = org.apache.spark.sql.Observation(
+      s"path-chain-${pathSeq.incrementAndGet()}")
     val chain0 = dist.filter(col("source_id") === source && col("pred") =!= -1L)
       .select(col("vertex_id").as("v"), col("pred").as("p"))
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        coalesce(sum((col("v") === target).cast("long")), lit(0L)).as("tgt"))
       .localCheckpoint(true)
+    val chainRows = obs.get("rows").asInstanceOf[Long]
+    val targetInChain = obs.get("tgt").asInstanceOf[Long] > 0L
     val release = org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpoint _
     try {
-      if (dist.filter(col("source_id") === source && col("vertex_id") === target).isEmpty)
-        return Nil
-      if (chain0.count() <= driverWalkMaxRows) {
+      if (target == source) {
+        // seed row contract: the source always reports itself at dist 0
+        return List(source)
+      }
+      if (!targetInChain) return Nil
+      if (chainRows <= driverWalkMaxRows) {
         // Bounded driver walk — identical output to the doubling branch:
         // both walk the same converged predecessor function from target
         // to source; this one resolves it from a collected map.
@@ -182,20 +206,28 @@ object ShortestPaths {
       val jumps = scala.collection.mutable.ArrayBuffer(chain0)
       // 63 doubling levels cover any acyclic chain (2^63 rows); a table
       // still non-empty past that proves a pred cycle — fail clean
-      // instead of launching jobs forever
-      while (!jumps.last.isEmpty) {
+      // instead of launching jobs forever. Each level's row count rides
+      // its own checkpoint job via observe() (r20 — the emptiness test
+      // was previously a separate isEmpty job per level, doubling the
+      // loop's scheduler round-trips at every scale).
+      var lastRows = chainRows
+      while (lastRows > 0L) {
         if (jumps.size > 63) throw new PredCycleException(
           "predecessor cycle in jump tables - canonical ties have no tree " +
             "on this feed (zero-total cycle); re-resolve acyclically or " +
             "route through the in-heap regime")
         val jk = jumps.last
+        val lobs = org.apache.spark.sql.Observation(
+          s"path-jump-${pathSeq.incrementAndGet()}")
         // flattenStats: the self-join SQUARES the size estimate per
         // doubling level (see TransitSssp.ckpt's scaladoc for the
         // pathology at scale); drop origin stats each level
         jumps += org.apache.spark.sql.graftbridge.CheckpointBridge
           .flattenStats(jk.as("a").join(jk.as("b"), col("a.p") === col("b.v"))
             .select(col("a.v").as("v"), col("b.p").as("p"))
+            .observe(lobs, count(lit(1)).as("rows"))
             .localCheckpoint(true))
+        lastRows = lobs.get("rows").asInstanceOf[Long]
       }
       var pos = Seq((target, 0L)).toDF("v", "idx").localCheckpoint(true)
       for (k <- (jumps.size - 1) to 0 by -1) {

@@ -268,7 +268,10 @@ object GraphQueries {
         val table = "graft_demo_day_st_bucketed_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         try {
-          graft.etl.GtfsWarehouse.write(g, dirP.toString) // dims + plain day table
+          // dims only (r20): loadTablesBucketed reads dims + the bucketed
+          // fact table — the plain day-partitioned fact write was a second
+          // full day-expansion this row never read back
+          graft.etl.GtfsWarehouse.writeDims(g, dirP.toString)
           graft.etl.GtfsWarehouse.writeBucketedByStop(
             g, table, s"$dirP/bucketed", buckets = 4)
           val day = java.sql.Date.valueOf("2024-01-18")
