@@ -202,6 +202,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE re-plan (coalesce) the OUTPUT partitioning of cached-plan
+      // materializations too (r20, guide §2.2/§6: fewer, larger tasks).
+      // Off by default only to keep cache-sharing plans byte-stable;
+      // scale-adaptive in both directions — tiny cached frames (the
+      // projection caches at city scale) stop fanning 32-160 scheduling
+      // quanta per read, and at 100 TB AQE targets advisoryPartitionSize
+      // instead. Measured on gtfs_modena_harness: best 13.0→10.0 s
+      // min-of-3 (build phase 8.7→6.1 s job wall).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1854,6 +1854,7 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame,
       .rowsBetween(Window.unboundedPreceding, 0)
     var it = 0
     var converged = false
+    var lastUnlabeled = -1L
     while (it < maxIterations && !converged) {
       val ridden = lev.withColumn("rlev", min(col("lev")).over(wRun))
       val srcSide = ridden.filter(col("rlev").isNotNull)
@@ -1872,13 +1873,19 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame,
           col("dist") === col("t_need"), "left")
         .select(col("trip_id"), col("stop_sequence"), col("dist"),
           col("lev"), least(col("rlev"), col("clev")).as("nlev"))
+        // unlabeled rides the same round job (r20, guide §1): the
+        // converged round's nlev IS the final lev column, so the last
+        // round's count replaces the separate post-loop count() job
         .observe(obs, coalesce(sum((col("nlev").isNotNull &&
           (col("lev").isNull || col("nlev") < col("lev"))).cast("long")),
-          lit(0L)).as("improved"))
+          lit(0L)).as("improved"),
+          coalesce(sum(col("nlev").isNull.cast("long")), lit(0L))
+            .as("unlabeled"))
         .select(col("trip_id"), col("stop_sequence"), col("dist"),
           col("nlev").as("lev"))
         .transform(ckptG)
       converged = obs.get("improved").asInstanceOf[Long] == 0L
+      lastUnlabeled = obs.get("unlabeled").asInstanceOf[Long]
       rel(lev)
       lev = next
       it += 1
@@ -1889,10 +1896,11 @@ final class TransitSssp(nodes: DataFrame, changeEdges: DataFrame,
         s"acyclic re-resolution did not converge in $maxIterations rounds")
     }
     retain(lev)
-    // defensive contract check, one cheap agg: an unlabeled reached row
-    // would silently vanish from the output (tight-reachability makes
-    // this impossible — see the scaladoc — so a hit means a regression)
-    val unlabeled = lev.filter(col("lev").isNull).count()
+    // defensive contract check (an unlabeled reached row would silently
+    // vanish from the output; tight-reachability makes this impossible —
+    // see the scaladoc — so a hit means a regression): read from the last
+    // round's observation; the loop always runs ≥ 1 round when converged.
+    val unlabeled = lastUnlabeled
     if (unlabeled > 0) throw new IllegalStateException(
       s"acyclic re-resolution left $unlabeled reached rows unlabeled")
     val wTripR = Window.partitionBy("trip_id").orderBy("stop_sequence")

@@ -933,13 +933,24 @@ object Bpe {
     * `overlayMaxWords` parameter (per-call, like the affected bound). */
   private[graft] val SymsOverlayMaxWords: Int = 65536
 
-  /** Hash buckets of the table loop's OCCURRENCE INDEX (r17 — the priced
-    * rung from the r16 COVERAGE): (adjacent pair) → (wid, frozen symbols,
-    * count), partitioned by pair so a deep round's probe runs ONE pruned
-    * task over its merge-site bucket instead of a contains-scan of the
-    * full word table. 512 buckets keep a 25M-entry wide-corpus index at
-    * ~50k rows/bucket — a sub-ms task read. */
-  private[graft] val OccIndexBuckets: Int = 512
+  /** Hash-bucket CAP of the table loop's OCCURRENCE INDEX (r17 — the
+    * priced rung from the r16 COVERAGE): (adjacent pair) → (wid, frozen
+    * symbols, count), partitioned by pair so a deep round's probe runs ONE
+    * pruned task over its merge-site bucket instead of a contains-scan of
+    * the full word table. r20 (guide §2.2: partition counts must scale
+    * with the DATA, not a constant tuned for one corpus): the bucket count
+    * is sized per build toward [[OccIndexEntriesPerBucket]] entries/bucket
+    * from the previous build's measured entry count, floored at the
+    * session's default parallelism and capped here — the old fixed 512 ran
+    * 512-task builds on fixture corpora (0.9 s of pure task scheduling per
+    * rebuild-bound bench row) and would under-split a 10⁹-entry corpus. */
+  private[graft] val OccIndexBuckets: Int = 4096
+
+  /** Per-bucket entry target of the occurrence index: ~50k rows ≈ a
+    * sub-ms pruned-task read at ~100-200 B/entry (the r17 512-bucket
+    * sizing for the 25M-entry wide corpus, now kept invariant under
+    * corpus growth instead of the bucket count). */
+  private[graft] val OccIndexEntriesPerBucket: Long = 50000L
 
   /** Consecutive SPARSE rounds before the table loop builds the occurrence
     * index (deep-regime detector): early training alternates dense/sparse
@@ -1120,7 +1131,24 @@ object Bpe {
       telemetry: TrainTelemetry = new TrainTelemetry) {
     private val spark = words.session
     import spark.implicits._
-    val partitioner = new org.apache.spark.HashPartitioner(OccIndexBuckets)
+    /** Entry count of the LAST build — the sizing signal for the next
+      * one's bucket count (r20, [[OccIndexBuckets]] scaladoc): the build
+      * must pick its partitioner before the one pass that also measures
+      * the entries, so sizing uses the previous measurement. Deep training
+      * rebuilds rarely and the corpus between builds only shrinks
+      * (merges), so one build's count is an upper bound for the next. */
+    private var lastEntries: Long = -1L
+    private def bucketCount: Int = {
+      val floor = math.max(16, spark.sparkContext.defaultParallelism)
+      if (lastEntries < 0L) floor
+      else math.min(OccIndexBuckets.toLong, math.max(floor.toLong,
+        (lastEntries + OccIndexEntriesPerBucket - 1L) /
+          OccIndexEntriesPerBucket)).toInt
+    }
+    /** Current partitioner — re-created per build when the size target
+      * moves; probes read the partitioner OFF THE RDD they query, so a
+      * mid-flight resize can never mis-prune. */
+    var partitioner = new org.apache.spark.HashPartitioner(bucketCount)
     private var idx: Option[org.apache.spark.rdd.RDD[
       ((String, String), (Long, String, Long))]] = None
     // (wid → (current symbols, count)) of every word rewritten since the
@@ -1147,6 +1175,9 @@ object Bpe {
     }
     private def build(): Unit = {
       release()
+      val buckets = bucketCount
+      if (buckets != partitioner.numPartitions)
+        partitioner = new org.apache.spark.HashPartitioner(buckets)
       val arr = symbolsOf(col("s"))
       val rdd = words.frozen()
         .select(col("wid"), col("s"), col("count"),
@@ -1158,7 +1189,8 @@ object Bpe {
         .map { case (a, b, wid, s, c) => ((a, b), (wid, s, c)) }
         .partitionBy(partitioner)
       rdd.localCheckpoint() // truncate lineage off the (releasable) base
-      rdd.count()           // materialize now, off the per-round path
+      lastEntries = rdd.count() // materialize now, off the per-round path;
+                                // the count sizes the NEXT build's buckets
       idx = Some(rdd)
       served = 0
     }
@@ -1208,7 +1240,10 @@ object Bpe {
           //    fallback (itself bound+1-limited) decides sparse/dense.
           val perPair = bound.toLong + 1L + ovI.size
           val canProve = batch.size.toLong * perPair <= probeBudget
-          val pidPairs = batch.groupBy(partitioner.getPartition(_))
+          // pids come from the QUERIED RDD's own partitioner (r20): the
+          // index resizes per build, so the field may already describe
+          // the NEXT build's layout
+          val pidPairs = batch.groupBy(i.partitioner.get.getPartition(_))
             .map { case (p, xs) => (p, xs.size) }
           val pids = pidPairs.keys.toArray
           val caps = pidPairs.map { case (p, n) =>
@@ -1418,7 +1453,9 @@ object Bpe {
         : Map[(String, String), Long] = baseIdx match {
       case Some(bi) =>
         val needSet = need.toSet
-        val pids = need.map(occ.partitioner.getPartition(_)).distinct.toArray
+        // the twin's OWN partitioner (r20): occ resizes per build, so the
+        // shared field may describe a layout newer than this twin's
+        val pids = need.map(bi.partitioner.get.getPartition(_)).distinct.toArray
         spark.sparkContext.runJob(bi,
           (it: Iterator[((String, String), Long)]) =>
             it.filter(e => needSet.contains(e._1)).toArray,

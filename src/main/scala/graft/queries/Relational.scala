@@ -28,10 +28,15 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // all three output columns in the sort: the synthetic lineitem has
+        // DUPLICATE (l_orderkey, l_linenumber) keys, so the two-column sort
+        // was never total — single-task scans masked the tie order until
+        // the r20 scan spread surfaced it (oracle parity rule: total ORDER
+        // BY; result SET unchanged)
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice"),
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1996-01-01'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin)),
 
     // P6/F7 — name-list membership (ref: main.py:132,141 stop-name isin)
     Q("p6_isin_membership", "P6,F7",

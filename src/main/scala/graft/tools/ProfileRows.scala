@@ -30,6 +30,7 @@ object ProfileRows {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // ad-hoc conf experiments: SPARK_GRAFT_PROFILE_CONF="k=v;k=v"
@@ -40,6 +41,11 @@ object ProfileRows {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    // per-STAGE record: (name+first graft frame, tasks, wallMs) — the job
+    // view hides which operator a multi-stage AQE job spent its time in
+    final case class StageRec(site: String, tasks: Int, var wallMs: Long = -1L,
+        var submitNs: Long = 0L)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageRec]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = js.stageInfos.headOption.map { si =>
@@ -54,6 +60,23 @@ object ProfileRows {
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
         jobs.put(js.jobId, JobRec(js.jobId, desc, site,
           js.stageInfos.map(_.numTasks).sum, System.nanoTime()))
+        js.stageInfos.foreach { si =>
+          val frame = si.details.linesIterator.find(_.contains("graft."))
+            .map(_.trim.replaceFirst("^at ", "")).getOrElse("-")
+          stages.putIfAbsent(si.stageId,
+            StageRec(s"${si.name.takeWhile(_ != '(').trim} | $frame", si.numTasks))
+        }
+      }
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        val r = stages.get(ss.stageInfo.stageId)
+        if (r != null) r.submitNs = System.nanoTime()
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val r = stages.get(sc.stageInfo.stageId)
+        if (r != null && r.submitNs > 0L)
+          r.wallMs = (System.nanoTime() - r.submitNs) / 1000000L
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val r = jobs.get(je.jobId)
@@ -75,6 +98,7 @@ object ProfileRows {
       val fn = catalog.getOrElse(name, sys.error(s"no catalog query named $name"))
       val runs = (1 to repeats).map { i =>
         jobs.clear()
+        stages.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -84,20 +108,35 @@ object ProfileRows {
           import scala.jdk.CollectionConverters._
           jobs.values.asScala.toIndexedSeq.sortBy(_.id)
         }
-        (wall, snap)
+        val stageSnap = {
+          import scala.jdk.CollectionConverters._
+          stages.values.asScala.toIndexedSeq
+        }
+        (wall, snap, stageSnap)
       }
-      val (bestWall, bestJobs) = runs.minBy(_._1)
+      val (bestWall, bestJobs, bestStages) = runs.minBy(_._1)
       println(f"== $name: runs ${runs.map(r => f"${r._1}%.2f").mkString(" ")} s" +
         f" | best $bestWall%.2f s, ${bestJobs.size} jobs," +
         f" job-wall sum ${bestJobs.map(_.wallMs).sum / 1000.0}%.2f s" +
         f" (rest = driver/planning)")
       // group by job description (phase label) + call site, descending wall
-      bestJobs.groupBy(j => if (j.desc.nonEmpty) j.desc else j.site).toSeq
+      bestJobs.groupBy(j =>
+        if (j.desc.nonEmpty) s"${j.desc} @ ${j.site}" else j.site).toSeq
         .map { case (site, js) => (site, js.map(_.wallMs).sum, js.size, js.map(_.tasks).sum) }
         .sortBy(-_._2)
         .take(30)
         .foreach { case (site, ms, n, tasks) =>
           println(f"  $ms%6d ms  jobs=$n%3d tasks=$tasks%5d  $site")
+        }
+      println("  -- stages (grouped by operator span + first graft frame) --")
+      bestStages.groupBy(_.site).toSeq
+        .map { case (site, ss) =>
+          (site, ss.map(s => math.max(0L, s.wallMs)).sum, ss.size,
+            ss.map(_.tasks).sum) }
+        .sortBy(-_._2)
+        .take(20)
+        .foreach { case (site, ms, n, tasks) =>
+          println(f"  $ms%6d ms  stages=$n%3d tasks=$tasks%5d  $site")
         }
     }
     spark.stop()
